@@ -64,7 +64,11 @@ object Cardinality {
   * (reference: imp_decode_relation.sql:10-43). Expression is a boolean
   * SQL expression over `[This]` (source side) and `[Related]`.
   */
-final case class RelationDef(name: String, expression: String, cardinality: Cardinality) {
+final case class RelationDef(
+    name: String,
+    expression: String,
+    cardinality: Cardinality,
+    primaryFlag: Boolean = false) {
   val (sourceName: String, relatedName: String) = RelationDef.decodeName(name)
 }
 

@@ -1,0 +1,126 @@
+package graft.exec
+
+import graft.analyze._
+import graft.core._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Builds an output table's DataFrame from its channels
+  * (reference: u_output_generate_query.sql:53-155).
+  *
+  * Per channel: filter → optional groupBy-aggregate (GROUP BY every
+  * non-aggregate mapping — reference A2) → project the declared output
+  * columns in order with casts, NULL-filling unmapped columns
+  * (u_output_query_column_select.sql:13-21) → UNION ALL by position
+  * (u_output_generate_query.sql:88,148).
+  */
+final class OutputPlanner(cp: CompiledProject, hubs: String => DataFrame) {
+
+  import SourcePlanner.q
+
+  def plan(co: CompiledOutput): DataFrame =
+    co.channels.map(channel(co, _)).reduce(_ union _)
+
+  private def channel(co: CompiledOutput, ch: CompiledChannel): DataFrame = {
+    var df = hubs(ch.channel.sourceName)
+    ch.filter.foreach { f =>
+      val sql = f.expr.render(i => q(f.params(i).ref.attribute) +
+        f.params(i).ref.keys.map(k => "." + q(k)).mkString)
+      df = df.filter(expr(sql))
+    }
+    val byTarget: Map[String, CompiledMapping] =
+      ch.mappings.map(m => m.mapping.targetColumn -> m).toMap
+
+    def innerSql(m: CompiledMapping): String =
+      q(m.attribute) + m.keys.map(k => "." + q(k)).mkString
+
+    if (ch.channel.operationType == OperationType.Aggregate) {
+      val (aggMaps, dimMaps) = ch.mappings.partition(_.mapping.aggregate.isDefined)
+      if (aggMaps.isEmpty)
+        throw CompileError(
+          s"Output '${co.output.name}': Aggregate channel has no aggregate mappings")
+      val dims = dimMaps.map(m => expr(innerSql(m)).as(m.mapping.targetColumn))
+      val aggs = aggMaps.map { m =>
+        val d = if (m.mapping.distinct) "DISTINCT " else ""
+        expr(s"${m.mapping.aggregate.get}($d${innerSql(m)})").as(m.mapping.targetColumn)
+      }
+      df = df.groupBy(dims: _*).agg(aggs.head, aggs.tail: _*)
+      // after aggregation, every mapped target column exists under its name
+      df.select(co.output.columns.map { c =>
+        if (byTarget.contains(c.name)) df.col(q(c.name)).cast(c.dataType).as(c.name)
+        else lit(null).cast(c.dataType).as(c.name)
+      }: _*)
+    } else {
+      df.select(co.output.columns.map { c =>
+        byTarget.get(c.name) match {
+          case Some(m) => expr(innerSql(m)).cast(c.dataType).as(c.name)
+          case None    => lit(null).cast(c.dataType).as(c.name)
+        }
+      }: _*)
+    }
+  }
+}
+
+/** Compiles and runs a whole project: sources in topological order, then
+  * outputs (reference: svc_generate_queries.sql:85-127 run.sql ordering,
+  * databricks_sql.py sequential execution).
+  *
+  * `materializeDir = Some(dir)` writes every hub as parquet and re-reads it
+  * — the reference's DROP/CREATE hub behavior (S3), and the spill-safe /
+  * restartable mode for very large pipelines (file-backed stats also feed
+  * Catalyst's broadcast decisions). `None` keeps hubs as lazy plans in one
+  * DAG — Catalyst sees through the whole pipeline (column pruning reaches
+  * the scans across source boundaries), the right default for tests and
+  * moderate scale.
+  */
+final class Runner(
+    cp: CompiledProject,
+    reader: SourceDef => DataFrame,
+    materializeDir: Option[String] = None) {
+
+  private val hubCache = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  def hub(name: String): DataFrame = hubCache.getOrElse(name, {
+    val cs = cp.compiledSource(name)
+    // dependencies first (topo order guarantees no cycles)
+    cs.dependsOn.foreach(hub)
+    var built = new SourcePlanner(cp, cs, reader, hub).plan()
+    materializeDir.foreach { dir =>
+      val path = s"$dir/${cs.source.hubName}"
+      built.write.mode("overwrite").parquet(path)
+      built = built.sparkSession.read.parquet(path)
+    }
+    hubCache(name) = built
+    built
+  })
+
+  def buildAllHubs(): Map[String, DataFrame] = {
+    cp.sources.foreach(cs => hub(cs.source.name))
+    hubCache.toMap
+  }
+
+  def output(name: String): DataFrame = {
+    val co = cp.outputs.find(_.output.name == name)
+      .getOrElse(throw CompileError(s"Unknown output '$name'"))
+    new OutputPlanner(cp, hub).plan(co)
+  }
+
+  /** Execute the full pipeline: all hubs, then write all outputs. */
+  def run(outDir: String): Unit = {
+    buildAllHubs()
+    cp.outputs.foreach { co =>
+      val df = new OutputPlanner(cp, hub).plan(co)
+      co.output.outputType match {
+        case OutputType.Virtual => df.createOrReplaceTempView(co.output.target)
+        case _ => df.write.mode("overwrite").parquet(s"$outDir/${co.output.target}")
+      }
+    }
+  }
+}
+
+object Runners {
+  /** Reader for a directory of `<table>.parquet` files (the test fixtures). */
+  def parquetDir(dir: String): SourceDef => DataFrame =
+    s => org.apache.spark.sql.SparkSession.active.read.parquet(s"$dir/${s.sourceTable}.parquet")
+}

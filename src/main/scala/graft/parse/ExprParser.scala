@@ -58,9 +58,9 @@ final case class ParsedExpr(
 }
 
 object ParsedExpr {
-  private[parse] def noAgg: Int => String =
+  def noAgg: Int => String =
     j => throw CompileError(s"Unexpected aggregate placeholder A$j")
-  private[parse] def renderSegs(
+  def renderSegs(
       segs: Seq[Seg], param: Int => String, agg: Int => String): String = {
     val sb = new StringBuilder
     segs.foreach {
