@@ -1,0 +1,74 @@
+package graft
+
+import graft.analyze.Compiler
+import graft.exec.{Runner, Runners}
+import graft.parse.YamlLoader
+import org.apache.spark.sql.SparkSession
+
+/** CLI: compile and run a YAML project against parquet data
+  * (the engine's analog of `dataforge --build` / `--run`).
+  *
+  * Usage:
+  *   graft.Main validate <projectDir>
+  *   graft.Main plan     <projectDir> <dataDir>            — print physical plans
+  *   graft.Main run      <projectDir> <dataDir> <outDir>   — write hubs+outputs
+  *
+  * `<dataDir>` holds `<source_table>.parquet` files; `<outDir>` receives
+  * `hub_*` and output parquet directories.
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "validate" :: projectDir :: Nil =>
+      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+      println(s"OK: ${cp.sources.size} sources, ${cp.relations.size} relations, " +
+        s"${cp.outputs.size} outputs")
+      println("source order: " + cp.sources.map(_.source.name).mkString(" -> "))
+
+    case "plan" :: projectDir :: dataDir :: Nil =>
+      val spark = session()
+      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+      val runner = new Runner(cp, Runners.parquetDir(dataDir))
+      cp.sources.foreach { cs =>
+        println(s"=== hub: ${cs.source.name} ===")
+        runner.hub(cs.source.name).explain("formatted")
+      }
+      cp.outputs.foreach { co =>
+        println(s"=== output: ${co.output.name} ===")
+        runner.output(co.output.name).explain("formatted")
+      }
+      spark.stop()
+
+    case "run" :: projectDir :: dataDir :: outDir :: Nil =>
+      val spark = session()
+      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+      // materialize hubs: the reference's DROP/CREATE hub behavior (S3) and
+      // the restartable, spill-safe mode for large pipelines
+      val runner = new Runner(cp, Runners.parquetDir(dataDir),
+        materializeDir = Some(outDir))
+      runner.run(outDir)
+      println(s"Execution completed successfully: $outDir")
+      spark.stop()
+
+    case _ =>
+      System.err.println(
+        """usage: graft.Main validate <projectDir>
+          |       graft.Main plan     <projectDir> <dataDir>
+          |       graft.Main run      <projectDir> <dataDir> <outDir>""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
