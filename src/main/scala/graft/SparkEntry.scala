@@ -2,7 +2,9 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,7 +54,42 @@ object SparkEntry {
     // O1/P7: multi-channel UNION ALL with typed null fill
     "q_party_summary" -> ((_, dir) => runner(dir).output("party_summary")),
     // A2/A3: DISTINCT + plain aggregates, min/max
-    "q_order_stats" -> ((_, dir) => runner(dir).output("order_stats")))
+    "q_order_stats" -> ((_, dir) => runner(dir).output("order_stats")),
+
+    // ------- training-data pipeline operators (documents/embeddings) -------
+    "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(docs(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fp_md5")),
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    // rows-only checks (hash functions are engine-specific):
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), threshold = 0.5)),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "q_embed_dup_pairs" -> ((s, dir) =>
+      Dedup.embeddingDupPairs(embeds(s, dir), threshold = 0.9)),
+    "q_similarity_topk" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 16), k = 5)
+        .select("query_id", "match_id", "cosine", "rank")
+    }),
+    "q_similarity_topk_lsh" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      // weakly-similar corpus (max pairwise cosine ≈ 0.5): few bits, many
+      // tables — see cosineTopKLsh scaladoc for the recall arithmetic
+      Similarity.cosineTopKLsh(e, e.filter(col("vec_id") < 16), k = 5,
+        nBits = 4, tables = 12)
+        .select("query_id", "match_id", "cosine", "rank")
+    }))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -123,5 +160,100 @@ object SparkEntry {
           max(o_totalprice) AS max_price,
           min(o_totalprice) AS min_price
         FROM orders
-        GROUP BY 1""")
+        GROUP BY 1""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars,
+          CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS INTEGER) AS n_tokens,
+          CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+          CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS punct_ratio,
+          CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS DOUBLE) AS avg_token_len
+        FROM documents""",
+    "q_lang_id" ->
+      """SELECT doc_id,
+          CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+               WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' END AS lang_pred
+        FROM (
+          SELECT doc_id, text,
+            len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','you','that','it','was'))) AS s_en,
+            len(list_filter(tk, t -> t IN ('der','die','und','das','nicht','ich','ist','du','sich','wir'))) AS s_de,
+            len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','un','une','du','je'))) AS s_fr,
+            len(list_filter(tk, t -> t IN ('el','los','de','que','y','en','un','ser','se','no'))) AS s_es
+          FROM (SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+                FROM documents))""",
+    "q_token_counts" ->
+      """SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS INTEGER) AS ws_tokens,
+          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
+        FROM documents""",
+    "q_quality" ->
+      """SELECT doc_id,
+          round(
+            least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+            (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE)) * 0.4 +
+            least(CAST(len(list_filter(tk, t -> t IN
+                ('the','and','of','to','in','is','you','that','it','was','der','die','und','das',
+                 'nicht','ich','ist','du','sich','wir','le','la','et','les','des','est','un','une',
+                 'du','je','el','los','de','que','y','en','ser','se','no'))) AS DOUBLE)
+               / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.2
+          , 6) AS quality
+        FROM (SELECT doc_id, text,
+                list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+              FROM documents)""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+        FROM documents""",
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+          min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+          count(*) OVER (PARTITION BY h) AS dup_count,
+          doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical
+        FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+              FROM documents)""",
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
+    "q_similarity_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+            round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+          FROM q, embeddings c
+          WHERE q.vec_id != c.vec_id)
+        SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, match_id) AS rn FROM sc)
+        WHERE rn <= 5""")
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ARRAY<FLOAT>`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast join of the (small)
+  * query set against the corpus, one corpus scan, no corpus shuffle.
+  * Scale path: sign-LSH bucketing (random-hyperplane bits) so each probe
+  * touches only its bucket — the 100 TB plan; an IVF-style variant can
+  * reuse the same bucket-join shape with learned centroids.
+  */
+object Similarity {
+
+  /** Exact cosine between two ARRAY<FLOAT> columns, accumulated in double
+    * in array order (deterministic, engine-portable).
+    */
+  def cosineExpr(a: String, b: String): String =
+    s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+       |           CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+       | / (sqrt(aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |           CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+       |  * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |           CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+
+  /** Deterministic random hyperplanes (seeded), inlined as literals. */
+  private[operators] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: bit i = sign of dot(vec, hyperplane_i). */
+  def signBucketExpr(vecCol: String, dim: Int, nBits: Int, seed: Long): String = {
+    val planes = hyperplanes(dim, nBits, seed)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(v => f"CAST($v%.17g AS DOUBLE)").mkString(", ")
+      s"""CASE WHEN aggregate(zip_with($vecCol, array($lits),
+         |  (x, h) -> CAST(x AS DOUBLE) * h), CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
+         |  THEN shiftleft(1L, $i) ELSE 0L END""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** Brute-force cosine top-k for a query set against the corpus.
+    * `queries` is broadcast (small side); ranking is deterministic
+    * (score desc, corpus id asc); self-matches excluded.
+    */
+  def cosineTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val joined = corpus.as("c")
+      .join(broadcast(queries.as("q")), col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(
+        col(s"q.$idCol").as("query_id"),
+        col(s"c.$idCol").as("match_id"),
+        expr(s"round(${cosineExpr(s"q.$vecCol", s"c.$vecCol")}, 6)").as("cosine"))
+    joined
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-table sign-LSH ANN top-k: `tables` independent hyperplane sets;
+    * a corpus row is a candidate when it collides with the query in ANY
+    * table. Per-table collision probability for angle θ is (1 - θ/π)^nBits,
+    * so recall ≈ 1 - (1 - p)^tables — tune `nBits` down / `tables` up for
+    * weakly-similar corpora, up/down for near-duplicate search. Candidate
+    * generation is a bucket equi-join per table (union of `tables` joins);
+    * the corpus never self-joins, so the plan scales linearly in corpus
+    * size.
+    */
+  def cosineTopKLsh(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      dim: Int = 64, nBits: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val candidates = (0 until tables).map { t =>
+      val bucket = signBucketExpr(vecCol, dim, nBits, seed + t)
+      val c = corpus.select(col(idCol), col(vecCol), expr(bucket).as("__bucket"))
+      val q = queries.select(col(idCol), col(vecCol), expr(bucket).as("__bucket"))
+      c.as("c").join(broadcast(q.as("q")),
+          col("q.__bucket") === col("c.__bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
+        .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("match_id"),
+          col(s"q.$vecCol").as("__qv"), col(s"c.$vecCol").as("__cv"))
+    }.reduce(_ union _).dropDuplicates("query_id", "match_id")
+    candidates
+      .select(col("query_id"), col("match_id"),
+        expr(s"round(${cosineExpr("__qv", "__cv")}, 6)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is a per-row projection built from codegen'd builtin
+  * functions (no UDFs): at 100 TB these run inside whole-stage codegen with
+  * zero shuffles — the scan is the only cost, and column pruning reaches
+  * the parquet reader.
+  */
+object TextAnalysis {
+
+  /** Language stopword profiles (occurrence scoring). Public, standard
+    * high-frequency function words per language.
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "was"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ich", "ist", "du", "sich", "wir"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "je"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "ser", "se", "no"))
+
+  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Whitespace tokens of a text column (lower-cased). */
+  def tokensExpr(text: String): String =
+    s"filter(split(lower($text), ' +'), t -> t != '')"
+
+  /** Per-document surface statistics: char/token counts, token-length and
+    * punctuation/alpha ratios — the standard quality-scoring features.
+    */
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensExpr(textCol)
+    docs.select(
+      col("doc_id"),
+      expr(s"length($textCol)").as("n_chars"),
+      expr(s"size($toks)").as("n_tokens"),
+      expr(s"CAST(length(regexp_replace($textCol, '[^a-zA-Z]', '')) AS DOUBLE)" +
+        s" / CAST(length($textCol) AS DOUBLE)").as("alpha_ratio"),
+      expr(s"CAST(length(regexp_replace($textCol, '[^.,;:!?]', '')) AS DOUBLE)" +
+        s" / CAST(length($textCol) AS DOUBLE)").as("punct_ratio"),
+      expr(s"CAST(length(replace($textCol, ' ', '')) AS DOUBLE) / CAST(size($toks) AS DOUBLE)")
+        .as("avg_token_len"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot, alpha ratio, and
+    * a stopword-presence signal. Heuristic (deterministic, engine-agnostic).
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val allStop = profiles.flatMap(_._2).distinct.map(lit).mkString(", ")
+    val toks = tokensExpr(textCol)
+    docs.select(
+      col("doc_id"),
+      expr(
+        s"""round(
+           |  least(CAST(length($textCol) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+           |  (CAST(length(regexp_replace($textCol, '[^a-zA-Z ]', '')) AS DOUBLE)
+           |     / CAST(length($textCol) AS DOUBLE)) * 0.4 +
+           |  least(CAST(size(filter($toks, t -> t IN ($allStop))) AS DOUBLE)
+           |     / CAST(size($toks) AS DOUBLE) * 5.0, 1.0) * 0.2
+           |, 6)""".stripMargin).as("quality"))
+  }
+
+  /** N-gram/stopword-profile language identification. CJK text short-cuts
+    * on codepoint range; otherwise the profile with the most token hits
+    * wins (fixed tie order en, de, fr, es).
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensExpr(textCol)
+    val scores = profiles.map { case (l, words) =>
+      s"size(filter($toks, t -> t IN (${words.map(lit).mkString(", ")})))" -> l
+    }
+    val g = s"greatest(${scores.map(_._1).mkString(", ")})"
+    val cases = scores.map { case (s, l) => s"WHEN $s = __g THEN '$l'" }.mkString(" ")
+    docs
+      .withColumn("__g", expr(g))
+      .select(
+        col("doc_id"),
+        expr(
+          s"""CASE WHEN regexp_count($textCol, '[\\\\x{4e00}-\\\\x{9fff}]') > 0 THEN 'zh'
+             | WHEN __g = 0 THEN 'unknown'
+             | $cases END""".stripMargin).as("lang_pred"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs, digit runs, single punctuation — the shape a byte-pair
+    * tokenizer's pre-tokenizer produces).
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"size(${tokensExpr(textCol)})").as("ws_tokens"),
+      expr(s"size(regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0))")
+        .as("bpe_tokens"))
+
+  /** Document fingerprints: an md5 of whitespace-normalized lower-cased
+    * text (portable across engines) and a cheap 64-bit xxhash for
+    * petabyte-scale dedup keys.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      normalizedMd5(textCol).as("fp_md5"),
+      expr(s"xxhash64(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))))").as("fp_xx64"))
+
+  /** Normalization + md5 used as the exact-dedup key. */
+  def normalizedMd5(textCol: String): Column =
+    expr(s"md5(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))))")
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import scala.util.Random
+
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-operators-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rows).toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------- text ops
+
+  test("textStats counts chars and tokens") {
+    val df = TextAnalysis.textStats(docsDf(Seq((1L, "Hello world, test!"), (2L, "one  two"))))
+    val r = df.orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_chars") == 18)
+    assert(r(0).getAs[Int]("n_tokens") == 3)
+    assert(r(1).getAs[Int]("n_tokens") == 2)
+  }
+
+  test("langId detects stopword profiles and CJK") {
+    val df = TextAnalysis.langId(docsDf(Seq(
+      (1L, "the cat and the dog of it was here"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "le chat et la maison des gens est un"),
+      (4L, "你好世界"),
+      (5L, "zzz qqq xxx"))))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en" && m(2L) == "de" && m(3L) == "fr")
+    assert(m(4L) == "zh" && m(5L) == "unknown")
+  }
+
+  test("tokenCounts: BPE-ish regex splits punctuation and digits") {
+    val df = TextAnalysis.tokenCounts(docsDf(Seq((1L, "ab12 cd, ef!"))))
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // ab | 12 | cd | , | ef | !
+    assert(r.getAs[Int]("bpe_tokens") == 6)
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = TextAnalysis.fingerprint(docsDf(Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "different"))))
+    val r = df.orderBy("doc_id").collect()
+    assert(r(0).getString(1) == r(1).getString(1))
+    assert(r(0).getString(1) != r(2).getString(1))
+    assert(r(0).getAs[Long]("fp_xx64") == r(1).getAs[Long]("fp_xx64"))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  private val dupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+    (4L, "completely unrelated text about database engines and query plans"),
+    (5L, "another unrelated document mentioning spark catalyst optimizer rules"))
+
+  test("exact dedup groups identical normalized docs") {
+    val r = Dedup.exact(docsDf(dupDocs)).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("canonical_id") == 1L && r(0).getAs[Boolean]("is_canonical"))
+    assert(r(1).getAs[Long]("canonical_id") == 1L && !r(1).getAs[Boolean]("is_canonical"))
+    assert(r(1).getAs[Long]("dup_count") == 2L)
+    assert(r(2).getAs[Long]("canonical_id") == 3L) // near-dup is NOT an exact dup
+  }
+
+  test("ngram jaccard finds near-dup pair, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf(dupDocs), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dups
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docsDf(dupDocs), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(docsDf(dupDocs), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact)
+  }
+
+  test("simhash pairs near-dups at low hamming distance") {
+    val pairs = Dedup.simhashPairs(docsDf(dupDocs), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 0) // identical text
+    assert(keys.contains((1L, 3L)))
+  }
+
+  // ----------------------------------------------- embeddings / similarity
+
+  /** Clustered synthetic vectors: `nClusters` random centers; members are
+    * center + small noise → high intra-cluster cosine.
+    */
+  private def clusteredVecs(
+      n: Int, dim: Int, nClusters: Int, noise: Double, seed: Long): Seq[(Long, Seq[Float])] = {
+    val r = new Random(seed)
+    val centers = Seq.fill(nClusters)(Seq.fill(dim)(r.nextGaussian()))
+    (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(v => (v + noise * r.nextGaussian()).toFloat))
+    }
+  }
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rows).toDF("vec_id", "embedding")
+  }
+
+  test("embeddingDupPairs finds planted near-duplicates") {
+    // 40 vectors in 8 tight clusters of 5 → 8*C(5,2)=80 true near-dup pairs
+    val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
+    val pairs = Dedup.embeddingDupPairs(vecDf(vecs), threshold = 0.95, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sameCluster = pairs.count { case (a, b) => a % 8 == b % 8 }
+    assert(pairs.nonEmpty)
+    assert(sameCluster == pairs.length, "all found pairs must be intra-cluster")
+    assert(pairs.length >= 60, s"recall too low: ${pairs.length}/80 planted pairs")
+  }
+
+  test("brute-force cosine topk ranks cluster members first") {
+    val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
+    val df = vecDf(vecs)
+    val top = Similarity.cosineTopK(df, df.filter(col("vec_id") < 8), k = 4)
+    val rows = top.collect()
+    assert(rows.length == 8 * 4)
+    // every top-4 match of query q belongs to q's cluster
+    assert(rows.forall(r => r.getAs[Long]("match_id") % 8 == r.getAs[Long]("query_id") % 8))
+  }
+
+  test("multi-table LSH topk recovers most brute-force neighbors on clustered data") {
+    val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
+    val df = vecDf(vecs)
+    val queries = df.filter(col("vec_id") < 8)
+    val bf = Similarity.cosineTopK(df, queries, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"))).toSet
+    val lsh = Similarity.cosineTopKLsh(df, queries, k = 4, nBits = 8, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.9, s"LSH recall $recall too low on near-duplicate clusters")
+  }
+}
