@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -84,12 +84,30 @@ object SparkEntry {
       Similarity.cosineTopKLsh(e, e.filter(col("vec_id") < 16), k = 5,
         nBits = 4, tables = 12)
         .select("query_id", "match_id", "cosine", "rank")
-    }))
+    }),
+
+    // ------- event stream (batch forms; streaming forms in graft.streaming)
+    "q_events_hourly" -> ((s, dir) =>
+      graft.streaming.Events.hourlyStatsBatch(events(s, dir))),
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Events.sessionizeBatch(events(s, dir))),
+
+    // ------- multimodal plumbing (deterministic stub decode; rows-only)
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.fakeMediaFromDocs(docs(s, dir)))
+        .select(col("media_id"), col("n_bytes"), col("checksum"),
+          col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.fakeMediaFromDocs(docs(s, dir))))
+        .select("media_id", "frame_index")))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeds(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.readEvents(s, s"$dir/events.parquet")
 
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -255,5 +273,31 @@ object SparkEntry {
         SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, match_id) AS rn FROM sc)
-        WHERE rn <= 5""")
+        WHERE rn <= 5""",
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          count(*) AS n_events,
+          count(DISTINCT user_id) AS n_users,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY 1, 2""",
+    "q_sessionize" ->
+      """WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        t AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                 THEN 1 ELSE 0 END AS ns
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
+          FROM t)
+        SELECT user_id, session_seq,
+          min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM s GROUP BY 1, 2""")
 }

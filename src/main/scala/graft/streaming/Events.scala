@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Row
+import java.sql.Timestamp
+
+/** Per-user session state for streaming sessionization (top-level: Spark's
+  * state-encoder codegen requires a publicly constructible case class).
+  */
+case class SessionAgg(
+    start: Timestamp, last: Timestamp, nEvents: Long, valueCents: Long)
+
+/** Event-stream processing over the `events` table
+  * (event_id, ts, user_id, event_type, value, props JSON).
+  *
+  * Each operation has a batch form (oracle-checkable, same semantics) and a
+  * Structured Streaming form (`readStream` → watermark → windowed agg /
+  * stateful sessionization → `writeStream`). The reference's streaming path
+  * is dead code (SURVEY §2.8) — this is the extension phase, built
+  * Spark-first: event-time windows + watermarks for out-of-order data,
+  * `flatMapGroupsWithState` for custom session state, checkpointed sinks.
+  */
+object Events {
+
+  /** Hourly tumbling-window aggregate, batch form. Money sums use exact
+    * integer cents (see SampleProject scaladoc on cross-engine sums).
+    */
+  def hourlyStatsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        expr("date_trunc('hour', ts)").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("count(DISTINCT user_id)").as("n_users"),
+        expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
+
+  /** Streaming form of [[hourlyStatsBatch]]: identical aggregation over an
+    * event-time window with a watermark bounding state.
+    */
+  def hourlyStatsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("approx_count_distinct(user_id)").as("n_users_approx"),
+        expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("n_users_approx"), col("value_cents"))
+
+  /** Sessionization, batch form: a session breaks after `gapMinutes` of
+    * user inactivity. Pure window functions — one shuffle on user_id.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("__prev", lag("ts", 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          col("ts").cast("long") - col("__prev").cast("long") > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum("__new_session").over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a session
+    * row when the inactivity gap times out. State per user is O(1).
+    */
+  def sessionizeStream(
+      spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .selectExpr("user_id", "ts", "CAST(round(value * 100) AS LONG) AS cents")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, (Long, Timestamp, Timestamp, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator((user, s.start, s.last, s.nEvents, s.valueCents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[(Long, Timestamp, Timestamp, Long, Long)]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, cents) =>
+              cur match {
+                case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(SessionAgg(s.start, ts, s.nEvents + 1, s.valueCents + cents))
+                case Some(s) =>
+                  closed ::= ((user, s.start, s.last, s.nEvents, s.valueCents))
+                  cur = Some(SessionAgg(ts, ts, 1L, cents))
+                case None =>
+                  cur = Some(SessionAgg(ts, ts, 1L, cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start", "session_end", "n_events", "value_cents")
+  }
+
+  /** Read the events parquet (nanosecond timestamps — Spark reads them as
+    * LONG via the legacy conf, then converts to microsecond timestamps).
+    */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(path))
+  }
+
+  /** readStream over a parquet file/directory with the events schema. */
+  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    normalizeTs(spark.readStream.schema(schema).parquet(path))
+  }
+
+  private def normalizeTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // integer division: ts/1000 would go through DOUBLE and lose precision
+      // at 1e18-nanosecond epoch values
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+
+  /** Standard sink wiring: parquet + checkpoint, AvailableNow-style runs
+    * are driven by the caller's trigger choice.
+    */
+  def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def events = Events.readEvents(spark, s"$sfDir/events.parquet")
+
+  /** FileStreamSource needs a directory — stage the fixture file into one. */
+  private def stagedEventsDir: String = {
+    val d = Files.createTempDirectory("graftevents")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly stats (AvailableNow) matches batch counts") {
+    val tmp = Files.createTempDirectory("graftstream").toString
+    val stream = Events.readEventsStream(spark, stagedEventsDir)
+    val q = Events.toParquetSink(
+      Events.hourlyStatsStream(stream), s"$tmp/out", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$tmp/out")
+    val expected = Events.hourlyStatsBatch(events)
+    // exact columns: n_events and value_cents (n_users is approx in stream)
+    val g = got.select("hour_start", "event_type", "n_events", "value_cents")
+    val e = expected.select("hour_start", "event_type", "n_events", "value_cents")
+    // Append mode emits a window only once the watermark passes it: the
+    // final watermark-delay's worth of windows stays in state at
+    // end-of-stream. Everything emitted must match batch exactly; only a
+    // bounded tail may be missing.
+    assert(g.exceptAll(e).count() == 0, "streamed window not present in batch result")
+    val missing = e.exceptAll(g).count()
+    assert(missing <= 4 * 3, s"too many unemitted windows: $missing") // ≤ delay-hours × event types
+    assert(g.count() > 0)
+  }
+
+  test("streaming sessionization emits closed sessions consistent with batch") {
+    val tmp = Files.createTempDirectory("graftsess").toString
+    val stream = Events.readEventsStream(spark, stagedEventsDir)
+    val q = Events.toParquetSink(
+      Events.sessionizeStream(spark, stream), s"$tmp/out", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$tmp/out")
+    val batch = Events.sessionizeBatch(events)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_cents"))
+    // Streaming emits only sessions closed by the watermark (tail sessions
+    // stay in state) — every emitted session must exist identically in the
+    // batch result.
+    val missing = got.exceptAll(batch).count()
+    assert(missing == 0, s"$missing streamed sessions not found in batch result")
+    assert(got.count() > 0, "no sessions emitted")
+  }
+
+  test("multimodal decode extracts fake-header metadata partition-wise") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val decoded = Multimodal.decode(Multimodal.fakeMediaFromDocs(docs))
+    val joined = decoded.join(docs, decoded("media_id") === docs("doc_id"))
+    // width carries n_chars through the fake header; payload adds 8 bytes
+    assert(joined.filter(expr("meta.width != n_chars % 65536")).count() == 0)
+    assert(joined.filter(expr("n_bytes != n_chars + 8")).count() == 0)
+    assert(decoded.filter(expr("meta.mime != 'image/fake'")).count() == 0)
+    assert(decoded.filter(expr("meta.height != 64")).count() == 0)
+  }
+
+  test("frame sampling bounded and within range") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decode(Multimodal.fakeMediaFromDocs(docs)), maxFrames = 4)
+    val perDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+    assert(perDoc.filter(col("n") > 4).count() == 0)
+    assert(frames.filter(expr("frame_index >= meta.n_frames")).count() == 0)
+  }
+}
