@@ -45,6 +45,56 @@ object Similarity {
     bits.mkString("(", " + ", ")")
   }
 
+  /** (id, vec, bucket per table) computed partition-wise in compiled code —
+    * the SQL sign-bucket expression runs interpreted (higher-order
+    * functions are CodegenFallback) and dominates wall-clock once tables ×
+    * nBits × dim grows. Hyperplanes are identical to [[signBucketExpr]]'s
+    * (same seeded RNG), so the two formulations bucket identically.
+    */
+  private[operators] def withSignBuckets(
+      df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, nBits: Int, tables: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val planesPerTable: Array[Array[Array[Double]]] =
+      (0 until tables).map(t =>
+        hyperplanes(dim, nBits, seed + t).map(_.toArray).toArray).toArray
+    val in = df.select(col(idCol), col(vecCol))
+    val idType = in.schema(idCol).dataType
+    val vecType = in.schema(vecCol).dataType
+    val out = StructType(Seq(
+      StructField(idCol, idType), StructField(vecCol, vecType),
+      StructField("__buckets", ArrayType(LongType))))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val vec = r.getSeq[Float](1)
+        val v = new Array[Double](vec.length)
+        var i = 0
+        while (i < v.length) { v(i) = vec(i).toDouble; i += 1 }
+        val buckets = new Array[Long](tables)
+        var t = 0
+        while (t < tables) {
+          val planes = planesPerTable(t)
+          var bucket = 0L
+          var b = 0
+          while (b < nBits) {
+            val p = planes(b)
+            var dot = 0.0
+            var j = 0
+            val d = math.min(p.length, v.length)
+            while (j < d) { dot += v(j) * p(j); j += 1 }
+            if (dot > 0) bucket |= (1L << b)
+            b += 1
+          }
+          buckets(t) = bucket
+          t += 1
+        }
+        Row(r.get(0), r.get(1), buckets.toSeq)
+      }
+    }(RowEncoder.encoderFor(out))
+  }
+
   /** Brute-force cosine top-k for a query set against the corpus.
     * `queries` is broadcast (small side); ranking is deterministic
     * (score desc, corpus id asc); self-matches excluded.
@@ -77,16 +127,20 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
       dim: Int = 64, nBits: Int = 8, tables: Int = 8, seed: Long = 42L): DataFrame = {
-    val candidates = (0 until tables).map { t =>
-      val bucket = signBucketExpr(vecCol, dim, nBits, seed + t)
-      val c = corpus.select(col(idCol), col(vecCol), expr(bucket).as("__bucket"))
-      val q = queries.select(col(idCol), col(vecCol), expr(bucket).as("__bucket"))
-      c.as("c").join(broadcast(q.as("q")),
-          col("q.__bucket") === col("c.__bucket") && col(s"q.$idCol") =!= col(s"c.$idCol"))
-        .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("match_id"),
-          col(s"q.$vecCol").as("__qv"), col(s"c.$vecCol").as("__cv"))
-    }.reduce(_ union _).dropDuplicates("query_id", "match_id")
+    // compiled bucket computation (see withSignBuckets), fanned out with
+    // posexplode; candidate join carries ids only, vectors rejoin after
+    val c = withSignBuckets(corpus, vecCol, idCol, dim, nBits, tables, seed)
+      .select(col(idCol), posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
+    val q = withSignBuckets(queries, vecCol, idCol, dim, nBits, tables, seed)
+      .select(col(idCol), posexplode(col("__buckets")).as(Seq("__table", "__bucket")))
+    val candidates = c.as("c").join(broadcast(q.as("q")),
+        col("q.__table") === col("c.__table") && col("q.__bucket") === col("c.__bucket") &&
+          col(s"q.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("match_id"))
+      .dropDuplicates("query_id", "match_id")
     candidates
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))), "query_id")
+      .join(corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv")), "match_id")
       .select(col("query_id"), col("match_id"),
         expr(s"round(${cosineExpr("__qv", "__cv")}, 6)").as("cosine"))
       .withColumn("rank", row_number().over(
