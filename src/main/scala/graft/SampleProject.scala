@@ -47,7 +47,15 @@ object SampleProject {
       RuleDef("avg_order_value",
         "CAST(sum(CAST(round([tpch_orders].o_totalprice * 100) AS LONG)) AS DOUBLE) / 100.0 / CAST(count([tpch_orders].o_orderkey) AS DOUBLE)"),
       // scalar lookup: customer -> nation
-      RuleDef("nation_name", "[tpch_nation].n_name")))
+      RuleDef("nation_name", "[tpch_nation].n_name"),
+      // percentile/median/collection/boolean aggregates over the same path
+      // (allow-list A5; array_sort makes collect_set hash-stable)
+      RuleDef("median_order", "median([tpch_orders].o_totalprice)"),
+      RuleDef("p25_order", "percentile([tpch_orders].o_totalprice, 0.25)"),
+      RuleDef("statuses",
+        "array_join(array_sort(collect_set([tpch_orders].o_orderstatus)), ',')"),
+      RuleDef("has_open_order", "bool_or([tpch_orders].o_orderstatus = 'O')"),
+      RuleDef("approx_orders", "approx_count_distinct([tpch_orders].o_orderkey)")))
 
   val supplier = SourceDef("tpch_supplier", "supplier",
     attrs("s_suppkey long, s_name string, s_nationkey int, s_acctbal double"))

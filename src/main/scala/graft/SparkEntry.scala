@@ -45,6 +45,13 @@ object SparkEntry {
     "q_nation_suppliers" -> ((_, dir) =>
       runner(dir).hub("tpch_nation").select(
         "n_nationkey", "n_name", "supplier_cnt", "supplier_acctbal_cents")),
+    // A5: percentile/median/collection/boolean aggregates over an M path
+    "q_customer_percentiles" -> ((_, dir) =>
+      runner(dir).hub("tpch_customer").select(
+        "c_custkey", "median_order", "p25_order", "statuses", "has_open_order")),
+    // A4: HLL++ approximate distinct (rows-only: sketch is engine-specific)
+    "q_customer_approx" -> ((_, dir) =>
+      runner(dir).hub("tpch_customer").select("c_custkey", "approx_orders")),
     // W1: window rule pass-through
     "q_orders_window" -> ((_, dir) =>
       runner(dir).hub("tpch_orders").select(
@@ -149,6 +156,19 @@ object SparkEntry {
         LEFT JOIN (SELECT s_nationkey, count(s_suppkey) cnt,
                           CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) bal
                    FROM supplier GROUP BY s_nationkey) a ON n.n_nationkey = a.s_nationkey""",
+    "q_customer_percentiles" ->
+      """SELECT c.c_custkey,
+          a.med AS median_order,
+          a.p25 AS p25_order,
+          array_to_string(coalesce(a.sts, []), ',') AS statuses,
+          a.open AS has_open_order
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey,
+                     median(o_totalprice) med,
+                     quantile_cont(o_totalprice, 0.25) p25,
+                     list_sort(list(DISTINCT o_orderstatus)) sts,
+                     bool_or(o_orderstatus = 'O') open
+                   FROM orders GROUP BY o_custkey) a ON c.c_custkey = a.o_custkey""",
     "q_orders_window" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year,
           CAST(rank() OVER (PARTITION BY o_custkey

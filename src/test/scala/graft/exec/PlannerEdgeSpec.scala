@@ -1,0 +1,170 @@
+package graft.exec
+
+import graft.analyze.Compiler
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Edge semantics the sample project doesn't reach: self-joins, unique-join
+  * guards, theta (non-equi) M-aggregates, struct field access, decimal
+  * normalization.
+  */
+class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-edge-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(p: Project, tables: Map[String, DataFrame]): Runner = {
+    val cp = new Compiler(p).compile()
+    new Runner(cp, s => tables(s.sourceTable))
+  }
+
+  test("self-join: lookup into the same source via self-relation") {
+    import spark.implicits._
+    val emp = Seq(
+      (1L, "alice", null.asInstanceOf[java.lang.Long]),
+      (2L, "bob", java.lang.Long.valueOf(1L)),
+      (3L, "carol", java.lang.Long.valueOf(1L)),
+      (4L, "dave", java.lang.Long.valueOf(2L)))
+      .toDF("emp_id", "name", "manager_id")
+    val p = Project(
+      sources = Seq(SourceDef("emp", "emp",
+        Seq(RawAttr("emp_id", LongType), RawAttr("name", StringType),
+          RawAttr("manager_id", LongType)),
+        rules = Seq(RuleDef("mgr_name", "[emp].name")))),
+      relations = Seq(RelationDef("[emp]- manager -[emp]",
+        "[This].manager_id = [Related].emp_id", Cardinality.ManyOne)))
+    val hub = run(p, Map("emp" -> emp)).hub("emp")
+    val m = hub.collect().map(r => r.getAs[Long]("emp_id") -> r.getAs[String]("mgr_name")).toMap
+    assert(m(1L) == null && m(2L) == "alice" && m(3L) == "alice" && m(4L) == "bob")
+  }
+
+  test("unique-join guard ANDs the companion uv_flag into the join") {
+    import spark.implicits._
+    // dim has a DUPLICATED computed key 'k10'; the unique guard must null
+    // out lookups through the non-unique key rather than duplicating facts
+    val dim = Seq((10L, "ten-a"), (10L, "ten-b"), (20L, "twenty"))
+      .toDF("dim_id", "label")
+    val fact = Seq((1L, 10L), (2L, 20L)).toDF("fact_id", "dim_ref")
+    val p = Project(
+      sources = Seq(
+        SourceDef("dim", "dim",
+          Seq(RawAttr("dim_id", LongType), RawAttr("label", StringType)),
+          rules = Seq(
+            RuleDef("key", "CONCAT('k', [This].dim_id)", uniqueFlag = true),
+            RuleDef("key_uv_flag",
+              "count(1) OVER (PARTITION BY [This].key) = 1"))),
+        SourceDef("fact", "fact",
+          Seq(RawAttr("fact_id", LongType), RawAttr("dim_ref", LongType)),
+          rules = Seq(
+            RuleDef("fact_key", "CONCAT('k', [This].dim_ref)"),
+            RuleDef("dim_label", "[dim].label")))),
+      relations = Seq(RelationDef("[fact]- key -[dim]",
+        "[This].fact_key = [Related].key", Cardinality.ManyOne)))
+    val hub = run(p, Map("dim" -> dim, "fact" -> fact)).hub("fact")
+    val rows = hub.orderBy("fact_id").collect()
+    assert(rows.length == 2, "facts must not duplicate through a non-unique key")
+    assert(rows(0).getAs[String]("dim_label") == null) // k10 not unique → guarded out
+    assert(rows(1).getAs[String]("dim_label") == "twenty")
+  }
+
+  test("unique join without companion rule is a compile-time error") {
+    val p = Project(
+      sources = Seq(
+        SourceDef("dim", "dim", Seq(RawAttr("dim_id", LongType)),
+          rules = Seq(RuleDef("key", "CONCAT('k', [This].dim_id)", uniqueFlag = true))),
+        SourceDef("fact", "fact", Seq(RawAttr("dim_ref", LongType)),
+          rules = Seq(RuleDef("x", "[dim].dim_id")))),
+      relations = Seq(RelationDef("[fact]- key -[dim]",
+        "CONCAT('k', [This].dim_ref) = [Related].key", Cardinality.ManyOne)))
+    import spark.implicits._
+    val dim = Seq(1L).toDF("dim_id")
+    val fact = Seq(1L).toDF("dim_ref")
+    val e = intercept[CompileError](
+      run(p, Map("dim" -> dim, "fact" -> fact)).hub("fact"))
+    assert(e.message.contains("Uniqueness validation"))
+  }
+
+  test("theta (non-equi) M-aggregate falls back to tagged join") {
+    import spark.implicits._
+    val buckets = Seq((1L, 0.0, 100.0), (2L, 100.0, 200.0)).toDF("b_id", "lo", "hi")
+    val obs = Seq((1L, 50.0), (2L, 150.0), (3L, 75.0), (4L, 250.0))
+      .toDF("o_id", "amount")
+    val p = Project(
+      sources = Seq(
+        SourceDef("obs", "obs",
+          Seq(RawAttr("o_id", LongType), RawAttr("amount", DoubleType))),
+        SourceDef("buckets", "buckets",
+          Seq(RawAttr("b_id", LongType), RawAttr("lo", DoubleType),
+            RawAttr("hi", DoubleType)),
+          rules = Seq(
+            RuleDef("n_obs", "count([obs].o_id)"),
+            RuleDef("sum_amount", "sum([obs].amount)")))),
+      relations = Seq(RelationDef("[buckets]- range -[obs]",
+        "[This].lo <= [Related].amount AND [Related].amount < [This].hi",
+        Cardinality.OneMany)))
+    val hub = run(p, Map("obs" -> obs, "buckets" -> buckets)).hub("buckets")
+    val m = hub.collect().map(r =>
+      r.getAs[Long]("b_id") -> (r.getAs[Long]("n_obs"), r.getAs[Double]("sum_amount"))).toMap
+    assert(m(1L) == ((2L, 125.0))) // 50 + 75
+    assert(m(2L) == ((1L, 150.0)))
+  }
+
+  test("struct field access in rules ([This].attr.key)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("store", StructType(Seq(
+        StructField("color", StringType),
+        StructField("size", IntegerType))))))
+    val data = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row("red", 5)),
+        org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row("blue", 7))),
+      schema)
+    val p = Project(sources = Seq(SourceDef("s", "s",
+      Seq(RawAttr("id", LongType), RawAttr("store", schema("store").dataType)),
+      rules = Seq(RuleDef("color", "[This].store.color"),
+        RuleDef("size2", "[This].store.size * 2")))))
+    val hub = run(p, Map("s" -> data)).hub("s")
+    val m = hub.collect().map(r => r.getAs[Long]("id") -> (r.getAs[String]("color"), r.getAs[Int]("size2"))).toMap
+    assert(m(1L) == (("red", 10)) && m(2L) == (("blue", 14)))
+  }
+
+  test("decimal rules normalize to decimal(38,12)") {
+    import spark.implicits._
+    val t = Seq((1L, BigDecimal("12.34"))).toDF("id", "amt")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("amt").cast(DecimalType(10, 2)).as("amt"))
+    val p = Project(sources = Seq(SourceDef("s", "s",
+      Seq(RawAttr("id", LongType), RawAttr("amt", CoreTypes.parseTypeName("decimal"))),
+      rules = Seq(RuleDef("amt2", "[This].amt * 2")))))
+    val hub = run(p, Map("s" -> t)).hub("s")
+    assert(hub.schema("amt").dataType == DecimalType(38, 12))
+    assert(hub.schema("amt2").dataType == DecimalType(38, 12))
+    assert(hub.collect()(0).getAs[java.math.BigDecimal]("amt2").compareTo(
+      new java.math.BigDecimal("24.68")) == 0)
+  }
+
+  test("virtual output registers a temp view") {
+    import spark.implicits._
+    val t = Seq((1L, "a")).toDF("id", "v")
+    val p = Project(
+      sources = Seq(SourceDef("s", "s",
+        Seq(RawAttr("id", LongType), RawAttr("v", StringType)))),
+      outputs = Seq(OutputDef("vout",
+        Seq(OutputCol("id", LongType), OutputCol("v", StringType)),
+        Seq(Channel("s", Seq(Mapping.parse("id id"), Mapping.parse("v v")))),
+        outputType = OutputType.Virtual)))
+    val tmp = java.nio.file.Files.createTempDirectory("graftvout").toString
+    run(p, Map("s" -> t)).run(tmp)
+    assert(spark.table("vout").count() == 1)
+  }
+}
