@@ -160,7 +160,7 @@ object SparkEntry {
       """SELECT c.c_custkey,
           a.med AS median_order,
           a.p25 AS p25_order,
-          array_to_string(coalesce(a.sts, []), ',') AS statuses,
+          coalesce(array_to_string(a.sts, ','), '') AS statuses,
           a.open AS has_open_order
         FROM customer c
         LEFT JOIN (SELECT o_custkey,
