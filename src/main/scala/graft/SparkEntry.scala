@@ -84,6 +84,12 @@ object SparkEntry {
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 16), k = 5)
         .select("query_id", "match_id", "cosine", "rank")
     }),
+    "q_similarity_topk_ivf" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      Similarity.cosineTopKIvf(e, e.filter(col("vec_id") < 16), k = 5,
+        nLists = 16, nProbe = 6)
+        .select("query_id", "match_id", "cosine", "rank")
+    }),
     "q_similarity_topk_lsh" -> ((s, dir) => {
       val e = embeds(s, dir)
       // weakly-similar corpus (max pairwise cosine ≈ 0.5): few bits, many

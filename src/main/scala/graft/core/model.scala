@@ -167,7 +167,12 @@ final case class SourceDef(
     sourceTable: String,
     rawAttributes: Seq[RawAttr],
     rules: Seq[RuleDef] = Nil,
-    targetTable: Option[String] = None) {
+    targetTable: Option[String] = None,
+    /** Partition columns for the materialized hub (graft extension; the
+      * reference has no partitioning concept). At scale, partitioned hubs
+      * give downstream reads partition pruning and bounded task inputs.
+      */
+    hubPartitionBy: Seq[String] = Nil) {
   def hubName: String = targetTable.getOrElse(s"enriched_$name")
 }
 

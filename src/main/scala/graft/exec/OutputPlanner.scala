@@ -88,7 +88,12 @@ final class Runner(
     var built = new SourcePlanner(cp, cs, reader, hub).plan()
     materializeDir.foreach { dir =>
       val path = s"$dir/${cs.source.hubName}"
-      built.write.mode("overwrite").parquet(path)
+      val writer = built.write.mode("overwrite")
+      val partitioned =
+        if (cs.source.hubPartitionBy.nonEmpty)
+          writer.partitionBy(cs.source.hubPartitionBy: _*)
+        else writer
+      partitioned.parquet(path)
       built = built.sparkSession.read.parquet(path)
     }
     hubCache(name) = built

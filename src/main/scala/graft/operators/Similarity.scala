@@ -114,6 +114,65 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN top-k: MLlib KMeans partitions the corpus into
+    * `nLists` cells; each query probes its `nProbe` nearest cells only.
+    * The classic trade: nProbe/nLists bounds the scanned corpus fraction,
+    * recall follows cell locality. The corpus is clustered ONCE (model
+    * reusable across query batches); candidate generation is an equi-join
+    * on cell id — shuffle-on-key, no cartesian, the standard 100 TB ANN
+    * shape (same plan as FAISS IVF-Flat, distributed).
+    */
+  def cosineTopKIvf(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__v", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell").fit(featured)
+    val assigned = model.transform(featured)
+      .select(col(idCol), col(vecCol), col("__cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // per-query nProbe nearest cells, compiled row-local (centroids are a
+    // tiny driver array shipped in the closure)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val qIn = queries.select(col(idCol), col(vecCol))
+    val qOut = StructType(Seq(
+      StructField(idCol, qIn.schema(idCol).dataType),
+      StructField(vecCol, qIn.schema(vecCol).dataType),
+      StructField("__cells", ArrayType(IntegerType))))
+    val probed = qIn.mapPartitions { it =>
+      it.map { r =>
+        val vec = r.getSeq[Float](1)
+        val dists = centroids.indices.map { c =>
+          val ctr = centroids(c)
+          var d = 0.0
+          var j = 0
+          val dim = math.min(ctr.length, vec.length)
+          while (j < dim) { val t = vec(j) - ctr(j); d += t * t; j += 1 }
+          (d, c)
+        }
+        Row(r.get(0), r.get(1), dists.sortBy(_._1).take(nProbe).map(_._2))
+      }
+    }(RowEncoder.encoderFor(qOut))
+
+    val q = probed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      explode(col("__cells")).as("__cell"))
+    assigned.as("c").join(broadcast(q.as("q")),
+        col("q.__cell") === col("c.__cell") &&
+          col("q.query_id") =!= col(s"c.$idCol"))
+      .select(col("query_id"), col(s"c.$idCol").as("match_id"),
+        expr(s"round(${cosineExpr("__qv", s"c.$vecCol")}, 6)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Multi-table sign-LSH ANN top-k: `tables` independent hyperplane sets;
     * a corpus row is a candidate when it collides with the query in ANY
     * table. Per-table collision probability for angle θ is (1 - θ/π)^nBits,

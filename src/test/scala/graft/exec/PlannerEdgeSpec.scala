@@ -153,6 +153,24 @@ class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
       new java.math.BigDecimal("24.68")) == 0)
   }
 
+  test("partitioned hub materialization writes partition directories") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 2024), (2L, "b", 2024), (3L, "c", 2025))
+      .toDF("id", "v", "yr")
+    val p = Project(sources = Seq(SourceDef("s", "s",
+      Seq(RawAttr("id", LongType), RawAttr("v", StringType), RawAttr("yr", IntegerType)),
+      hubPartitionBy = Seq("yr"))))
+    val cp = new Compiler(p).compile()
+    val tmp = java.nio.file.Files.createTempDirectory("graftpart").toString
+    val hub = new Runner(cp, _ => t, materializeDir = Some(tmp)).hub("s")
+    val dirs = new java.io.File(s"$tmp/enriched_s").listFiles().map(_.getName).filter(_.startsWith("yr="))
+    assert(dirs.toSet == Set("yr=2024", "yr=2025"))
+    assert(hub.count() == 3)
+    // partition pruning reaches the scan on the re-read hub
+    val pruned = hub.filter(org.apache.spark.sql.functions.col("yr") === 2025)
+    assert(pruned.count() == 1)
+  }
+
   test("virtual output registers a temp view") {
     import spark.implicits._
     val t = Seq((1L, "a")).toDF("id", "v")

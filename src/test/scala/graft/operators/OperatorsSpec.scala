@@ -146,6 +146,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(r => r.getAs[Long]("match_id") % 8 == r.getAs[Long]("query_id") % 8))
   }
 
+  test("IVF topk recovers brute-force neighbors on clustered data") {
+    val vecs = clusteredVecs(80, 64, 8, noise = 0.01, seed = 7)
+    val df = vecDf(vecs)
+    val queries = df.filter(col("vec_id") < 8)
+    val bf = Similarity.cosineTopK(df, queries, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"))).toSet
+    val ivf = Similarity.cosineTopKIvf(df, queries, k = 4, nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"IVF recall $recall too low on tight clusters")
+  }
+
   test("multi-table LSH topk recovers most brute-force neighbors on clustered data") {
     val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
     val df = vecDf(vecs)
