@@ -2,9 +2,9 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Json, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -104,6 +104,15 @@ object SparkEntry {
       graft.streaming.Events.hourlyStatsBatch(events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Events.sessionizeBatch(events(s, dir))),
+
+    // JSON payload extraction over event props
+    "q_events_json" -> ((s, dir) => {
+      val e = Json.extracted(events(s, dir), "props", Map("k" -> ("$.k", "bigint")))
+      e.groupBy(col("event_type")).agg(
+        expr("count(k)").as("n_with_k"),
+        expr("sum(k)").as("sum_k"),
+        expr("max(k)").as("max_k"))
+    }),
 
     // ------- multimodal plumbing (deterministic stub decode; rows-only)
     "q_multimodal_decode" -> ((s, dir) =>
@@ -307,6 +316,13 @@ object SparkEntry {
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events
         GROUP BY 1, 2""",
+    "q_events_json" ->
+      """SELECT event_type,
+          count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+          CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+          max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events
+        GROUP BY 1""",
     "q_sessionize" ->
       """WITH e AS (
           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

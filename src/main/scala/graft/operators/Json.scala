@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** JSON column handling — semi-structured payloads (event properties, API
+  * blobs) are a standard ingredient of training-data pipelines.
+  *
+  * Both forms are codegen'd builtins (no UDFs). Prefer [[parsed]] when many
+  * fields are read (one parse per row); [[extracted]] is fine for 1–2
+  * fields. Schema-on-read keeps the scan schema narrow either way.
+  */
+object Json {
+
+  /** Extract scalar fields with JSONPath (`get_json_object`) and cast.
+    * fields: output column -> (path, DDL type).
+    */
+  def extracted(df: DataFrame, jsonCol: String, fields: Map[String, (String, String)]): DataFrame =
+    df.select(col("*") +: fields.toSeq.map { case (out, (path, ddl)) =>
+      get_json_object(col(jsonCol), path).cast(ddl).as(out)
+    }: _*)
+
+  /** Parse the whole column once with an explicit schema (`from_json`). */
+  def parsed(df: DataFrame, jsonCol: String, schema: DataType, out: String = "parsed"): DataFrame =
+    df.withColumn(out, from_json(col(jsonCol), schema))
+}
+
+/** Skew mitigation utilities. AQE's skew-join handling covers most join
+  * skew at runtime; these cover the cases it doesn't: heavily-skewed
+  * aggregations and deliberate pre-salting of known-hot keys.
+  */
+object Skew {
+
+  /** Two-phase (salted) aggregation for skewed group keys: phase 1 groups
+    * on (key, salt) spreading hot keys over `saltFactor` reducers, phase 2
+    * merges the partials. Only algebraic aggregates decompose this way —
+    * the caller supplies both phases (e.g. count→sum, sum→sum, min→min).
+    */
+  def twoPhaseAgg(
+      df: DataFrame, keys: Seq[String], saltFactor: Int,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head, partial.tail: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Salted left join against a skewed build side: the right side is
+    * replicated `saltFactor` times (explode), the left side picks a
+    * deterministic salt from a high-entropy hash of its row — hot join
+    * keys spread across `saltFactor` tasks. Use when a handful of known
+    * keys dwarf the rest and AQE's split threshold is too coarse.
+    */
+  def saltedLeftJoin(
+      left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      saltFactor: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(saltFactor)))
+    val saltedRight = right.withColumn("__salt",
+      explode(expr(s"sequence(0L, ${saltFactor - 1}L)")))
+    saltedLeft
+      .join(saltedRight,
+        saltedLeft(leftKey) === saltedRight(rightKey) &&
+          saltedLeft("__salt") === saltedRight("__salt"),
+        "left")
+      .drop("__salt")
+  }
+}
