@@ -39,6 +39,26 @@ object Main {
       }
       spark.stop()
 
+    case "emit" :: projectDir :: outDir :: Nil =>
+      // reference-style SQL artifact: target/sources/*.sql, outputs/*.sql,
+      // run.sql (importProject.py:119-150 writes the same layout)
+      import java.nio.file.{Files, Paths}
+      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+      val em = new graft.exec.SqlEmitter(cp)
+      val tableFor: graft.core.SourceDef => String = s => s.sourceTable
+      Files.createDirectories(Paths.get(s"$outDir/sources"))
+      Files.createDirectories(Paths.get(s"$outDir/outputs"))
+      cp.sources.foreach { cs =>
+        Files.writeString(Paths.get(s"$outDir/sources/${cs.source.name}.sql"),
+          em.sourceSql(cs.source.name, tableFor))
+      }
+      cp.outputs.foreach { co =>
+        Files.writeString(Paths.get(s"$outDir/outputs/${co.output.name}.sql"),
+          em.outputSql(co.output.name))
+      }
+      Files.writeString(Paths.get(s"$outDir/run.sql"), em.runSql(tableFor))
+      println(s"Emitted SQL for ${cp.sources.size} sources, ${cp.outputs.size} outputs: $outDir")
+
     case "run" :: projectDir :: dataDir :: outDir :: Nil =>
       val spark = session()
       val cp = new Compiler(YamlLoader.load(projectDir)).compile()
