@@ -27,7 +27,14 @@ final class OutputPlanner(cp: CompiledProject, hubs: String => DataFrame) {
     ch.filter.foreach { f =>
       val sql = f.expr.render(i => q(f.params(i).ref.attribute) +
         f.params(i).ref.keys.map(k => "." + q(k)).mkString)
-      df = df.filter(expr(sql))
+      val cond = expr(sql)
+      // boolean gate, reference parity (impc_update_test_results.sql:66-77)
+      val dt = df.select(cond).schema.head.dataType
+      if (dt != org.apache.spark.sql.types.BooleanType)
+        throw CompileError(
+          s"Output '${co.output.name}': filter must be a boolean expression " +
+            s"(got ${dt.simpleString}): ${f.expr.raw}")
+      df = df.filter(cond)
     }
     val byTarget: Map[String, CompiledMapping] =
       ch.mappings.map(m => m.mapping.targetColumn -> m).toMap
