@@ -152,7 +152,15 @@ final class SourcePlanner(
         val cond = renderRelation(hop, currentBind, attr => q(pfx + attr))
         val guarded = uniqueGuard(hop, attr => q(pfx + attr))
           .map(g => s"($cond) AND $g").getOrElse(cond)
-        df = df.join(far, expr(guarded), "left")
+        df =
+          try df.join(far, expr(guarded), "left")
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              // boolean gate parity (impc_update_test_results.sql:37-49)
+              throw CompileError(
+                s"Relation '${hop.relation.name}': join condition is invalid — " +
+                  e.getSimpleMessage)
+          }
         joinPrefix(key) = pfx
       }
       i += 1

@@ -171,6 +171,22 @@ class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() == 1)
   }
 
+  test("non-boolean relation expression surfaces as a relation-named error") {
+    import spark.implicits._
+    val a = Seq((1L, 2L)).toDF("id", "bid")
+    val b = Seq((2L, "x")).toDF("id", "v")
+    val p = Project(
+      sources = Seq(
+        SourceDef("a", "a", Seq(RawAttr.parse("id long"), RawAttr.parse("bid long")),
+          rules = Seq(RuleDef("bv", "[b].v"))),
+        SourceDef("b", "b", Seq(RawAttr.parse("id long"), RawAttr.parse("v string")))),
+      relations = Seq(RelationDef("[a]- r -[b]",
+        "[This].bid + [Related].id", Cardinality.ManyOne))) // arithmetic, not boolean
+    val e = intercept[CompileError](
+      run(p, Map("a" -> a, "b" -> b)).hub("a"))
+    assert(e.message.contains("Relation '[a]- r -[b]'"))
+  }
+
   test("virtual output registers a temp view") {
     import spark.implicits._
     val t = Seq((1L, "a")).toDF("id", "v")
