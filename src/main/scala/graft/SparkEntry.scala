@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{Dedup, Json, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Json, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 
@@ -71,6 +71,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fp_md5")),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // composed cleaning recipe: dedup + quality floor + language filter
+    "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
     // rows-only checks (hash functions are engine-specific):
@@ -273,6 +275,55 @@ object SparkEntry {
           doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical
         FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
               FROM documents)""",
+    "q_clean_corpus" ->
+      """WITH tk AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        dd AS (
+          SELECT doc_id,
+            min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+            count(*) OVER (PARTITION BY h) AS dup_count
+          FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+                FROM documents)),
+        qual AS (
+          SELECT doc_id,
+            round(
+              least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+              (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE)) * 0.4 +
+              least(CAST(len(list_filter(tk, t -> t IN
+                  ('the','and','of','to','in','is','you','that','it','was','der','die','und','das',
+                   'nicht','ich','ist','du','sich','wir','le','la','et','les','des','est','un','une',
+                   'du','je','el','los','de','que','y','en','ser','se','no'))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.2
+            , 6) AS quality
+          FROM tk),
+        lang AS (
+          SELECT doc_id,
+            CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' END AS lang_pred
+          FROM (
+            SELECT doc_id, text,
+              len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','you','that','it','was'))) AS s_en,
+              len(list_filter(tk, t -> t IN ('der','die','und','das','nicht','ich','ist','du','sich','wir'))) AS s_de,
+              len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','un','une','du','je'))) AS s_fr,
+              len(list_filter(tk, t -> t IN ('el','los','de','que','y','en','un','ser','se','no'))) AS s_es
+            FROM tk)),
+        st AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens FROM tk)
+        SELECT d.doc_id, lang.lang_pred, qual.quality, st.n_tokens, d.dup_count
+        FROM dd d
+        JOIN qual USING (doc_id)
+        JOIN lang USING (doc_id)
+        JOIN st USING (doc_id)
+        WHERE d.doc_id = d.canonical_id
+          AND qual.quality >= 0.3
+          AND st.n_tokens >= 8
+          AND lang.lang_pred IN ('en','de','fr','es','zh')""",
     "q_ngram_jaccard" ->
       """WITH toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
