@@ -33,28 +33,28 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1/P2/P3/P6 + J1/J2/J5/J7 (implicit + explicit paths, reverse hop)
     "q_lineitem_enriched" -> ((_, dir) =>
-      runner(dir).hub("tpch_lineitem").select(
+      runner(dir).hubSelect("tpch_lineitem",
         "l_orderkey", "l_linenumber", "net_price", "net_price_no_returns",
         "c_name", "c_n_name", "r_name", "part_type", "supp_name",
         "order_line_key", "order_ym")),
     // J4/A1: M-aggregates over reverse path + scalar lookup
     "q_customer_aggs" -> ((_, dir) =>
-      runner(dir).hub("tpch_customer").select(
+      runner(dir).hubSelect("tpch_customer",
         "c_custkey", "order_cnt", "total_spent_cents", "nation_name")),
     // J4/A1: forward 1-M aggregate
     "q_nation_suppliers" -> ((_, dir) =>
-      runner(dir).hub("tpch_nation").select(
+      runner(dir).hubSelect("tpch_nation",
         "n_nationkey", "n_name", "supplier_cnt", "supplier_acctbal_cents")),
     // A5: percentile/median/collection/boolean aggregates over an M path
     "q_customer_percentiles" -> ((_, dir) =>
-      runner(dir).hub("tpch_customer").select(
+      runner(dir).hubSelect("tpch_customer",
         "c_custkey", "median_order", "p25_order", "statuses", "has_open_order")),
     // A4: HLL++ approximate distinct (rows-only: sketch is engine-specific)
     "q_customer_approx" -> ((_, dir) =>
-      runner(dir).hub("tpch_customer").select("c_custkey", "approx_orders")),
+      runner(dir).hubSelect("tpch_customer", "c_custkey", "approx_orders")),
     // W1: window rule pass-through
     "q_orders_window" -> ((_, dir) =>
-      runner(dir).hub("tpch_orders").select(
+      runner(dir).hubSelect("tpch_orders",
         "o_orderkey", "o_year", "price_rank_in_cust")),
     // P4/A2/S4: filtered aggregate output channel
     "q_feature_customer" -> ((_, dir) => runner(dir).output("feature_customer")),

@@ -268,17 +268,35 @@ final class SourcePlanner(
         }.mkString(" AND ")
         df = df.join(aggDf, expr(cond), "left").drop(gks: _*)
       case None =>
-        // Theta fallback: tag rows, left-join the related hub on the raw
-        // condition, aggregate per row tag, join back. Correct for arbitrary
-        // boolean conditions; count(*) overcounts unmatched rows by one, so
-        // prefer equi-expressible relations.
+        // Theta fallback: tag each row with a DETERMINISTIC id, inner-join
+        // the related hub on the raw condition, aggregate per id, left-join
+        // back. `tagged` feeds both sides of the rejoin, so the id must be
+        // stable under recomputation (task retry, speculation, AQE replan) —
+        // monotonically_increasing_id is not (it depends on partition fetch
+        // order). A content-derived id is: xxhash64 over every column plus a
+        // row_number among content-identical rows; identical rows are
+        // interchangeable, so any numbering among them yields the same
+        // result multiset no matter which branch recomputes.
+        // The INNER join restores the reference lateral's WHERE semantics
+        // (u_enr_query_generate_many_joins.sql:15-39): a row with no matches
+        // aggregates over ZERO rows — count → 0 via the coalesce in
+        // ensureAgg, sum → NULL via the null-extending join back — never
+        // over one null-extended row (which would inflate count-like
+        // aggregates of null-proof expressions to 1).
+        // Spark still extracts any equi conjuncts of `cond` into the join
+        // keys at planning time, so mixed equality+inequality conditions
+        // hash-partition rather than nested-loop.
         val rid = s"__rid${nextId()}"
         val pfx = s"__m${nextId()}_"
-        val tagged = df.withColumn(rid, monotonically_increasing_id())
+        val allCols = df.columns.toSeq.map(c => col(q(c)))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(allCols: _*).orderBy(lit(1))
+        val tagged = df.withColumn(
+          rid, struct(xxhash64(allCols: _*), row_number().over(w)))
         val cond = renderRelation(lastHop, currentBind, attr => q(pfx + attr))
         val aggCols = specs.map(sp => expr(sp.render(a => q(pfx + a))).as(sp.col))
         val matches = tagged
-          .join(prefixAll(related, pfx), expr(cond), "left")
+          .join(prefixAll(related, pfx), expr(cond), "inner")
           .groupBy(col(rid))
           .agg(aggCols.head, aggCols.tail: _*)
         df = tagged.join(matches, Seq(rid), "left").drop(rid)

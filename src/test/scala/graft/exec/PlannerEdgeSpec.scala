@@ -118,6 +118,88 @@ class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(2L) == ((1L, 150.0)))
   }
 
+  test("theta fallback plan is fully deterministic (safe under recomputation)") {
+    import spark.implicits._
+    val buckets = Seq((1L, 0.0, 100.0)).toDF("b_id", "lo", "hi")
+    val obs = Seq((1L, 50.0)).toDF("o_id", "amount")
+    val p = Project(
+      sources = Seq(
+        SourceDef("obs", "obs",
+          Seq(RawAttr("o_id", LongType), RawAttr("amount", DoubleType))),
+        SourceDef("buckets", "buckets",
+          Seq(RawAttr("b_id", LongType), RawAttr("lo", DoubleType),
+            RawAttr("hi", DoubleType)),
+          rules = Seq(RuleDef("n_obs", "count([obs].o_id)")))),
+      relations = Seq(RelationDef("[buckets]- range -[obs]",
+        "[This].lo <= [Related].amount AND [Related].amount < [This].hi",
+        Cardinality.OneMany)))
+    val hub = run(p, Map("obs" -> obs, "buckets" -> buckets)).hub("buckets")
+    // the row tag feeds both sides of a self-rejoin: any nondeterministic
+    // expression (e.g. monotonically_increasing_id) could assign different
+    // ids per branch under task retry / AQE replan → silently wrong results
+    val nondet = hub.queryExecution.analyzed.collect {
+      case plan => plan.expressions.flatMap(_.collect { case e if !e.deterministic => e })
+    }.flatten
+    assert(nondet.isEmpty, s"nondeterministic expressions in theta plan: $nondet")
+  }
+
+  test("theta M-aggregate over zero matches keeps lateral semantics") {
+    import spark.implicits._
+    // bucket 3 matches nothing: the reference lateral aggregates over ZERO
+    // rows (count → 0 even for null-proof expressions like coalesce(x, 0);
+    // sum → NULL), not over one null-extended row
+    val buckets = Seq((1L, 0.0, 100.0), (3L, 1000.0, 2000.0)).toDF("b_id", "lo", "hi")
+    val obs = Seq((1L, 50.0), (3L, 75.0)).toDF("o_id", "amount")
+    val p = Project(
+      sources = Seq(
+        SourceDef("obs", "obs",
+          Seq(RawAttr("o_id", LongType), RawAttr("amount", DoubleType))),
+        SourceDef("buckets", "buckets",
+          Seq(RawAttr("b_id", LongType), RawAttr("lo", DoubleType),
+            RawAttr("hi", DoubleType)),
+          rules = Seq(
+            RuleDef("n_nullproof", "count(coalesce([obs].o_id, 0))"),
+            RuleDef("sum_amount", "sum([obs].amount)")))),
+      relations = Seq(RelationDef("[buckets]- range -[obs]",
+        "[This].lo <= [Related].amount AND [Related].amount < [This].hi",
+        Cardinality.OneMany)))
+    val hub = run(p, Map("obs" -> obs, "buckets" -> buckets)).hub("buckets")
+    val m = hub.collect().map(r =>
+      r.getAs[Long]("b_id") -> (r.getAs[Long]("n_nullproof"), r.get(r.fieldIndex("sum_amount")))).toMap
+    assert(m(1L) == ((2L, 125.0)))
+    assert(m(3L) == ((0L, null)), "zero-match row must count 0 and sum NULL")
+  }
+
+  test("lazy-mode output plans only the joins its mappings reach") {
+    // feature_customer maps c_name + order_ym + sum(net_price_cents): only
+    // the lineitem→orders→customer chain is needed. The full lineitem hub
+    // has 7 lookup joins (part, supplier, nation, region, …) that Catalyst
+    // cannot eliminate — the compiler must not plan them (VERDICT r1 #3).
+    val cp = new Compiler(graft.SampleProject.project).compile()
+    val runner = new Runner(cp, Runners.parquetDir("/root/testdata/sf0.001"))
+    val df = runner.output("feature_customer")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 2, s"expected 2 joins (orders, customer), got ${joins.size}")
+  }
+
+  test("hubSelect prunes unused aggregate paths and lookups") {
+    val cp = new Compiler(graft.SampleProject.project).compile()
+    val runner = new Runner(cp, Runners.parquetDir("/root/testdata/sf0.001"))
+    // full customer hub: orders-aggregate join (shared path), nation lookup;
+    // selecting only c_custkey + nation_name must drop the aggregate join
+    val df = runner.hubSelect("tpch_customer", "c_custkey", "nation_name")
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected 1 join (nation), got ${joins.size}")
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty, "no aggregate should survive pruning")
+  }
+
   test("struct field access in rules ([This].attr.key)") {
     val schema = StructType(Seq(
       StructField("id", LongType),
