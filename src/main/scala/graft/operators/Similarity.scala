@@ -125,13 +125,22 @@ object Similarity {
   def cosineTopKIvf(
       corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitSampleFraction > 0 && fitSampleFraction <= 1.0,
+      "fitSampleFraction must be in (0, 1]")
     val featured = corpus.select(col(idCol), col(vecCol))
       .withColumn("__v", array_to_vector(col(vecCol)))
+    // At 100 TB the KMeans fit must run on a sample — centroid quality
+    // converges long before the full corpus is seen (FAISS trains IVF on
+    // ~{30-256}×nLists vectors); assignment still covers every row.
+    val fitInput =
+      if (fitSampleFraction >= 1.0) featured
+      else featured.sample(withReplacement = false, fitSampleFraction, seed)
     val model = new KMeans().setK(nLists).setSeed(seed)
-      .setFeaturesCol("__v").setPredictionCol("__cell").fit(featured)
+      .setFeaturesCol("__v").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(featured)
       .select(col(idCol), col(vecCol), col("__cell"))
     val centroids = model.clusterCenters.map(_.toArray)

@@ -152,7 +152,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = df.filter(col("vec_id") < 8)
     val bf = Similarity.cosineTopK(df, queries, k = 4)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"))).toSet
-    val ivf = Similarity.cosineTopKIvf(df, queries, k = 4, nLists = 8, nProbe = 2)
+    // fit the coarse quantizer on a sample — the 100 TB posture (centroids
+    // converge long before the full corpus is seen); assignment covers all
+    val ivf = Similarity.cosineTopKIvf(df, queries, k = 4, nLists = 8, nProbe = 2,
+        fitSampleFraction = 0.6)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("match_id"))).toSet
     val recall = (bf & ivf).size.toDouble / bf.size
     assert(recall >= 0.9, s"IVF recall $recall too low on tight clusters")
