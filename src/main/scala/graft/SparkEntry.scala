@@ -23,6 +23,30 @@ object SparkEntry {
   private def runner(sfDir: String): Runner =
     new Runner(compiled, Runners.parquetDir(sfDir))
 
+  /** The runtime YAML project (src/main/resources/runtime_project) routed
+    * through YamlLoader — the C1 driver path. Resources are extracted to a
+    * temp dir because YamlLoader reads a directory tree.
+    */
+  private lazy val yamlCompiled = {
+    val files = Seq("meta.yaml", "relations.yaml",
+      "sources/customer2.yaml", "sources/events.yaml", "sources/orders2.yaml",
+      "sources/orders_self.yaml", "sources/part2.yaml",
+      "outputs/event_struct.yaml")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_runtime_project")
+    files.foreach { f =>
+      val in = getClass.getClassLoader.getResourceAsStream(s"runtime_project/$f")
+      require(in != null, s"missing resource runtime_project/$f")
+      val target = tmp.resolve(f)
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.copy(in, target)
+      in.close()
+    }
+    new Compiler(graft.parse.YamlLoader.load(tmp.toString)).compile()
+  }
+
+  private def yamlRunner(sfDir: String): Runner =
+    new Runner(yamlCompiled, Runners.parquetDir(sfDir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val _ = spark // session is implicit for DataFrame building
@@ -56,6 +80,26 @@ object SparkEntry {
     "q_orders_window" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_orders",
         "o_orderkey", "o_year", "price_rank_in_cust")),
+    // ------- runtime YAML project (C1 driver path) -------
+    // J3 self-join (1-1 self-relation) + theta J4 (non-equi M-M self
+    // aggregate through the deterministic tagged-row fallback)
+    "q_self_theta" -> ((_, dir) =>
+      yamlRunner(dir).hubSelect("tpch_orders_self",
+        "o_orderkey", "self_prio", "n_prior_orders", "prior_spent_cents")),
+    // J6 unique-guarded join: only solo-order customers resolve
+    "q_solo_order" -> ((_, dir) =>
+      yamlRunner(dir).hubSelect("tpch_customer2", "c_custkey", "solo_order_prio")),
+    // P5 struct keys in rules (incl. nested struct-in-struct walk)
+    "q_struct_keys" -> ((_, dir) =>
+      yamlRunner(dir).hubSelect("tpch_events", "event_id", "pk", "meta_k")),
+    // P5 struct keys in output mappings
+    "q_struct_output" -> ((_, dir) => yamlRunner(dir).output("event_struct")),
+    // decimal(38,12) discipline + cast_datatype (decimal, string) + decimal
+    // arithmetic through rule-on-rule
+    "q_part_decimal" -> ((_, dir) =>
+      yamlRunner(dir).hubSelect("tpch_part2",
+        "p_partkey", "retail_cents_dec", "size_str", "retail_x3_dec")),
+
     // P4/A2/S4: filtered aggregate output channel
     "q_feature_customer" -> ((_, dir) => runner(dir).output("feature_customer")),
     // O1/P7: multi-channel UNION ALL with typed null fill
@@ -191,6 +235,42 @@ object SparkEntry {
           CAST(rank() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS price_rank_in_cust
         FROM orders""",
+    "q_self_theta" ->
+      """SELECT a.o_orderkey, b.o_orderpriority AS self_prio,
+          p.cnt AS n_prior_orders,
+          p.cents AS prior_spent_cents
+        FROM orders a
+        LEFT JOIN orders b ON a.o_orderkey = b.o_orderkey
+        LEFT JOIN (
+          SELECT a2.o_orderkey AS k,
+                 count(b2.o_orderkey) AS cnt,
+                 CAST(sum(CAST(round(b2.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders a2 LEFT JOIN orders b2
+            ON a2.o_custkey = b2.o_custkey AND b2.o_orderdate < a2.o_orderdate
+          GROUP BY a2.o_orderkey) p ON a.o_orderkey = p.k""",
+    "q_solo_order" ->
+      """SELECT c.c_custkey, o.o_orderpriority AS solo_order_prio
+        FROM customer c LEFT JOIN
+          (SELECT o_custkey, o_orderpriority,
+                  count(*) OVER (PARTITION BY o_custkey) = 1 AS uv
+           FROM orders) o
+        ON c.c_custkey = o.o_custkey AND o.uv""",
+    "q_struct_keys" ->
+      """SELECT event_id,
+          CAST(props->>'$.k' AS BIGINT) AS pk,
+          CAST(props->>'$.k' AS BIGINT) AS meta_k
+        FROM events""",
+    "q_struct_output" ->
+      """SELECT event_id,
+          CAST(props->>'$.k' AS BIGINT) AS k_out,
+          event_type AS et
+        FROM events""",
+    "q_part_decimal" ->
+      """SELECT p_partkey,
+          CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS DECIMAL(38,12)) AS retail_cents_dec,
+          CAST(p_size AS VARCHAR) AS size_str,
+          CAST(CAST(round(p_retailprice * 100) AS BIGINT) * 3 AS DECIMAL(38,12)) AS retail_x3_dec
+        FROM part""",
     "q_feature_customer" ->
       """SELECT c.c_name AS customer,
           strftime(o.o_orderdate, '%Y%m') AS ship_ym,
