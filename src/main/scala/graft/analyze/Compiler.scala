@@ -89,6 +89,18 @@ final class Compiler(project: Project, maxHops: Int = RelGraph.DefaultMaxHops) {
     CompiledProject(project, order.map(sources), relations, outputs)
   }
 
+  /** Compile + run the strict C12 type probe (reference import behavior:
+    * every expression executes against the 2-row datatypes view before any
+    * query is generated). Returns the compiled project and the probe's
+    * NULL-result warnings; throws CompileError on invalid expressions.
+    */
+  def compileChecked(
+      spark: org.apache.spark.sql.SparkSession,
+      failOnNullResult: Boolean = false): (CompiledProject, Seq[String]) = {
+    val cp = compile()
+    (cp, TypeProbe.check(spark, cp, failOnNullResult))
+  }
+
   // ------------------------------------------------------------- relations
 
   private def compileRelation(r: RelationDef): CompiledRelation = {

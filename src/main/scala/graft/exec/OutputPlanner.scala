@@ -49,8 +49,9 @@ final class OutputPlanner(cp: CompiledProject, hubs: String => DataFrame) {
           s"Output '${co.output.name}': Aggregate channel has no aggregate mappings")
       val dims = dimMaps.map(m => expr(innerSql(m)).as(m.mapping.targetColumn))
       val aggs = aggMaps.map { m =>
-        val d = if (m.mapping.distinct) "DISTINCT " else ""
-        expr(s"${m.mapping.aggregate.get}($d${innerSql(m)})").as(m.mapping.targetColumn)
+        expr(graft.parse.ParsedExpr.renderAggCall(
+          m.mapping.aggregate.get, m.mapping.distinct, innerSql(m)))
+          .as(m.mapping.targetColumn)
       }
       df = df.groupBy(dims: _*).agg(aggs.head, aggs.tail: _*)
       // after aggregation, every mapped target column exists under its name

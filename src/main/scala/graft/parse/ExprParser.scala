@@ -52,14 +52,31 @@ final case class ParsedExpr(
   def renderAggInner(j: Int, param: Int => String): String = {
     val a = aggs(j)
     val inner = ParsedExpr.renderSegs(a.inner, param, ParsedExpr.noAgg)
-    val d = if (a.distinct) "DISTINCT " else ""
-    s"${a.func}($d$inner)"
+    ParsedExpr.renderAggCall(a.func, a.distinct, inner)
   }
 }
 
 object ParsedExpr {
   def noAgg: Int => String =
     j => throw CompileError(s"Unexpected aggregate placeholder A$j")
+
+  /** SQL for one allow-listed aggregate call. `schema_of_json_agg` is
+    * allow-listed for reference parity (aggregateTable.sql:44) but exists
+    * only on Databricks; on OSS Spark there is no runtime equivalent (the
+    * SURVEY §7.1 `schema_of_json(any_value(x))` idea fails analysis —
+    * schema_of_json requires a foldable literal), so a rule using it gets a
+    * clean compile error naming the function instead of a raw
+    * AnalysisException at run time.
+    */
+  def renderAggCall(func: String, distinct: Boolean, inner: String): String = {
+    if (func.equalsIgnoreCase("schema_of_json_agg"))
+      throw CompileError(
+        "Aggregate function 'schema_of_json_agg' is Databricks-only and has no " +
+          "OSS Spark equivalent; derive the schema with " +
+          "schema_of_json('<literal sample json>') instead")
+    val d = if (distinct) "DISTINCT " else ""
+    s"$func($d$inner)"
+  }
   def renderSegs(
       segs: Seq[Seg], param: Int => String, agg: Int => String): String = {
     val sb = new StringBuilder

@@ -74,6 +74,15 @@ class RefProjectE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     new Runner(cp, s => adapted(s.sourceTable))
   }
 
+  test("reference sample project passes the strict C12 type probe") {
+    // the reference's own YAML, probed exactly the way its import does
+    // (2-row datatypes view, first_value wraps, boolean gates)
+    val url = getClass.getClassLoader.getResource("refproject/meta.yaml")
+    val dir = Paths.get(url.toURI).getParent.toString
+    val (_, warnings) = new Compiler(YamlLoader.load(dir)).compileChecked(spark)
+    assert(warnings.isEmpty, s"unexpected probe warnings: $warnings")
+  }
+
   test("every reference source hub builds with left-join row preservation") {
     val li = runner.hub("tpch_lineitem")
     assert(li.count() == t("lineitem").count()) // lookups never drop rows
