@@ -135,18 +135,29 @@ final case class Channel(
     filter: Option[String] = None,
     operationType: OperationType = OperationType.None)
 
-/** Output target kind (reference: u_validate_output.sql:20-60). */
+/** Output target kind (reference: u_validate_output.sql:20-60).
+  * `table` → catalog table via saveAsTable (the reference's DROP/CREATE
+  * contract), `file` → path-based parquet/avro/text, `virtual` → temp view.
+  */
 sealed trait OutputType
 object OutputType {
   case object Table extends OutputType
-  case object File extends OutputType   // parquet
+  final case class File(format: String) extends OutputType // parquet | avro | text
   case object Virtual extends OutputType // temp view
-  def parse(s: Option[String]): OutputType = s.map(_.trim.toLowerCase) match {
-    case scala.None | Some("") | Some("table") => Table
-    case Some("file")    => File
-    case Some("virtual") => Virtual
-    case Some(other)     => throw CompileError(s"Invalid output_type '$other'")
-  }
+
+  val fileFormats: Set[String] = Set("parquet", "avro", "text")
+
+  def parse(s: Option[String], subType: Option[String] = None): OutputType =
+    s.map(_.trim.toLowerCase) match {
+      case scala.None | Some("") | Some("table") => Table
+      case Some("file") =>
+        val fmt = subType.map(_.trim.toLowerCase).filter(_.nonEmpty).getOrElse("parquet")
+        if (!fileFormats.contains(fmt))
+          throw CompileError(s"Invalid output_sub_type '$fmt' (expected parquet, avro or text)")
+        File(fmt)
+      case Some("virtual") => Virtual
+      case Some(other)     => throw CompileError(s"Invalid output_type '$other'")
+    }
 }
 
 final case class OutputDef(
@@ -204,6 +215,30 @@ final case class Project(
     outputs.foreach { o =>
       if (o.columns.isEmpty) throw CompileError(s"Output '${o.name}' has no columns")
       if (o.channels.isEmpty) throw CompileError(s"Output '${o.name}' has no channels")
+      // output-type validations (reference: u_validate_output.sql:38-53)
+      if (o.outputType == OutputType.File("text") && o.columns.size > 1)
+        throw CompileError(
+          "Text outputs can only have a single output column! Please remove " +
+            "excess columns or choose another output file type.")
+      val nameRe = "^[a-zA-Z_]+[a-zA-Z0-9_]*$".r
+      val needsCleanNames = o.outputType match {
+        case OutputType.Table => true
+        case OutputType.File("parquet") | OutputType.File("avro") => true
+        case _ => false
+      }
+      if (needsCleanNames) {
+        val bad = o.columns.map(_.name).filter(n => nameRe.findFirstIn(n).isEmpty)
+        if (bad.nonEmpty) {
+          if (o.outputType == OutputType.Table)
+            throw CompileError(
+              "Output table type, column name must start with a letter and may " +
+                "contain letters, numbers, _ or spaces. column names: " + bad.mkString(","))
+          else
+            throw CompileError(
+              "Output types parquet, avro and delta lake cannot have spaces or " +
+                "special symbols in the column names: " + bad.mkString(","))
+        }
+      }
       o.channels.foreach { c =>
         source(c.sourceName)
         val colNames = o.columns.map(_.name).toSet

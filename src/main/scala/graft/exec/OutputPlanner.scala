@@ -155,14 +155,42 @@ final class Runner(
     new OutputPlanner(cp, hubFn).plan(co)
   }
 
-  /** Execute the full pipeline: all hubs, then write all outputs. */
+  /** Execute the full pipeline: all hubs, then write all outputs.
+    *
+    * Sink per output type (reference: u_validate_output.sql:20-60 +
+    * u_output_generate_query.sql:43-48 DROP/CREATE):
+    *  - `table`   → overwrite `saveAsTable` against the session catalog
+    *                (the reference's CTAS contract; works on the in-memory
+    *                catalog too — point `spark.sql.warehouse.dir` where the
+    *                data should live)
+    *  - `file`    → parquet / avro / text under `outDir` (text requires the
+    *                single column to be string-castable; avro requires the
+    *                spark-avro module on the classpath)
+    *  - `virtual` → temp view
+    */
   def run(outDir: String): Unit = {
     buildAllHubs()
     cp.outputs.foreach { co =>
       val df = new OutputPlanner(cp, hub).plan(co)
+      val target = co.output.target
       co.output.outputType match {
-        case OutputType.Virtual => df.createOrReplaceTempView(co.output.target)
-        case _ => df.write.mode("overwrite").parquet(s"$outDir/${co.output.target}")
+        case OutputType.Virtual => df.createOrReplaceTempView(target)
+        case OutputType.Table =>
+          df.write.mode("overwrite").saveAsTable(target)
+        case OutputType.File("text") =>
+          df.select(df.columns.map(c =>
+            df.col(SourcePlanner.q(c)).cast("string")): _*)
+            .write.mode("overwrite").text(s"$outDir/$target")
+        case OutputType.File("avro") =>
+          try df.write.mode("overwrite").format("avro").save(s"$outDir/$target")
+          catch {
+            case e: Exception if Option(e.getMessage).exists(_.contains("avro")) =>
+              throw CompileError(
+                s"Output '${co.output.name}': avro output requires the " +
+                  "spark-avro module on the classpath (external since Spark 2.4)")
+          }
+        case _ =>
+          df.write.mode("overwrite").parquet(s"$outDir/$target")
       }
     }
   }

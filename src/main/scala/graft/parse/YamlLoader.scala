@@ -137,7 +137,7 @@ object YamlLoader {
         operationType = OperationType.parse(str(cm, "operation_type")))
     }
     OutputDef(name, columns, channels,
-      outputType = OutputType.parse(str(m, "output_type")),
+      outputType = OutputType.parse(str(m, "output_type"), str(m, "output_sub_type")),
       targetTable = str(m, "target_table"))
   }
 

@@ -17,6 +17,8 @@ class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .appName("graft-edge-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graftwh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -267,6 +269,66 @@ class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[CompileError](
       run(p, Map("a" -> a, "b" -> b)).hub("a"))
     assert(e.message.contains("Relation '[a]- r -[b]'"))
+  }
+
+  test("table output saves to the session catalog (saveAsTable contract)") {
+    import spark.implicits._
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val p = Project(
+      sources = Seq(SourceDef("s", "s",
+        Seq(RawAttr("id", LongType), RawAttr("v", StringType)))),
+      outputs = Seq(OutputDef("cat_out",
+        Seq(OutputCol("id", LongType), OutputCol("v", StringType)),
+        Seq(Channel("s", Seq(Mapping.parse("id id"), Mapping.parse("v v")))),
+        outputType = OutputType.Table)))
+    val tmp = java.nio.file.Files.createTempDirectory("graftcat").toString
+    run(p, Map("s" -> t)).run(tmp)
+    assert(spark.table("cat_out").count() == 2)
+    assert(spark.catalog.tableExists("cat_out"))
+    // overwrite semantics: re-run replaces, never appends (DROP/CREATE parity)
+    run(p, Map("s" -> t)).run(tmp)
+    assert(spark.table("cat_out").count() == 2)
+  }
+
+  test("file outputs write parquet and text; avro needs the external module") {
+    import spark.implicits._
+    val t = Seq((1L, "x")).toDF("id", "v")
+    def proj(ot: OutputType, cols: Seq[OutputCol], maps: Seq[String]) = Project(
+      sources = Seq(SourceDef("s", "s",
+        Seq(RawAttr("id", LongType), RawAttr("v", StringType)))),
+      outputs = Seq(OutputDef("fout", cols,
+        Seq(Channel("s", maps.map(Mapping.parse))), outputType = ot)))
+    val two = Seq(OutputCol("id", LongType), OutputCol("v", StringType))
+    val tmp = java.nio.file.Files.createTempDirectory("graftfile").toString
+    run(proj(OutputType.File("parquet"), two, Seq("id id", "v v")), Map("s" -> t)).run(tmp)
+    assert(spark.read.parquet(s"$tmp/fout").count() == 1)
+    run(proj(OutputType.File("text"), Seq(OutputCol("v", StringType)), Seq("v v")),
+      Map("s" -> t)).run(tmp)
+    assert(spark.read.text(s"$tmp/fout").collect().map(_.getString(0)).toSeq == Seq("x"))
+    // no spark-avro in this container: clean engine error, not a raw one
+    val e = intercept[CompileError](
+      run(proj(OutputType.File("avro"), two, Seq("id id", "v v")), Map("s" -> t)).run(tmp))
+    assert(e.message.contains("spark-avro"))
+  }
+
+  test("output-type validations match the reference") {
+    val two = Seq(OutputCol("a", LongType), OutputCol("b", StringType))
+    def proj(ot: OutputType, cols: Seq[OutputCol]) = Project(
+      sources = Seq(SourceDef("s", "s", Seq(RawAttr("a", LongType), RawAttr("b", StringType)))),
+      outputs = Seq(OutputDef("o", cols,
+        Seq(Channel("s", cols.map(c => Mapping("a", c.name)))), outputType = ot)))
+    // text: single column only (u_validate_output.sql:38-40)
+    val e1 = intercept[CompileError](proj(OutputType.File("text"), two).validate())
+    assert(e1.message.contains("Text outputs can only have a single output column"))
+    // parquet/avro column-name charset (u_validate_output.sql:42-53)
+    val e2 = intercept[CompileError](
+      proj(OutputType.File("parquet"), Seq(OutputCol("bad col!", StringType))).validate())
+    assert(e2.message.contains("cannot have spaces or special symbols"))
+    val e3 = intercept[CompileError](
+      proj(OutputType.Table, Seq(OutputCol("1bad", StringType))).validate())
+    assert(e3.message.contains("must start with a letter"))
+    val e4 = intercept[CompileError](OutputType.parse(Some("file"), Some("orc")))
+    assert(e4.message.contains("Invalid output_sub_type"))
   }
 
   test("virtual output registers a temp view") {
