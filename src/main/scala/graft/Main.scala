@@ -19,11 +19,29 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
-    case "validate" :: projectDir :: Nil =>
-      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+    case "validate" :: projectDir :: rest if rest.isEmpty || rest == List("--strict-types") =>
+      // like the reference's import: compile, then empirically type-probe
+      // every expression on a local Spark (C12) before declaring success
+      val spark = session()
+      val (cp, warnings) = new Compiler(YamlLoader.load(projectDir))
+        .compileChecked(spark, failOnNullResult = rest.nonEmpty)
+      warnings.foreach(w => println(s"WARNING: $w"))
       println(s"OK: ${cp.sources.size} sources, ${cp.relations.size} relations, " +
         s"${cp.outputs.size} outputs")
       println("source order: " + cp.sources.map(_.source.name).mkString(" -> "))
+      spark.stop()
+
+    case cmd :: _ if cmd.replaceAll("^-+", "").toLowerCase.startsWith("import") =>
+      // C13 (versioned import reconciliation) is consciously not supported:
+      // graft keeps no persistent metadata store — the whole project
+      // recompiles from YAML on every run, which is cheap and removes the
+      // reference's upsert/cascade-delete surface (impc_execute.sql,
+      // u_delete_cascade.sql) entirely
+      System.err.println(
+        "Import reconciliation is not supported: graft has no persistent " +
+          "metadata store; every run recompiles the full project from YAML. " +
+          "Use 'validate' / 'run' instead.")
+      sys.exit(2)
 
     case "plan" :: projectDir :: dataDir :: Nil =>
       val spark = session()

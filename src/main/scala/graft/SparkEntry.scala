@@ -114,6 +114,22 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fp_md5")),
+    // corpus-level curation ops: vocabulary, salient terms, repetition
+    // quality signals, data-mix report, stratified mixing
+    "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
+    "q_top_terms" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.topTerms(d, totalDocs = d.count(), k = 5)
+    }),
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    "q_mix_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.mixReport(d, totalDocs = d.count())
+    }),
+    // rows-only (seeded Bernoulli sampling is engine-specific)
+    "q_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(docs(s, dir), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     // composed cleaning recipe: dedup + quality floor + language filter
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
@@ -348,6 +364,52 @@ object SparkEntry {
       """SELECT doc_id,
           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         FROM documents""",
+    "q_vocabulary" ->
+      """WITH tk AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+                                t -> t != '')) AS token
+          FROM documents),
+        pd AS (SELECT doc_id, token, count(*) AS tf_doc FROM tk GROUP BY 1, 2)
+        SELECT token, CAST(sum(tf_doc) AS BIGINT) AS tf, count(*) AS df
+        FROM pd GROUP BY 1""",
+    "q_top_terms" ->
+      """WITH tk AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+                                t -> t != '')) AS token
+          FROM documents),
+        pd AS (SELECT doc_id, token, count(*) AS tf_doc FROM tk GROUP BY 1, 2),
+        v AS (SELECT token, count(*) AS df FROM pd GROUP BY 1),
+        sc AS (
+          SELECT pd.doc_id, pd.token,
+            round(CAST(pd.tf_doc AS DOUBLE)
+              * CAST((SELECT count(*) FROM documents) AS DOUBLE)
+              / CAST(v.df AS DOUBLE), 6) AS score
+          FROM pd JOIN v USING (token))
+        SELECT doc_id, token, score, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS rn FROM sc)
+        WHERE rn <= 5""",
+    "q_repetition" ->
+      """WITH tk AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+                                t -> t != '')) AS token
+          FROM documents),
+        pd AS (SELECT doc_id, token, count(*) AS tf_doc FROM tk GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_tokens,
+                 count(*) AS n_distinct, max(tf_doc) AS mx
+          FROM pd GROUP BY 1)
+        SELECT doc_id, n_tokens, n_distinct,
+          round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+            AS repetition_ratio,
+          round(CAST(mx AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_token_share
+        FROM agg""",
+    "q_mix_report" ->
+      """SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+          round(CAST(count(*) AS DOUBLE)
+            / CAST((SELECT count(*) FROM documents) AS DOUBLE) * 100.0, 6) AS pct_docs
+        FROM documents GROUP BY 1, 2""",
     "q_dedup_exact" ->
       """SELECT doc_id,
           min(doc_id) OVER (PARTITION BY h) AS canonical_id,

@@ -107,4 +107,94 @@ object TextAnalysis {
   /** Normalization + md5 used as the exact-dedup key. */
   def normalizedMd5(textCol: String): Column =
     expr(s"md5(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))))")
+
+  /** Exploded (doc_id, token) pairs — the shared base of the corpus-level
+    * operators below. split+explode are codegen'd; the only shuffle cost
+    * is whatever the consumer aggregates.
+    */
+  def tokenPairs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(expr(tokensExpr(textCol))).as("token"))
+
+  /** Per-document token frequencies (one shuffle on (doc_id, token);
+    * map-side combine keeps the explode fan-out off the wire).
+    */
+  def docTokenFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    tokenPairs(docs, textCol).groupBy("doc_id", "token")
+      .agg(expr("count(1)").as("tf_doc"))
+
+  /** Corpus vocabulary: per-token total occurrences (`tf`) and document
+    * frequency (`df`). Two staged shuffles — (doc,token) then token — both
+    * with partial aggregation; the plan that builds vocab tables at any
+    * corpus size.
+    */
+  def vocabulary(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docTokenFreq(docs, textCol).groupBy("token")
+      .agg(sum("tf_doc").as("tf"), expr("count(1)").as("df"))
+
+  /** Per-document top-k salient terms, scored `tf_doc * N / df` — a
+    * rational-idf variant of tf-idf (monotone in tf and 1/df). The natural-
+    * log idf is deliberately avoided in the scored output: ln differs in
+    * the last ulp across libm implementations, which breaks cross-engine
+    * hash parity; multiply/divide are IEEE-exact everywhere.
+    *
+    * `totalDocs`: pass the corpus size (a parquet-footer count — cheap).
+    */
+  def topTerms(
+      docs: DataFrame, totalDocs: Long, k: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = docTokenFreq(docs, textCol)
+    val df_ = vocabulary(docs, textCol).select(col("token"), col("df"))
+    perDoc.join(df_, "token")
+      .withColumn("score", expr(
+        s"round(CAST(tf_doc AS DOUBLE) * CAST($totalDocs AS DOUBLE) / CAST(df AS DOUBLE), 6)"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "score", "rank")
+  }
+
+  /** Within-document repetition signals (Gopher-style quality filters):
+    * token count, distinct-token count, repetition ratio (1 - distinct /
+    * total) and the share of the single most frequent token. One staged
+    * aggregation; per-row otherwise.
+    */
+  def repetitionStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docTokenFreq(docs, textCol).groupBy("doc_id")
+      .agg(
+        sum("tf_doc").as("n_tokens"),
+        expr("count(1)").as("n_distinct"),
+        max("tf_doc").as("__max_tf"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        expr("round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)")
+          .as("repetition_ratio"),
+        expr("round(CAST(__max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)")
+          .as("top_token_share"))
+
+  /** Corpus mix report over declared grouping columns (language, source
+    * domain, …): document counts, char volume, and each cell's share of
+    * the corpus — the data-mixing summary every curation pipeline needs.
+    * One shuffle on the grouping key.
+    */
+  def mixReport(
+      docs: DataFrame, totalDocs: Long,
+      groupCols: Seq[String] = Seq("lang", "source"),
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(groupCols.map(col): _*)
+      .agg(
+        expr("count(1)").as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars_total"))
+      .withColumn("pct_docs", expr(
+        s"round(CAST(n_docs AS DOUBLE) / CAST($totalDocs AS DOUBLE) * 100.0, 6)"))
+
+  /** Stratified sample by a category column with per-value fractions —
+    * the mixing knob: pair with [[mixReport]] to rebalance a corpus.
+    * Seeded Bernoulli sampling per stratum (`DataFrameStatFunctions
+    * .sampleBy`): no shuffle, each task filters its own rows.
+    */
+  def stratifiedSample(
+      docs: DataFrame, byCol: String, fractions: Map[String, Double],
+      seed: Long = 42L): DataFrame =
+    docs.stat.sampleBy(byCol, fractions, seed)
 }

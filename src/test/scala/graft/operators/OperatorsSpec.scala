@@ -70,6 +70,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (4L, "completely unrelated text about database engines and query plans"),
     (5L, "another unrelated document mentioning spark catalyst optimizer rules"))
 
+  test("vocabulary counts total and document frequencies") {
+    val v = TextAnalysis.vocabulary(docsDf(Seq(
+      (1L, "a b a"), (2L, "a c"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(v("a") == ((3L, 2L))) // 3 occurrences in 2 docs
+    assert(v("b") == ((1L, 1L)))
+    assert(v("c") == ((1L, 1L)))
+  }
+
+  test("topTerms ranks rare-but-frequent tokens first") {
+    // 'x' appears 3× in doc 1 only (df=1) → score 3*2/1=6;
+    // 'a' appears everywhere (df=2) → score ≤ 2*2/2=2;
+    // 'y' 2× in doc 2 only → 2*2/1=4 beats ubiquitous 'a'
+    val t = TextAnalysis.topTerms(docsDf(Seq(
+      (1L, "x x x a"), (2L, "a a y y"))), totalDocs = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    assert(t((1L, 1)) == "x")
+    assert(t((2L, 1)) == "y")
+  }
+
+  test("repetitionStats flags repetitive documents") {
+    val r = TextAnalysis.repetitionStats(docsDf(Seq(
+      (1L, "spam spam spam spam"), (2L, "all tokens here differ"))))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((4L, 1L, 0.75, 1.0)))
+    assert(r(2L) == ((4L, 4L, 0.0, 0.25)))
+  }
+
+  test("mixReport shares sum to 100 and stratifiedSample rebalances") {
+    import spark.implicits._
+    val docs = spark.createDataset(
+      (1L to 80L).map(i => (i, "t " * 5, if (i <= 60) "en" else "de", s"src${i % 2}")))
+      .toDF("doc_id", "text", "lang", "source")
+    val mix = TextAnalysis.mixReport(docs, totalDocs = 80)
+    assert(math.abs(mix.agg(sum("pct_docs")).head().getDouble(0) - 100.0) < 1e-6)
+    assert(mix.filter(col("lang") === "en").agg(sum("n_docs")).head().getLong(0) == 60)
+    // rebalance: downsample the dominant stratum; seeded → deterministic
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang", Map("en" -> 0.3, "de" -> 1.0))
+    val s2 = TextAnalysis.stratifiedSample(docs, "lang", Map("en" -> 0.3, "de" -> 1.0))
+    assert(s1.collect().map(_.getLong(0)).toSet == s2.collect().map(_.getLong(0)).toSet)
+    assert(s1.filter(col("lang") === "de").count() == 20) // fraction 1.0 keeps all
+    val en = s1.filter(col("lang") === "en").count()
+    assert(en > 5 && en < 40, s"en stratum ~18 expected, got $en")
+  }
+
   test("exact dedup groups identical normalized docs") {
     val r = Dedup.exact(docsDf(dupDocs)).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("canonical_id") == 1L && r(0).getAs[Boolean]("is_canonical"))
