@@ -148,8 +148,9 @@ object SparkEntry {
     }),
     "q_similarity_topk_ivf" -> ((s, dir) => {
       val e = embeds(s, dir)
+      // coarse quantizer fit on a half sample — the 100 TB posture
       Similarity.cosineTopKIvf(e, e.filter(col("vec_id") < 16), k = 5,
-        nLists = 16, nProbe = 6)
+        nLists = 16, nProbe = 6, fitSampleFraction = 0.5)
         .select("query_id", "match_id", "cosine", "rank")
     }),
     "q_similarity_topk_lsh" -> ((s, dir) => {
