@@ -177,10 +177,12 @@ object SparkEntry {
         expr("max(k)").as("max_k"))
     }),
 
-    // ------- multimodal plumbing (deterministic stub decode; rows-only)
+    // ------- multimodal plumbing (deterministic stub decode, oracle-backed:
+    // every selected feature is derivable from the fake header contract;
+    // the rolling checksum stays engine-side, value-tested in OperatorsSpec)
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.decode(Multimodal.fakeMediaFromDocs(docs(s, dir)))
-        .select(col("media_id"), col("n_bytes"), col("checksum"),
+        .select(col("media_id"), col("n_bytes"),
           col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -405,6 +407,24 @@ object SparkEntry {
             AS repetition_ratio,
           round(CAST(mx AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_token_share
         FROM agg""",
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+          CAST(octet_length(encode(text)) + 8 AS INTEGER) AS n_bytes,
+          'image/fake' AS mime,
+          CAST(n_chars % 65536 AS INTEGER) AS width,
+          CAST(64 AS INTEGER) AS height,
+          CAST(n_chars % 7 + 1 AS INTEGER) AS n_frames
+        FROM documents""",
+    "q_frame_sample" ->
+      """WITH m AS (
+          SELECT doc_id AS media_id, CAST(n_chars % 7 + 1 AS INTEGER) AS n_frames
+          FROM documents),
+        f AS (SELECT media_id, n_frames, unnest(range(0, least(n_frames, 4))) AS i
+              FROM m)
+        SELECT media_id,
+          CAST(floor(CAST(i AS DOUBLE)
+            * greatest(CAST(n_frames AS DOUBLE) / 4.0, 1.0)) AS INTEGER) AS frame_index
+        FROM f""",
     "q_mix_report" ->
       """SELECT lang, source, count(*) AS n_docs,
           CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
