@@ -143,9 +143,13 @@ object TextAnalysis {
       docs: DataFrame, totalDocs: Long, k: Int = 5,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perDoc = docTokenFreq(docs, textCol)
-    val df_ = vocabulary(docs, textCol).select(col("token"), col("df"))
-    perDoc.join(df_, "token")
+    // df as a count-over-token window on the single perDoc build: one
+    // (doc,token) aggregation, no self-join against a second index build
+    // (HOF-bearing subtrees don't canonicalize equal, so exchange reuse
+    // can't be relied on), and Spark 4's WindowGroupLimit pushes the
+    // top-k below the final exchange
+    docTokenFreq(docs, textCol)
+      .withColumn("df", count(expr("1")).over(Window.partitionBy("token")))
       .withColumn("score", expr(
         s"round(CAST(tf_doc AS DOUBLE) * CAST($totalDocs AS DOUBLE) / CAST(df AS DOUBLE), 6)"))
       .withColumn("rank", row_number().over(
