@@ -147,4 +147,31 @@ object Events {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
+
+  /** Streaming exact dedup: keep the first row per key, with dedup state
+    * EXPIRING at the watermark (`dropDuplicatesWithinWatermark`) — the
+    * form that survives unbounded streams; plain `dropDuplicates` state
+    * grows forever. Batch counterpart: `Dedup.exact` / `dropDuplicates`.
+    */
+  def dedupStream(
+      events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming corpus-style cleaning gate: stateless per-row quality
+    * predicates (value floor, required JSON key, event-type allow-list)
+    * compose with any downstream watermark/agg — the streaming form of the
+    * batch cleaning pipeline's filter stage.
+    */
+  def cleanStream(
+      events: DataFrame, minValue: Double = 0.0,
+      allowedTypes: Seq[String] = Nil): DataFrame = {
+    val typed =
+      if (allowedTypes.isEmpty) events
+      else events.filter(col("event_type").isin(allowedTypes.map(x => x: Any): _*))
+    typed.filter(col("value") >= minValue &&
+      expr("get_json_object(props, '$.k')").isNotNull)
+  }
 }

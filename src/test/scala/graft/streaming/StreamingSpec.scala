@@ -74,6 +74,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() > 0, "no sessions emitted")
   }
 
+  test("streaming dedup drops watermark-window duplicates, matches batch") {
+    // duplicate every event id by staging the fixture twice
+    val d = Files.createTempDirectory("graftdup")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events2.parquet"))
+    val tmp = Files.createTempDirectory("graftdedup").toString
+    val stream = Events.readEventsStream(spark, d.toString)
+    val q = Events.toParquetSink(
+      Events.dedupStream(stream, Seq("event_id")), s"$tmp/out", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$tmp/out")
+    assert(got.count() == got.select("event_id").distinct().count(),
+      "duplicates survived streaming dedup")
+    assert(got.count() == events.select("event_id").distinct().count(),
+      "dedup dropped non-duplicate rows")
+  }
+
+  test("streaming cleaning gate composes with windowed aggregation") {
+    val tmp = Files.createTempDirectory("graftclean").toString
+    val stream = Events.readEventsStream(spark, stagedEventsDir)
+    val q = Events.toParquetSink(
+      Events.hourlyStatsStream(Events.cleanStream(stream, minValue = 1.0)),
+      s"$tmp/out", s"$tmp/ck")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$tmp/out")
+    val expected = Events.hourlyStatsBatch(Events.cleanStream(events, minValue = 1.0))
+      .select("hour_start", "event_type", "n_events", "value_cents")
+    val g = got.select("hour_start", "event_type", "n_events", "value_cents")
+    assert(g.count() > 0)
+    assert(g.exceptAll(expected).count() == 0,
+      "cleaned streamed window not present in cleaned batch result")
+  }
+
   test("multimodal decode extracts fake-header metadata partition-wise") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val decoded = Multimodal.decode(Multimodal.fakeMediaFromDocs(docs))
