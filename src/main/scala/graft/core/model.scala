@@ -183,7 +183,15 @@ final case class SourceDef(
       * reference has no partitioning concept). At scale, partitioned hubs
       * give downstream reads partition pruning and bounded task inputs.
       */
-    hubPartitionBy: Seq[String] = Nil) {
+    hubPartitionBy: Seq[String] = Nil,
+    /** Bucket spec for table-materialized hubs (graft extension). Bucketing
+      * both sides of a repeated fact-fact join on its key removes the
+      * shuffle entirely — the scan arrives hash-partitioned. Requires
+      * catalog materialization (`Runner(materializeTables = true)`);
+      * path-mode parquet cannot carry bucket metadata.
+      */
+    hubBucketBy: Seq[String] = Nil,
+    hubBuckets: Int = 0) {
   def hubName: String = targetTable.getOrElse(s"enriched_$name")
 }
 

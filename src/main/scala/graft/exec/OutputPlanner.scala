@@ -85,7 +85,15 @@ final class OutputPlanner(cp: CompiledProject, hubs: String => DataFrame) {
 final class Runner(
     cp: CompiledProject,
     reader: SourceDef => DataFrame,
-    materializeDir: Option[String] = None) {
+    materializeDir: Option[String] = None,
+    /** Materialize hubs as catalog tables (overwrite saveAsTable) instead
+      * of parquet paths — the reference's exact DROP/CREATE hub contract
+      * (S3), and the only mode where `SourceDef.hubBucketBy` applies:
+      * bucketed hub tables make downstream joins on the bucket key arrive
+      * pre-hash-partitioned (zero-shuffle sort-merge joins between
+      * co-bucketed hubs).
+      */
+    materializeTables: Boolean = false) {
 
   private val hubCache = mutable.LinkedHashMap.empty[String, DataFrame]
 
@@ -94,7 +102,18 @@ final class Runner(
     // dependencies first (topo order guarantees no cycles)
     cs.dependsOn.foreach(hub)
     var built = new SourcePlanner(cp, cs, reader, hub).plan()
-    materializeDir.foreach { dir =>
+    if (materializeTables) {
+      val s = cs.source
+      var w = built.write.mode("overwrite").format("parquet")
+      if (s.hubPartitionBy.nonEmpty) w = w.partitionBy(s.hubPartitionBy: _*)
+      if (s.hubBucketBy.nonEmpty) {
+        val n = if (s.hubBuckets > 0) s.hubBuckets else 32
+        w = w.bucketBy(n, s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+          .sortBy(s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+      }
+      w.saveAsTable(s.hubName)
+      built = built.sparkSession.table(s.hubName)
+    } else materializeDir.foreach { dir =>
       val path = s"$dir/${cs.source.hubName}"
       val writer = built.write.mode("overwrite")
       val partitioned =
@@ -136,7 +155,7 @@ final class Runner(
     * want a column subset of an enriched source.
     */
   def hubSelect(name: String, cols: String*): DataFrame = {
-    if (materializeDir.isDefined)
+    if (materializeDir.isDefined || materializeTables)
       return hub(name).select(cols.map(c => org.apache.spark.sql.functions.col(SourcePlanner.q(c))): _*)
     val needed = Pruner.closure(cp, Map(name -> cols.toSet))
     prunedHubs(needed)(name)
@@ -146,11 +165,11 @@ final class Runner(
   def output(name: String): DataFrame = {
     val co = cp.outputs.find(_.output.name == name)
       .getOrElse(throw CompileError(s"Unknown output '$name'"))
-    // Materialized mode reads full hubs (already paid for, reference S3
+    // Materialized modes read full hubs (already paid for, reference S3
     // semantics); lazy mode plans each channel source with only the rules
     // the output's mappings/filter reach (VERDICT r1 scale defect #3).
     val hubFn: String => DataFrame =
-      if (materializeDir.isDefined) hub
+      if (materializeDir.isDefined || materializeTables) hub
       else prunedHubs(Pruner.neededForOutput(cp, co))
     new OutputPlanner(cp, hubFn).plan(co)
   }

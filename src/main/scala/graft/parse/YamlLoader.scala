@@ -62,7 +62,10 @@ object YamlLoader {
       .getOrElse(throw CompileError(s"$p: missing source_table"))
     val raw = seq(m, "raw_attributes").map(parseRawAttr(_, p))
     val rules = seq(m, "rules").map(parseRule(_, p))
-    SourceDef(name, table, raw, rules, str(m, "target_table"))
+    SourceDef(name, table, raw, rules, str(m, "target_table"),
+      hubPartitionBy = seq(m, "hub_partition_by").map(_.toString),
+      hubBucketBy = seq(m, "hub_bucket_by").map(_.toString),
+      hubBuckets = str(m, "hub_buckets").map(_.toInt).getOrElse(0))
   }
 
   /** `"name type"` strings, or `{name:, schema:}` objects where schema is

@@ -271,6 +271,42 @@ class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.message.contains("Relation '[a]- r -[b]'"))
   }
 
+  test("co-bucketed table hubs join with zero shuffle") {
+    import spark.implicits._
+    val fact = (1L to 200L).map(i => (i, i % 50, s"f$i")).toDF("f_id", "key", "fv")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("key", "dv")
+    val p = Project(
+      sources = Seq(
+        SourceDef("dimb", "dim",
+          Seq(RawAttr("key", LongType), RawAttr("dv", StringType)),
+          hubBucketBy = Seq("key"), hubBuckets = 4),
+        SourceDef("factb", "fact",
+          Seq(RawAttr("f_id", LongType), RawAttr("key", LongType), RawAttr("fv", StringType)),
+          rules = Seq(RuleDef("dim_v", "[dimb].dv")),
+          hubBucketBy = Seq("key"), hubBuckets = 4)),
+      relations = Seq(RelationDef("[factb]- k -[dimb]",
+        "[This].key = [Related].key", Cardinality.ManyOne)))
+    val cp = new Compiler(p).compile()
+    val runner = new Runner(cp, s => Map("dim" -> dim, "fact" -> fact)(s.sourceTable),
+      materializeTables = true)
+    // force the join strategy that can exploit bucketing (tiny test data
+    // would otherwise broadcast, which hides the property under test)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hub = runner.hub("factb")
+      assert(hub.count() == 200)
+      assert(hub.filter(org.apache.spark.sql.functions.col("dim_v").isNull).count() == 0)
+      // both sides arrive hash-partitioned by the bucket key: the join has
+      // no shuffle at all (the 100 TB repeated-join payoff of bucketing)
+      val exchanges = hub.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"expected zero shuffles for co-bucketed join, got ${exchanges.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("table output saves to the session catalog (saveAsTable contract)") {
     import spark.implicits._
     val t = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
