@@ -1,12 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The standard pre-training corpus cleaning recipe, composed from the
-  * individual operators: exact dedup → surface-quality floor → language
-  * filter. One scan + one shuffle (the dedup hash) end to end — the
-  * filters are codegen'd projections fused into the same stage.
+  * individual operators' expressions: exact dedup → surface-quality floor
+  * → language filter. FUSED into one scan, one projection wave, and one
+  * shuffle (the dedup-hash window) — every feature is per-row over the
+  * same rows, so the r1 form (five scans of the corpus joined back on
+  * doc_id) paid four joins for nothing.
   *
   * Near-dup removal (MinHash) intentionally stays a separate pass: its
   * candidate verification is a different shuffle shape and is usually run
@@ -21,20 +24,17 @@ object CorpusPipeline {
       docs: DataFrame, textCol: String = "text",
       minQuality: Double = 0.3, minTokens: Int = 8,
       keepLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")): DataFrame = {
-    val dedup = Dedup.exact(docs, textCol).select("doc_id", "canonical_id", "dup_count")
-    val quality = TextAnalysis.qualityScore(docs, textCol)
-    val lang = TextAnalysis.langId(docs, textCol)
-    val stats = TextAnalysis.textStats(docs, textCol).select("doc_id", "n_tokens")
-    docs.select("doc_id")
-      .join(dedup, "doc_id")
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
-      .join(stats, "doc_id")
-      .filter(col("doc_id") === col("canonical_id"))
-      .filter(col("quality") >= minQuality)
-      .filter(col("n_tokens") >= minTokens)
-      .filter(col("lang_pred").isin(keepLangs: _*))
-      .select(col("doc_id"), col("lang_pred"), col("quality"),
-        col("n_tokens"), col("dup_count"))
+    val w = Window.partitionBy("__h")
+    TextAnalysis.withLangPred(docs, textCol)
+      .withColumn("quality", TextAnalysis.qualityExpr(textCol))
+      .withColumn("n_tokens", expr(s"size(${TextAnalysis.tokensExpr(textCol)})"))
+      .withColumn("__h", TextAnalysis.normalizedMd5(textCol))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .filter(col("doc_id") === col("canonical_id") &&
+        col("quality") >= minQuality &&
+        col("n_tokens") >= minTokens &&
+        col("lang_pred").isin(keepLangs: _*))
+      .select("doc_id", "lang_pred", "quality", "n_tokens", "dup_count")
   }
 }

@@ -44,29 +44,33 @@ object TextAnalysis {
         .as("avg_token_len"))
   }
 
+  /** Quality-score expression (shared by [[qualityScore]] and the fused
+    * cleaning pipeline).
+    */
+  private[operators] def qualityExpr(textCol: String): Column = {
+    val allStop = profiles.flatMap(_._2).distinct.map(lit).mkString(", ")
+    val toks = tokensExpr(textCol)
+    expr(
+      s"""round(
+         |  least(CAST(length($textCol) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+         |  (CAST(length(regexp_replace($textCol, '[^a-zA-Z ]', '')) AS DOUBLE)
+         |     / CAST(length($textCol) AS DOUBLE)) * 0.4 +
+         |  least(CAST(size(filter($toks, t -> t IN ($allStop))) AS DOUBLE)
+         |     / CAST(size($toks) AS DOUBLE) * 5.0, 1.0) * 0.2
+         |, 6)""".stripMargin)
+  }
+
   /** Composite quality score in [0,1]: length sweet-spot, alpha ratio, and
     * a stopword-presence signal. Heuristic (deterministic, engine-agnostic).
     */
-  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val allStop = profiles.flatMap(_._2).distinct.map(lit).mkString(", ")
-    val toks = tokensExpr(textCol)
-    docs.select(
-      col("doc_id"),
-      expr(
-        s"""round(
-           |  least(CAST(length($textCol) AS DOUBLE) / 200.0, 1.0) * 0.4 +
-           |  (CAST(length(regexp_replace($textCol, '[^a-zA-Z ]', '')) AS DOUBLE)
-           |     / CAST(length($textCol) AS DOUBLE)) * 0.4 +
-           |  least(CAST(size(filter($toks, t -> t IN ($allStop))) AS DOUBLE)
-           |     / CAST(size($toks) AS DOUBLE) * 5.0, 1.0) * 0.2
-           |, 6)""".stripMargin).as("quality"))
-  }
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), qualityExpr(textCol).as("quality"))
 
-  /** N-gram/stopword-profile language identification. CJK text short-cuts
-    * on codepoint range; otherwise the profile with the most token hits
-    * wins (fixed tie order en, de, fr, es).
+  /** Adds a `lang_pred` column (shared by [[langId]] and the fused cleaning
+    * pipeline; the `__g` staging column keeps the greatest() of the profile
+    * scores out of every CASE branch).
     */
-  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  private[operators] def withLangPred(docs: DataFrame, textCol: String): DataFrame = {
     val toks = tokensExpr(textCol)
     val scores = profiles.map { case (l, words) =>
       s"size(filter($toks, t -> t IN (${words.map(lit).mkString(", ")})))" -> l
@@ -75,13 +79,20 @@ object TextAnalysis {
     val cases = scores.map { case (s, l) => s"WHEN $s = __g THEN '$l'" }.mkString(" ")
     docs
       .withColumn("__g", expr(g))
-      .select(
-        col("doc_id"),
+      .withColumn("lang_pred",
         expr(
           s"""CASE WHEN regexp_count($textCol, '[\\\\x{4e00}-\\\\x{9fff}]') > 0 THEN 'zh'
              | WHEN __g = 0 THEN 'unknown'
-             | $cases END""".stripMargin).as("lang_pred"))
+             | $cases END""".stripMargin))
+      .drop("__g")
   }
+
+  /** N-gram/stopword-profile language identification. CJK text short-cuts
+    * on codepoint range; otherwise the profile with the most token hits
+    * wins (fixed tie order en, de, fr, es).
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withLangPred(docs, textCol).select("doc_id", "lang_pred")
 
   /** Token counting: whitespace tokens plus a BPE-ish regex token count
     * (letter runs, digit runs, single punctuation — the shape a byte-pair
