@@ -59,10 +59,15 @@ object Main {
 
     case "emit" :: projectDir :: outDir :: Nil =>
       // reference-style SQL artifact: target/sources/*.sql, outputs/*.sql,
-      // run.sql (importProject.py:119-150 writes the same layout)
+      // run.sql (importProject.py:119-150 writes the same layout). A local
+      // session runs the type probe so inferred-decimal rules carry the
+      // decimal(38,12) discipline cast in the emitted text, exactly like
+      // the reference's probe-backfilled enrichment.datatype
       import java.nio.file.{Files, Paths}
+      val spark = session()
       val cp = new Compiler(YamlLoader.load(projectDir)).compile()
-      val em = new graft.exec.SqlEmitter(cp)
+      val (ruleTypes, _) = graft.analyze.TypeProbe.checkWithTypes(spark, cp)
+      val em = new graft.exec.SqlEmitter(cp, ruleTypes)
       val tableFor: graft.core.SourceDef => String = s => s.sourceTable
       Files.createDirectories(Paths.get(s"$outDir/sources"))
       Files.createDirectories(Paths.get(s"$outDir/outputs"))
@@ -76,6 +81,7 @@ object Main {
       }
       Files.writeString(Paths.get(s"$outDir/run.sql"), em.runSql(tableFor))
       println(s"Emitted SQL for ${cp.sources.size} sources, ${cp.outputs.size} outputs: $outDir")
+      spark.stop()
 
     case "run" :: projectDir :: dataDir :: outDir :: Nil =>
       val spark = session()

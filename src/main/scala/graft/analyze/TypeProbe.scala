@@ -51,7 +51,15 @@ final class TypeProbe(spark: SparkSession, failOnNullResult: Boolean = false) {
   /** Probe the whole project; returns reference-parity warnings, throws
     * CompileError on failures.
     */
-  def check(cp: CompiledProject): Seq[String] = {
+  def check(cp: CompiledProject): Seq[String] = checkWithTypes(cp)._2
+
+  /** Probe + return the inferred rule types ((source, rule) → normalized
+    * DataType) — the analog of the reference backfilling
+    * `enrichment.datatype` from probe results
+    * (impc_update_test_results.sql:80-84); consumers like the SQL emitter
+    * need them to reproduce the decimal-discipline casts.
+    */
+  def checkWithTypes(cp: CompiledProject): (Map[(String, String), DataType], Seq[String]) = {
     ensureDatatypesView(spark)
     cp.sources.foreach { cs =>
       cs.rules.foreach(cr => probeRule(cp, cs.source, cr))
@@ -60,7 +68,7 @@ final class TypeProbe(spark: SparkSession, failOnNullResult: Boolean = false) {
     cp.outputs.foreach { co =>
       co.channels.foreach(ch => ch.filter.foreach(probeFilter(cp, co, ch, _)))
     }
-    warnings.toList
+    (ruleTypes.toMap, warnings.toList)
   }
 
   private def paramType(cp: CompiledProject, sourceOfThis: String, rp: ResolvedParam): DataType = {
@@ -219,21 +227,37 @@ object TypeProbe {
 
   /** Build the probe SQL for one parsed expression
     * (reference: u_build_datatype_test_expr.sql:26-74).
+    *
+    * Parameters bind under their ATTRIBUTE name (suffixed with any struct
+    * keys), exactly like the reference's `v_attribute_name` aliases —
+    * `p<i>` aliases would silently rename the fields of struct-building
+    * rules (`struct([This].a, [This].b)` must probe with fields a, b so
+    * dependents' key walks resolve).
     */
   def probeSql(
       e: ParsedExpr, paramType: Int => DataType, castDatatype: Option[String]): String = {
+    def quote(n: String) = "`" + n.replace("`", "``") + "`"
+    def alias(i: Int): String = {
+      val p = e.params(i)
+      (p.attribute +: p.keys).mkString("__")
+    }
     val hasAggs = e.hasAggregates
     // non-aggregated params wrap in first_value so the probe query stays a
     // valid global aggregate (reference :49-52)
     var body = e.render(
-      i => if (hasAggs) s"first_value(p$i)" else s"p$i",
-      j => e.renderAggInner(j, i => s"p$i"))
+      i => if (hasAggs) s"first_value(${quote(alias(i))})" else quote(alias(i)),
+      j => e.renderAggInner(j, i => quote(alias(i))))
     castDatatype.foreach(t => body = s"CAST($body as $t)")
     if (e.params.isEmpty) s"SELECT $body as col1"
     else {
-      val selects = e.params.indices
-        .map(i => s"${exemplar(paramType(i))} p$i").mkString(", ")
-      s"WITH ct AS (SELECT $selects FROM datatypes) SELECT $body as col1 FROM ct"
+      val entries = e.params.indices
+        .map(i => alias(i) -> s"${exemplar(paramType(i))} AS ${quote(alias(i))}").distinct
+      entries.groupBy(_._1).collect { case (a, es) if es.size > 1 => a }.headOption
+        .foreach(a => throw CompileError(
+          s"Probe alias collision: parameter `$a` resolves to different types " +
+            "in one expression"))
+      s"WITH ct AS (SELECT ${entries.map(_._2).mkString(", ")} FROM datatypes) " +
+        s"SELECT $body as col1 FROM ct"
     }
   }
 
@@ -244,4 +268,10 @@ object TypeProbe {
       spark: SparkSession, cp: CompiledProject,
       failOnNullResult: Boolean = false): Seq[String] =
     new TypeProbe(spark, failOnNullResult).check(cp)
+
+  /** Probe + inferred rule types (see [[TypeProbe.checkWithTypes]]). */
+  def checkWithTypes(
+      spark: SparkSession, cp: CompiledProject,
+      failOnNullResult: Boolean = false): (Map[(String, String), DataType], Seq[String]) =
+    new TypeProbe(spark, failOnNullResult).checkWithTypes(cp)
 }

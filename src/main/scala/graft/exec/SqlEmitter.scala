@@ -19,7 +19,16 @@ import scala.collection.mutable
   * compares. Note the lateral form is the faithful reference emission; the
   * planner deliberately rewrites it to groupBy+join for scale (SCALE.md).
   */
-final class SqlEmitter(cp: CompiledProject) {
+/** @param ruleTypes probed rule types ((source, rule) → DataType) from
+  *   [[graft.analyze.TypeProbe.checkWithTypes]]. Needed to emit the
+  *   decimal-discipline cast for rules whose INFERRED type is decimal —
+  *   the reference does the same with the probe-backfilled
+  *   `enrichment.datatype` (u_enr_query_add_enrichment.sql:128-133).
+  *   Without it, only explicit `cast_datatype` casts are emitted.
+  */
+final class SqlEmitter(
+    cp: CompiledProject,
+    ruleTypes: Map[(String, String), org.apache.spark.sql.types.DataType] = Map.empty) {
 
   import SourcePlanner.q
 
@@ -43,6 +52,10 @@ final class SqlEmitter(cp: CompiledProject) {
       s"${cteNs}_cte0" -> s"SELECT\n    $rawSelect\n  FROM ${tableFor(s)} T")
 
     val joinPrefix = mutable.LinkedHashMap.empty[String, String]
+    // rules already emitted in prior CTEs: a SELF-join subquery may only
+    // name these (the planner's snapshot semantics — joining the full rule
+    // list would reference columns later CTEs haven't produced yet)
+    val computedRules = mutable.ListBuffer.empty[String]
     // joins attached to the CTE currently being built: their columns are
     // addressed via the join alias; only the NEXT CTE sees them through T.*
     val currentCteAlias = mutable.Map.empty[String, String]
@@ -100,7 +113,10 @@ final class SqlEmitter(cp: CompiledProject) {
           val alias = s"J${counter}"
           val far = relatedRef(hop)
           val farSource = cp.project.source(hop.to)
-          val farCols = (farSource.rawAttributes.map(_.name) ++ farSource.rules.map(_.name))
+          val farColNames =
+            if (hop.to == s.name) s.rawAttributes.map(_.name) ++ computedRules
+            else farSource.rawAttributes.map(_.name) ++ farSource.rules.map(_.name)
+          val farCols = farColNames
             .map(c => s"${q(c)} AS ${q(pfx + c)}").mkString(", ")
           val currentBind: String => String =
             if (i == 1) attr => s"T.${q(attr)}"
@@ -149,8 +165,16 @@ final class SqlEmitter(cp: CompiledProject) {
       }
 
       var exprSql = cr.expr.render(i => bindParam(cr.params(i)), j => lateralAliases(j))
-      cr.rule.castDatatype.foreach { t =>
-        exprSql = s"CAST($exprSql AS ${CoreTypes.parseTypeName(t).sql})"
+      cr.rule.castDatatype match {
+        case Some(t) =>
+          exprSql = s"CAST($exprSql AS ${CoreTypes.parseTypeName(t).sql})"
+        case None =>
+          // decimal discipline for inferred-decimal rules (planner parity)
+          ruleTypes.get((s.name, cr.name)) match {
+            case Some(_: org.apache.spark.sql.types.DecimalType) =>
+              exprSql = s"CAST($exprSql AS DECIMAL(38,12))"
+            case _ =>
+          }
       }
       val joins = pendingJoins.mkString("\n  ")
       val carried = ("T.*" +: pendingJoinAliases.map(_ + ".*").toSeq).mkString(", ")
@@ -161,6 +185,7 @@ final class SqlEmitter(cp: CompiledProject) {
       ctes += cteName ->
         (s"SELECT $carried, $exprSql AS ${q(cr.name)}\n  FROM ${ctes(ctes.size - 1)._1} T" +
           (if (joins.nonEmpty) s"\n  $joins" else ""))
+      computedRules += cr.name
     }
 
     val finalCols = (s.rawAttributes.map(_.name) ++ cs.rules.map(_.name))

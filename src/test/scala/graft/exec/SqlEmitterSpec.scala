@@ -73,6 +73,54 @@ class SqlEmitterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("emitted SQL matches the planner on the runtime YAML project (self-join, theta, struct keys)") {
+    // the shapes SampleProject doesn't reach: a 1-1 self-join over the
+    // in-progress CTE, a non-equi lateral many-join, struct-key rules,
+    // decimal casts, and the unique-guarded join
+    val files = Seq("meta.yaml", "relations.yaml",
+      "sources/customer2.yaml", "sources/events.yaml", "sources/orders2.yaml",
+      "sources/orders_self.yaml", "sources/part2.yaml", "outputs/event_struct.yaml")
+    val tmp = java.nio.file.Files.createTempDirectory("sqlemit_rp")
+    files.foreach { f =>
+      val in = getClass.getClassLoader.getResourceAsStream(s"runtime_project/$f")
+      val t = tmp.resolve(f)
+      java.nio.file.Files.createDirectories(t.getParent)
+      java.nio.file.Files.copy(in, t)
+      in.close()
+    }
+    val rcp = new Compiler(graft.parse.YamlLoader.load(tmp.toString)).compile()
+    // probed types feed the emitter's decimal-discipline casts
+    val (ruleTypes, _) = graft.analyze.TypeProbe.checkWithTypes(spark, rcp)
+    val rem = new SqlEmitter(rcp, ruleTypes)
+    Seq("customer", "orders", "part").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.Events.readEvents(spark, s"$sfDir/events.parquet")
+      .createOrReplaceTempView("events")
+    val rrunner = new Runner(rcp, s =>
+      if (s.sourceTable == "events")
+        graft.streaming.Events.readEvents(spark, s"$sfDir/events.parquet")
+      else spark.read.parquet(s"$sfDir/${s.sourceTable}.parquet"))
+    rcp.sources.foreach { cs =>
+      val name = cs.source.name
+      val viaSql = spark.sql(rem.sourceSql(name, tableFor))
+      val rows = viaSql.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), viaSql.schema)
+        .createOrReplaceTempView("hub_" + name)
+      val b = rrunner.hub(name).collect().map(_.toString).sorted
+      val a = rows.map(_.toString).sorted
+      assert(a.length == b.length && a.sameElements(b),
+        s"runtime source $name: emitted SQL diverges from planner " +
+          s"(${a.diff(b).take(3).mkString("; ")})")
+    }
+    val viaSql = spark.sql(rem.outputSql("event_struct"))
+    val viaPlanner = rrunner.output("event_struct")
+    assert(viaSql.exceptAll(viaPlanner).count() == 0 &&
+      viaPlanner.exceptAll(viaSql).count() == 0,
+      "runtime output event_struct: emitted SQL diverges from planner")
+  }
+
   test("run.sql is one executable script") {
     val script = emitter.runSql(tableFor)
     // execute statement by statement (split on ';' at line ends)
