@@ -168,6 +168,16 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Events.sessionizeBatch(events(s, dir))),
 
+    // skew-safe two-phase (salted) aggregation: the result is
+    // salt-invariant, so the plain GROUP BY is its exact oracle
+    "q_skew_agg" -> ((s, dir) =>
+      graft.operators.Skew.twoPhaseAgg(
+        events(s, dir).select("user_id", "value"), Seq("user_id"), saltFactor = 8,
+        partial = Seq(expr("count(1)").as("__c"),
+          expr("sum(CAST(round(value * 100) AS LONG))").as("__s")),
+        merge = Seq(expr("sum(__c)").as("n_events"),
+          expr("sum(__s)").as("value_cents")))),
+
     // JSON payload extraction over event props
     "q_events_json" -> ((s, dir) => {
       val e = Json.extracted(events(s, dir), "props", Map("k" -> ("$.k", "bigint")))
@@ -530,6 +540,10 @@ object SparkEntry {
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events
         GROUP BY 1, 2""",
+    "q_skew_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1""",
     "q_events_json" ->
       """SELECT event_type,
           count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,

@@ -40,8 +40,12 @@ object Skew {
   def twoPhaseAgg(
       df: DataFrame, keys: Seq[String], saltFactor: Int,
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    // content-derived salt: the phase-1 shuffle key must be DETERMINISTIC
+    // under task retry/speculation — a partition-id/row-position salt can
+    // assign the same row to different salts across shuffle attempts and
+    // double-count it (same failure class as a nondeterministic join tag)
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+      pmod(xxhash64(df.columns.map(c => col(c)): _*), lit(saltFactor)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partial.head, partial.tail: _*)
@@ -59,8 +63,10 @@ object Skew {
   def saltedLeftJoin(
       left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       saltFactor: Int): DataFrame = {
+    // deterministic high-entropy salt from full row content (see
+    // twoPhaseAgg — position-based salts break under recomputation)
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(xxhash64(left.columns.map(c => col(c)): _*), lit(saltFactor)))
     val saltedRight = right.withColumn("__salt",
       explode(expr(s"sequence(0L, ${saltFactor - 1}L)")))
     saltedLeft
