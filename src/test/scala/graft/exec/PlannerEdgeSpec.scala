@@ -271,6 +271,23 @@ class PlannerEdgeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.message.contains("Relation '[a]- r -[b]'"))
   }
 
+  test("pruned lazy outputs equal materialized full-hub outputs") {
+    // the Pruner must be semantics-preserving: for every sample output the
+    // lazy (pruned) plan and the materialized (full hub, reference S3)
+    // plan produce identical rows
+    val cp = new Compiler(graft.SampleProject.project).compile()
+    val lazyRunner = new Runner(cp, Runners.parquetDir("/root/testdata/sf0.001"))
+    val tmp = java.nio.file.Files.createTempDirectory("graftmatout").toString
+    val matRunner = new Runner(cp, Runners.parquetDir("/root/testdata/sf0.001"),
+      materializeDir = Some(tmp))
+    cp.outputs.foreach { co =>
+      val a = lazyRunner.output(co.output.name)
+      val b = matRunner.output(co.output.name)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"output ${co.output.name}: pruned plan diverges from materialized plan")
+    }
+  }
+
   test("co-bucketed table hubs join with zero shuffle") {
     import spark.implicits._
     val fact = (1L to 200L).map(i => (i, i % 50, s"f$i")).toDF("f_id", "key", "fv")
