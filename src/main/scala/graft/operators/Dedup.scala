@@ -247,10 +247,12 @@ object Dedup {
     val b = Similarity.withSignBuckets(
         embeddings, vecCol, idCol, dim, nBits, tables = 1, seed)
       .select(col(idCol), col(vecCol), expr("__buckets[0]").as("__bucket"))
-    b.as("a").join(b.as("b"),
+    val pairs = b.as("a").join(b.as("b"),
         col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        expr(s"round(${Similarity.cosineExpr(s"a.$vecCol", s"b.$vecCol")}, 6)").as("cosine"))
+        col(s"a.$vecCol").as("__av"), col(s"b.$vecCol").as("__bv"))
+    Similarity.withCosine(pairs, "__av", "__bv", Seq("id_a", "id_b"))
+      .withColumn("cosine", expr("round(cosine, 6)"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -17,7 +17,10 @@ import scala.util.Random
 object Similarity {
 
   /** Exact cosine between two ARRAY<FLOAT> columns, accumulated in double
-    * in array order (deterministic, engine-portable).
+    * in array order (deterministic, engine-portable). SQL reference form —
+    * the hot paths use [[withCosine]], a compiled pass with the same fold
+    * order (bit-identical doubles); higher-order functions run interpreted
+    * (CodegenFallback) and dominate wall-clock at pair volume.
     */
   def cosineExpr(a: String, b: String): String =
     s"""(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
@@ -26,6 +29,46 @@ object Similarity {
        |           CAST(0 AS DOUBLE), (acc, v) -> acc + v))
        |  * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
        |           CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+
+  /** Appends a raw `cosine` over two ARRAY<FLOAT> columns, computed in
+    * compiled code (callers apply Spark's own `round(cosine, 6)` so the
+    * rounding stays the builtin's). Accumulation order per term matches
+    * [[cosineExpr]] exactly (each accumulator folds left in array order,
+    * norms over each full array, dot over the zipped prefix), so the two
+    * formulations are bit-identical and the DuckDB oracle parity is
+    * preserved.
+    */
+  private[operators] def withCosine(
+      df: DataFrame, aCol: String, bCol: String, keep: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val in = df.select((keep ++ Seq(aCol, bCol)).map(col): _*)
+    val ai = in.schema.fieldIndex(aCol)
+    val bi = in.schema.fieldIndex(bCol)
+    val out = StructType(
+      keep.map(c => in.schema(c)) :+ StructField("cosine", DoubleType))
+    in.mapPartitions { it =>
+      it.map { r =>
+        val a = r.getSeq[Float](ai)
+        val b = r.getSeq[Float](bi)
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+        while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
+        val c = dot / (math.sqrt(na) * math.sqrt(nb))
+        Row.fromSeq(keep.indices.map(r.get) :+ c)
+      }
+    }(RowEncoder.encoderFor(out))
+  }
 
   /** Deterministic random hyperplanes (seeded), inlined as literals. */
   private[operators] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
@@ -107,8 +150,10 @@ object Similarity {
       .select(
         col(s"q.$idCol").as("query_id"),
         col(s"c.$idCol").as("match_id"),
-        expr(s"round(${cosineExpr(s"q.$vecCol", s"c.$vecCol")}, 6)").as("cosine"))
-    joined
+        col(s"q.$vecCol").as("__qv"),
+        col(s"c.$vecCol").as("__cv"))
+    withCosine(joined, "__qv", "__cv", Seq("query_id", "match_id"))
+      .withColumn("cosine", expr("round(cosine, 6)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
       .filter(col("rank") <= k)
@@ -172,11 +217,13 @@ object Similarity {
 
     val q = probed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       explode(col("__cells")).as("__cell"))
-    assigned.as("c").join(broadcast(q.as("q")),
+    val pairs = assigned.as("c").join(broadcast(q.as("q")),
         col("q.__cell") === col("c.__cell") &&
           col("q.query_id") =!= col(s"c.$idCol"))
       .select(col("query_id"), col(s"c.$idCol").as("match_id"),
-        expr(s"round(${cosineExpr("__qv", s"c.$vecCol")}, 6)").as("cosine"))
+        col("__qv"), col(s"c.$vecCol").as("__cv"))
+    withCosine(pairs, "__qv", "__cv", Seq("query_id", "match_id"))
+      .withColumn("cosine", expr("round(cosine, 6)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
       .filter(col("rank") <= k)
@@ -206,11 +253,11 @@ object Similarity {
           col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(col(s"q.$idCol").as("query_id"), col(s"c.$idCol").as("match_id"))
       .dropDuplicates("query_id", "match_id")
-    candidates
+    val pairs = candidates
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))), "query_id")
       .join(corpus.select(col(idCol).as("match_id"), col(vecCol).as("__cv")), "match_id")
-      .select(col("query_id"), col("match_id"),
-        expr(s"round(${cosineExpr("__qv", "__cv")}, 6)").as("cosine"))
+    withCosine(pairs, "__qv", "__cv", Seq("query_id", "match_id"))
+      .withColumn("cosine", expr("round(cosine, 6)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
       .filter(col("rank") <= k)
