@@ -83,9 +83,31 @@ object Main {
       println(s"Emitted SQL for ${cp.sources.size} sources, ${cp.outputs.size} outputs: $outDir")
       spark.stop()
 
+    case "init" :: targetDir :: Nil =>
+      // starter project (the reference's `--init` copies its packaged
+      // sample; ours ships the runtime_project resources)
+      val files = Seq("meta.yaml", "relations.yaml",
+        "sources/customer2.yaml", "sources/events.yaml", "sources/orders2.yaml",
+        "sources/orders_self.yaml", "sources/part2.yaml",
+        "outputs/event_struct.yaml")
+      files.foreach { f =>
+        val in = getClass.getClassLoader.getResourceAsStream(s"runtime_project/$f")
+        require(in != null, s"missing resource runtime_project/$f")
+        val t = java.nio.file.Paths.get(targetDir, f)
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(in, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        in.close()
+      }
+      println(s"Initialized starter project: $targetDir")
+
     case "run" :: projectDir :: dataDir :: outDir :: Nil =>
-      val spark = session()
-      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+      val spark = session(warehouseDir = Some(s"$outDir/_warehouse"))
+      // probe before executing, like the reference's import (--build):
+      // invalid expressions fail fast with named errors, NULL-probe
+      // results surface as warnings
+      val (cp, warnings) = new Compiler(YamlLoader.load(projectDir)).compileChecked(spark)
+      warnings.foreach(w => println(s"WARNING: $w"))
       // materialize hubs: the reference's DROP/CREATE hub behavior (S3) and
       // the restartable, spill-safe mode for large pipelines
       val runner = new Runner(cp, Runners.parquetDir(dataDir),
@@ -96,20 +118,27 @@ object Main {
 
     case _ =>
       System.err.println(
-        """usage: graft.Main validate <projectDir>
+        """usage: graft.Main validate <projectDir> [--strict-types]
+          |       graft.Main init     <targetDir>
           |       graft.Main plan     <projectDir> <dataDir>
+          |       graft.Main emit     <projectDir> <outDir>
           |       graft.Main run      <projectDir> <dataDir> <outDir>""".stripMargin)
       sys.exit(2)
   }
 
-  private def session(): SparkSession = {
+  private def session(warehouseDir: Option[String] = None): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // never default the warehouse into the working directory — catalog
+    // (table-type) writes land here
+    val wh = warehouseDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -104,14 +104,16 @@ final class Runner(
     var built = new SourcePlanner(cp, cs, reader, hub).plan()
     if (materializeTables) {
       val s = cs.source
-      var w = built.write.mode("overwrite").format("parquet")
-      if (s.hubPartitionBy.nonEmpty) w = w.partitionBy(s.hubPartitionBy: _*)
-      if (s.hubBucketBy.nonEmpty) {
-        val n = if (s.hubBuckets > 0) s.hubBuckets else 32
-        w = w.bucketBy(n, s.hubBucketBy.head, s.hubBucketBy.tail: _*)
-          .sortBy(s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+      Runner.overwriteTable(built, s.hubName) { w0 =>
+        var w = w0
+        if (s.hubPartitionBy.nonEmpty) w = w.partitionBy(s.hubPartitionBy: _*)
+        if (s.hubBucketBy.nonEmpty) {
+          val n = if (s.hubBuckets > 0) s.hubBuckets else 32
+          w = w.bucketBy(n, s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+            .sortBy(s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+        }
+        w
       }
-      w.saveAsTable(s.hubName)
       built = built.sparkSession.table(s.hubName)
     } else materializeDir.foreach { dir =>
       val path = s"$dir/${cs.source.hubName}"
@@ -195,7 +197,7 @@ final class Runner(
       co.output.outputType match {
         case OutputType.Virtual => df.createOrReplaceTempView(target)
         case OutputType.Table =>
-          df.write.mode("overwrite").saveAsTable(target)
+          Runner.overwriteTable(df, target)(identity)
         case OutputType.File("text") =>
           df.select(df.columns.map(c =>
             df.col(SourcePlanner.q(c)).cast("string")): _*)
@@ -212,6 +214,28 @@ final class Runner(
           df.write.mode("overwrite").parquet(s"$outDir/$target")
       }
     }
+  }
+}
+
+object Runner {
+  import org.apache.spark.sql.{DataFrameWriter, Row}
+
+  /** Idempotent CTAS (the reference's DROP TABLE IF EXISTS + CREATE TABLE
+    * AS): drops any registered table first, and also removes an ORPHANED
+    * managed location — with the default in-memory catalog, a crashed
+    * previous session leaves the directory behind with no catalog entry,
+    * and a bare saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    */
+  def overwriteTable(df: DataFrame, name: String)(
+      configure: DataFrameWriter[Row] => DataFrameWriter[Row]): Unit = {
+    val spark = df.sparkSession
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sql(s"DROP TABLE IF EXISTS ${id.quotedString}")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(id))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    configure(df.write.mode("overwrite").format("parquet")).saveAsTable(name)
   }
 }
 
