@@ -131,6 +131,16 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(docs(s, dir), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // token-length histogram (sequence-length planning input)
+    "q_token_histogram" -> ((s, dir) =>
+      TextAnalysis.tokenLengthHistogram(docs(s, dir), bucketSize = 16)),
+    // rows-only: bin ids depend on partition-local packing
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(docs(s, dir), capacity = 256)),
+    // rows-only: KMeans cells are engine-specific; cross-validated in spec
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(embeds(s, dir), nClusters = 16, threshold = 0.9,
+        fitSampleFraction = 0.5)),
     // composed cleaning recipe: dedup + quality floor + language filter
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -377,6 +387,16 @@ object SparkEntry {
       """SELECT doc_id,
           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         FROM documents""",
+    "q_token_histogram" ->
+      """WITH t AS (
+          SELECT len(list_filter(string_split_regex(lower(text), ' +'),
+                     t -> t != '')) AS n_tokens
+          FROM documents)
+        SELECT CAST(n_tokens // 16 AS INTEGER) AS bucket,
+          count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+          CAST(n_tokens // 16 AS INTEGER) * 16 AS bucket_lo
+        FROM t GROUP BY 1, 4""",
     "q_vocabulary" ->
       """WITH tk AS (
           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),

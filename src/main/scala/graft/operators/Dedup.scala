@@ -237,6 +237,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SemDeDup-shaped semantic deduplication: KMeans-cluster the embedding
+    * space (coarse quantizer fit on a sample — the 100 TB posture), form
+    * candidate pairs WITHIN clusters only, verify with exact cosine, and
+    * drop every vector that has a smaller-id near-duplicate in its
+    * cluster. Pair volume is bounded by cluster occupancy² (tune
+    * `nClusters` with corpus size), never corpus².
+    *
+    * Single-round canonicalization (a vector is dropped iff a smaller-id
+    * neighbor exists) rather than full transitive closure — the standard
+    * large-scale practice; chains collapse over repeated passes if needed.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
+      nClusters: Int = 16, threshold: Double = 0.95, seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = embeddings.select(col(idCol), col(vecCol))
+      .withColumn("__v", array_to_vector(col(vecCol)))
+    val fitInput =
+      if (fitSampleFraction >= 1.0) featured
+      else featured.sample(withReplacement = false, fitSampleFraction, seed)
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell").fit(fitInput)
+    val assigned = model.transform(featured)
+      .select(col(idCol), col(vecCol), col("__cell"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$vecCol").as("__av"), col(s"b.$vecCol").as("__bv"))
+    val dups = Similarity.withCosine(pairs, "__av", "__bv", Seq("id_a", "id_b"))
+      .withColumn("cosine", expr("round(cosine, 6)"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as(idCol)).distinct
+    embeddings.select(col(idCol))
+      .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("__dup").isNull.as("is_kept"))
+  }
+
   /** Embedding cosine near-dup pairs via sign-LSH: `nBits` deterministic
     * hyperplanes (seeded client-side, inlined as literals) bucket the
     * vectors; same-bucket pairs are verified with exact cosine ≥ threshold.

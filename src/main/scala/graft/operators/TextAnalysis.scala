@@ -203,6 +203,21 @@ object TextAnalysis {
       .withColumn("pct_docs", expr(
         s"round(CAST(n_docs AS DOUBLE) / CAST($totalDocs AS DOUBLE) * 100.0, 6)"))
 
+  /** Token-length histogram: documents bucketed by whitespace-token count
+    * (`bucket = n_tokens div bucketSize`) with per-bucket doc and token
+    * volumes — the input every sequence-length / packing plan starts from.
+    * One shuffle on the (small) bucket key.
+    */
+  def tokenLengthHistogram(
+      docs: DataFrame, bucketSize: Int = 16, textCol: String = "text"): DataFrame =
+    docs
+      .select(expr(s"size(${tokensExpr(textCol)})").as("n_tokens"))
+      .groupBy(expr(s"CAST(n_tokens div $bucketSize AS INTEGER)").as("bucket"))
+      .agg(
+        expr("count(1)").as("n_docs"),
+        expr("CAST(sum(n_tokens) AS BIGINT)").as("n_tokens_total"))
+      .withColumn("bucket_lo", col("bucket") * bucketSize)
+
   /** Stratified sample by a category column with per-value fractions —
     * the mixing knob: pair with [[mixReport]] to rebalance a corpus.
     * Seeded Bernoulli sampling per stratum (`DataFrameStatFunctions

@@ -116,6 +116,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(en > 5 && en < 40, s"en stratum ~18 expected, got $en")
   }
 
+  test("tokenLengthHistogram buckets and volumes add up") {
+    val h = TextAnalysis.tokenLengthHistogram(docsDf(Seq(
+      (1L, "a b c"), (2L, ("t " * 20).trim), (3L, ("u " * 21).trim))), bucketSize = 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(h(0) == ((1L, 3L, 0)))   // the 3-token doc
+    assert(h(1) == ((2L, 41L, 16))) // the 20- and 21-token docs
+  }
+
+  test("packSequences: every doc packed once, bins respect capacity") {
+    import spark.implicits._
+    val docs = spark.createDataset(
+      (1L to 100L).map(i => (i, ("w " * (i % 37 + 1).toInt).trim)))
+      .toDF("doc_id", "text").repartition(3, col("doc_id"))
+    val packed = Packing.packSequences(docs, capacity = 64)
+    val rows = packed.collect()
+    assert(rows.map(_.getLong(0)).toSet == (1L to 100L).toSet, "every doc exactly once")
+    val byBin = rows.groupBy(_.getLong(2))
+    byBin.foreach { case (bin, rs) =>
+      val sum = rs.map(_.getInt(1)).sum
+      assert(rs.forall(_.getInt(3) == sum), s"bin $bin fill mismatch")
+      assert(sum <= 64 || rs.length == 1, s"bin $bin over capacity with multiple docs")
+    }
+    // seeded/deterministic given the same partitioning
+    val again = Packing.packSequences(docs, capacity = 64).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(2))).toSet ==
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // efficiency summary is consistent
+    val stats = Packing.packingStats(packed, capacity = 64).head()
+    assert(stats.getAs[Long]("n_bins") == byBin.size)
+  }
+
+  test("semanticDedup keeps one representative per planted cluster") {
+    val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
+    val kept = Dedup.semanticDedup(vecDf(vecs), nClusters = 8, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(kept.size == 40)
+    assert(kept(0L) && kept(1L) && kept(7L), "global minima of clusters must survive")
+    val nKept = kept.count(_._2)
+    // 8 planted clusters: ideally 8 survivors; KMeans may split a planted
+    // cluster across cells (missed cross-cell pair → extra survivor)
+    assert(nKept >= 8 && nKept <= 16, s"expected ~8 survivors, got $nKept")
+    // cross-validation: every dropped id has a smaller-id near-duplicate
+    // in the exact all-pairs relation
+    val exactPairs = Dedup.embeddingDupPairs(vecDf(vecs), threshold = 0.95, nBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    kept.filter(!_._2).keys.foreach { dropped =>
+      assert(exactPairs.exists { case (a, b) => b == dropped && a < dropped },
+        s"dropped $dropped has no smaller exact near-duplicate")
+    }
+  }
+
   test("exact dedup groups identical normalized docs") {
     val r = Dedup.exact(docsDf(dupDocs)).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("canonical_id") == 1L && r(0).getAs[Boolean]("is_canonical"))
