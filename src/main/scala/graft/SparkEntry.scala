@@ -145,6 +145,14 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    // transitive duplicate groups over the exact-Jaccard pair relation
+    "q_dup_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.components(
+        d.select(col("doc_id").as("id")),
+        Dedup.ngramJaccardPairs(d, threshold = 0.5)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+    }),
     // rows-only checks (hash functions are engine-specific):
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), threshold = 0.5)),
@@ -540,6 +548,37 @@ object SparkEntry {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
+    "q_dup_components" ->
+      """WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        prs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a)
+        SELECT d.doc_id AS id,
+          least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id""",
     "q_similarity_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
         sc AS (

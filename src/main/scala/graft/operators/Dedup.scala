@@ -237,6 +237,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-duplicate pair relation: every id is
+    * labeled with the MINIMUM id reachable through the pairs — the
+    * transitive closure that turns pairwise dedup output into duplicate
+    * GROUPS (pick `component_id` as the canonical representative).
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * (symmetrized) edge list and takes the per-vertex minimum of own and
+    * neighbor labels; converges in O(graph diameter) rounds — near-dup
+    * graphs are unions of small cliques/chains, so a handful. Every round
+    * is one hash shuffle on id; `localCheckpoint` truncates the growing
+    * lineage so round N does not replan rounds 1..N-1.
+    *
+    * @param vertices one column `id` (every id to label, matched or not)
+    * @param pairs    columns `id_a`, `id_b`
+    */
+  def components(
+      vertices: DataFrame, pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("component_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("component_id").as("__nl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("__nl").as("__nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component_id"), coalesce(col("__nmin"), col("component_id")))
+            .as("component_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component_id", "__old"), "id")
+        .filter(col("component_id") =!= col("__old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SemDeDup-shaped semantic deduplication: KMeans-cluster the embedding
     * space (coarse quantizer fit on a sample — the 100 TB posture), form
     * candidate pairs WITHIN clusters only, verify with exact cosine, and

@@ -147,6 +147,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.getAs[Long]("n_bins") == byBin.size)
   }
 
+  test("components resolves transitive duplicate chains to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus pair 10-11; 20 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val got = Dedup.components(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("semanticDedup keeps one representative per planted cluster") {
     val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
     val kept = Dedup.semanticDedup(vecDf(vecs), nClusters = 8, threshold = 0.95)
