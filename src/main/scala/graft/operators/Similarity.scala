@@ -30,44 +30,20 @@ object Similarity {
        |  * sqrt(aggregate(transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
        |           CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
 
-  /** Appends a raw `cosine` over two ARRAY<FLOAT> columns, computed in
-    * compiled code (callers apply Spark's own `round(cosine, 6)` so the
-    * rounding stays the builtin's). Accumulation order per term matches
-    * [[cosineExpr]] exactly (each accumulator folds left in array order,
-    * norms over each full array, dot over the zipped prefix), so the two
-    * formulations are bit-identical and the DuckDB oracle parity is
-    * preserved.
+  /** Appends a raw `cosine` over two ARRAY<FLOAT> columns via the native
+    * codegen expression [[graft.functions.FloatVecCosine]] (callers apply
+    * Spark's own `round(cosine, 6)` so the rounding stays the builtin's).
+    * The expression stays inside whole-stage codegen — candidate join,
+    * cosine, and threshold filter compile into one stage, with no UDF
+    * boxing and no mapPartitions encoder boundary. Accumulation order
+    * matches [[cosineExpr]] exactly, so the formulations (and the DuckDB
+    * oracle) are bit-identical.
     */
   private[operators] def withCosine(
       df: DataFrame, aCol: String, bCol: String, keep: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    import org.apache.spark.sql.types._
-    val in = df.select((keep ++ Seq(aCol, bCol)).map(col): _*)
-    val ai = in.schema.fieldIndex(aCol)
-    val bi = in.schema.fieldIndex(bCol)
-    val out = StructType(
-      keep.map(c => in.schema(c)) :+ StructField("cosine", DoubleType))
-    in.mapPartitions { it =>
-      it.map { r =>
-        val a = r.getSeq[Float](ai)
-        val b = r.getSeq[Float](bi)
-        var dot = 0.0
-        var na = 0.0
-        var nb = 0.0
-        var i = 0
-        val n = math.min(a.length, b.length)
-        while (i < n) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
-        while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
-        val c = dot / (math.sqrt(na) * math.sqrt(nb))
-        Row.fromSeq(keep.indices.map(r.get) :+ c)
-      }
-    }(RowEncoder.encoderFor(out))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select((keep.map(col) :+
+      expr(s"vec_cosine(`$aCol`, `$bCol`)").as("cosine")): _*)
   }
 
   /** Deterministic random hyperplanes (seeded), inlined as literals. */

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Native codegen expression: value parity with the HOF SQL formulation,
+  * codegen/interpreted agreement, clean type errors, extension injection.
+  */
+class VecFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-vecfn-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 2.5f), Array(1.0f, 0.0f, 2.5f)),
+      (2L, Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 0.25f)),
+      (3L, Array(0.1f, -0.7f, 0.33f), Array(0.9f, 0.2f, -0.5f)))
+      .toDF("id", "a", "b")
+  }
+
+  test("vec_cosine is bit-identical to the HOF SQL formulation") {
+    GraftFunctions.register(spark)
+    val hof = graft.operators.Similarity.cosineExpr("a", "b")
+    val rows = vecs.select(col("id"),
+      expr("vec_cosine(a, b)").as("native"), expr(hof).as("sql")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id ${r.getLong(0)}: native ${r.getDouble(1)} != sql ${r.getDouble(2)}")
+    }
+    assert(math.abs(rows.find(_.getLong(0) == 1L).get.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("codegen and interpreted paths agree") {
+    GraftFunctions.register(spark)
+    val withCodegen = vecs.select(expr("vec_cosine(a, b)")).collect().map(_.getDouble(0))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = vecs.select(expr("vec_cosine(a, b)")).collect().map(_.getDouble(0))
+      assert(withCodegen.map(java.lang.Double.doubleToLongBits).toSeq ==
+        interpreted.map(java.lang.Double.doubleToLongBits).toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("projection stays inside whole-stage codegen (no CodegenFallback)") {
+    GraftFunctions.register(spark)
+    // local Seq data constant-folds into LocalTableScan — use a real scan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(expr("vec_cosine(embedding, embedding)"))
+      .queryExecution.executedPlan.toString
+    // '*' prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l => l.contains("*") && l.contains("Project") &&
+      l.contains("vec_cosine")), s"expected codegen'd projection:\n$plan")
+    // for contrast: the HOF formulation falls OUT of codegen (the reason
+    // this expression exists) — if Spark ever compiles HOFs, revisit
+    val hofPlan = emb.select(
+      expr(graft.operators.Similarity.cosineExpr("embedding", "embedding")))
+      .queryExecution.executedPlan.toString
+    val _ = hofPlan // informational; no assertion — Spark may improve
+  }
+
+  test("wrong argument types fail analysis with the function named") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val bad = Seq((1L, "x")).toDF("id", "s")
+    val e = intercept[Exception](bad.select(expr("vec_cosine(s, s)")).collect())
+    assert(e.getMessage.contains("vec_cosine"))
+  }
+
+  test("GraftExtensions injector wires the vec_cosine builder") {
+    // a same-JVM fresh session can't be created once a session exists
+    // (getOrCreate reuses it, and extensions only apply at creation), so
+    // exercise the injector against a bare SparkSessionExtensions
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val built = GraftFunctions.functions.head._2(Seq(Literal(1f), Literal(2f)))
+    assert(built.isInstanceOf[FloatVecCosine])
+  }
+}
