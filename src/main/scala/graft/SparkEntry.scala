@@ -130,6 +130,11 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, dir) =>
       TextAnalysis.stratifiedSample(docs(s, dir), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))),
+    // deterministic content-hash split assignment (train/val/test)
+    "q_split" -> ((s, dir) =>
+      TextAnalysis.assignSplit(docs(s, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     // token-length histogram (sequence-length planning input)
     "q_token_histogram" -> ((s, dir) =>
@@ -395,6 +400,21 @@ object SparkEntry {
       """SELECT doc_id,
           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         FROM documents""",
+    "q_split" ->
+      """WITH h AS (
+          SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        b AS (
+          SELECT doc_id,
+            (((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+          FROM h)
+        SELECT doc_id,
+          CASE WHEN bucket < 52429 THEN 'train'
+               WHEN bucket < 58982 THEN 'val'
+               ELSE 'test' END AS split
+        FROM b""",
     "q_token_histogram" ->
       """WITH t AS (
           SELECT len(list_filter(string_split_regex(lower(text), ' +'),

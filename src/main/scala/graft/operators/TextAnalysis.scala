@@ -218,6 +218,38 @@ object TextAnalysis {
         expr("CAST(sum(n_tokens) AS BIGINT)").as("n_tokens_total"))
       .withColumn("bucket_lo", col("bucket") * bucketSize)
 
+  /** Deterministic train/validation/test split assignment: a document's
+    * split derives from an md5 of its id, so the assignment is stable
+    * across runs, engines, partitionings, and corpus growth (new docs
+    * never move old ones between splits — the property random splits
+    * lack). The bucket is built from the first two md5 bytes via
+    * character arithmetic, which every engine computes identically.
+    *
+    * `fractions` are (name, weight) pairs normalized over their sum,
+    * mapped onto contiguous bucket ranges of [0, 65536).
+    */
+  def assignSplit(
+      docs: DataFrame, fractions: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0), "positive weights required")
+    val total = fractions.map(_._2).sum
+    // uniform bucket in [0, 65536): the first four md5 hex digits parsed
+    // via instr (identical in Spark and DuckDB — no conv() portability)
+    def hv(k: Int) = s"(instr('0123456789abcdef', substr(__h, $k, 1)) - 1)"
+    val bucketExpr =
+      s"(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)})"
+    val bounds = fractions.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(f => math.round(f * 65536).toInt)
+    val cases = fractions.zipWithIndex.map { case ((name, _), i) =>
+      s"WHEN __bucket < ${bounds(i + 1)} THEN '$name'"
+    }.mkString(" ")
+    docs
+      .withColumn("__h", expr(s"md5(CAST($idCol AS STRING))"))
+      .withColumn("__bucket", expr(bucketExpr))
+      .withColumn("split", expr(s"CASE $cases ELSE '${fractions.last._1}' END"))
+      .drop("__h", "__bucket")
+  }
+
   /** Stratified sample by a category column with per-value fractions —
     * the mixing knob: pair with [[mixReport]] to rebalance a corpus.
     * Seeded Bernoulli sampling per stratum (`DataFrameStatFunctions

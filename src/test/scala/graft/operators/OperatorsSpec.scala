@@ -99,6 +99,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L) == ((4L, 4L, 0.0, 0.25)))
   }
 
+  test("assignSplit is deterministic with roughly proportional splits") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i => (i, "t")).toDF("doc_id", "text")
+    val s1 = TextAnalysis.assignSplit(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val s2 = TextAnalysis.assignSplit(docs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val m1 = s1.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = s2.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 == m2, "split assignment must be deterministic")
+    val counts = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 200) < 60 && math.abs(counts("test") - 200) < 60)
+    // stability under corpus growth: the first 1000 docs keep their split
+    val small = TextAnalysis.assignSplit(
+      (1L to 1000L).map(i => (i, "t")).toDF("doc_id", "text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (k, v) => m1(k) == v }, "splits must not move as data grows")
+  }
+
   test("mixReport shares sum to 100 and stratifiedSample rebalances") {
     import spark.implicits._
     val docs = spark.createDataset(
