@@ -210,6 +210,12 @@ object SparkEntry {
         expr("max(k)").as("max_k"))
     }),
 
+    // JSON auto-flatten via sampled schema inference (the OSS answer to
+    // schema_of_json_agg)
+    "q_json_flatten" -> ((s, dir) =>
+      Json.flatten(events(s, dir).select("event_id", "props"), "props")
+        .select("event_id", "k")),
+
     // ------- multimodal plumbing (deterministic stub decode, oracle-backed:
     // every selected feature is derivable from the fake header contract;
     // the rolling checksum stays engine-side, value-tested in OperatorsSpec)
@@ -465,6 +471,8 @@ object SparkEntry {
             AS repetition_ratio,
           round(CAST(mx AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS top_token_share
         FROM agg""",
+    "q_json_flatten" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events""",
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,
           CAST(octet_length(encode(text)) + 8 AS INTEGER) AS n_bytes,

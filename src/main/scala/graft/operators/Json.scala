@@ -24,6 +24,29 @@ object Json {
   /** Parse the whole column once with an explicit schema (`from_json`). */
   def parsed(df: DataFrame, jsonCol: String, schema: DataType, out: String = "parsed"): DataFrame =
     df.withColumn(out, from_json(col(jsonCol), schema))
+
+  /** Auto-flatten a JSON column into typed top-level columns. The schema is
+    * inferred by Spark's JSON reader over a driver-side SAMPLE of the
+    * payloads (a few rows — tiny and intentional), then applied with
+    * `from_json` across the full data. This is the OSS-Spark answer to
+    * Databricks' `schema_of_json_agg` (which graft rejects at compile time):
+    * infer once from a bounded sample, parse everywhere with codegen.
+    * Fields missing from a row read as NULL; fields absent from the sample
+    * are dropped — widen `sampleRows` for sparser payloads.
+    */
+  def flatten(
+      df: DataFrame, jsonCol: String, sampleRows: Int = 100,
+      prefix: String = ""): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(jsonCol)).filter(col(jsonCol).isNotNull)
+      .limit(sampleRows).as[String]
+    val inferred = spark.read.json(sample).schema
+    val parsedCol = from_json(col(jsonCol), inferred)
+    val fields = inferred.fields.map(f =>
+      parsedCol.getField(f.name).as(prefix + f.name))
+    df.select(col("*") +: fields.toIndexedSeq: _*)
+  }
 }
 
 /** Skew mitigation utilities. AQE's skew-join handling covers most join

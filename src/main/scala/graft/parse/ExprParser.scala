@@ -73,7 +73,8 @@ object ParsedExpr {
       throw CompileError(
         "Aggregate function 'schema_of_json_agg' is Databricks-only and has no " +
           "OSS Spark equivalent; derive the schema with " +
-          "schema_of_json('<literal sample json>') instead")
+          "schema_of_json('<literal sample json>'), or flatten the column with " +
+          "graft.operators.Json.flatten (sampled schema inference)")
     val d = if (distinct) "DISTINCT " else ""
     s"$func($d$inner)"
   }

@@ -7,6 +7,22 @@ import org.scalatest.BeforeAndAfterAll
 
 class SkewJsonSpec extends AnyFunSuite with BeforeAndAfterAll {
 
+  test("Json.flatten infers schema from a sample and types the columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 5, "tag": "a"}"""),
+      (2L, """{"k": 7}"""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "js")
+    val flat = graft.operators.Json.flatten(df, "js")
+    assert(flat.columns.toSeq == Seq("id", "js", "k", "tag"))
+    val m = flat.collect().map(r => r.getLong(0) ->
+      (Option(r.get(r.fieldIndex("k"))), Option(r.get(r.fieldIndex("tag"))))).toMap
+    assert(m(1L) == ((Some(5L), Some("a"))))
+    assert(m(2L) == ((Some(7L), None))) // field absent in row → NULL
+    assert(m(3L) == ((None, None)))     // null payload → all NULL
+  }
+
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-skewjson-test")
