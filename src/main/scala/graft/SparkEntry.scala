@@ -150,6 +150,13 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    // benchmark decontamination: corpus docs sharing n-grams with a probe
+    // set (first 25 docs standing in for an eval benchmark)
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.ngramContamination(d, d.filter(col("doc_id") < 25), minOverlap = 3)
+        .filter(col("doc_id") =!= col("probe_id"))
+    }),
     // transitive duplicate groups over the exact-Jaccard pair relation
     "q_dup_components" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -576,6 +583,23 @@ object SparkEntry {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
+    "q_contamination" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 1000)
+        SELECT c.doc_id, p.doc_id AS probe_id, count(*) AS overlap_ngrams
+        FROM capped c JOIN sh p ON c.shingle = p.shingle AND p.doc_id < 25
+        WHERE c.doc_id != p.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3""",
     "q_dup_components" ->
       """WITH RECURSIVE toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk

@@ -237,6 +237,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minOverlap` distinct word n-grams with any probe (benchmark/eval)
+    * document. The bipartite analog of [[ngramJaccardPairs]]: the probe
+    * set's inverted index is the JOIN side — typically tiny next to the
+    * corpus, so candidates are bounded by probe shingle matches, never
+    * corpus²; the corpus is scanned once.
+    */
+  def ngramContamination(
+      docs: DataFrame, probes: DataFrame, textCol: String = "text", n: Int = 3,
+      minOverlap: Int = 3, maxShingleFreq: Int = 1000): DataFrame = {
+    def index(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), explode(expr(shingleExpr(textCol, n))).as("shingle"))
+    val corpusIdx = index(docs, "doc_id")
+      .withColumn("__f", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("__f") <= maxShingleFreq)
+      .select("doc_id", "shingle")
+    val probeIdx = index(probes, "probe_id")
+    corpusIdx.join(probeIdx, "shingle")
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .filter(col("overlap_ngrams") >= minOverlap)
+  }
+
   /** Connected components over a near-duplicate pair relation: every id is
     * labeled with the MINIMUM id reachable through the pairs — the
     * transitive closure that turns pairwise dedup output into duplicate

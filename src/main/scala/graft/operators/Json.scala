@@ -32,7 +32,9 @@ object Json {
     * Databricks' `schema_of_json_agg` (which graft rejects at compile time):
     * infer once from a bounded sample, parse everywhere with codegen.
     * Fields missing from a row read as NULL; fields absent from the sample
-    * are dropped — widen `sampleRows` for sparser payloads.
+    * are dropped — widen `sampleRows` for sparser payloads. Note `limit`
+    * takes an arbitrary subset: for strictly reproducible schemas over
+    * heterogeneous payloads, pass `sampleRows` ≥ corpus size or pre-sort.
     */
   def flatten(
       df: DataFrame, jsonCol: String, sampleRows: Int = 100,

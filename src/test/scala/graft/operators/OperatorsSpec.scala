@@ -167,6 +167,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.getAs[Long]("n_bins") == byBin.size)
   }
 
+  test("ngramContamination flags docs sharing n-gram runs with probes") {
+    val corpus = docsDf(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta unique tail here"),
+      (101L, "totally different words with no shared runs at all")))
+    val probes = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta")))  // 4 shared trigrams
+    val hits = Dedup.ngramContamination(corpus, probes, minOverlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((100L, 1L, 4L)), s"got ${hits.toSeq}")
+  }
+
   test("components resolves transitive duplicate chains to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 plus pair 10-11; 20 isolated
