@@ -247,13 +247,27 @@ object Dedup {
   def ngramContamination(
       docs: DataFrame, probes: DataFrame, textCol: String = "text", n: Int = 3,
       minOverlap: Int = 3, maxShingleFreq: Int = 1000): DataFrame = {
+    // stage the token array in its own projection before the shingle
+    // transform: inlined, the transform's slice() lambda re-tokenizes the
+    // text once PER EMITTED SHINGLE (lambda bodies re-evaluate their free
+    // sub-expressions per element; Generate doesn't collapse into its
+    // child Project, so the staged column computes once per row)
     def index(df: DataFrame, idAs: String) = df
-      .select(col("doc_id").as(idAs), explode(expr(shingleExpr(textCol, n))).as("shingle"))
+      .select(col("doc_id").as(idAs),
+        expr(TextAnalysis.tokensExpr(textCol)).as("__tk"))
+      .select(col(idAs), explode(expr(
+        s"""array_distinct(transform(
+           |  sequence(0, greatest(size(__tk) - $n, 0)),
+           |  i -> array_join(slice(__tk, i + 1, $n), ' ')))""".stripMargin))
+        .as("shingle"))
     val corpusIdx = index(docs, "doc_id")
       .withColumn("__f", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("__f") <= maxShingleFreq)
       .select("doc_id", "shingle")
-    val probeIdx = index(probes, "probe_id")
+    // the probe set is a benchmark suite — small by definition: broadcast
+    // it so the corpus index never shuffles for the join (the cap window
+    // remains the only corpus exchange)
+    val probeIdx = broadcast(index(probes, "probe_id"))
     corpusIdx.join(probeIdx, "shingle")
       .groupBy("doc_id", "probe_id")
       .agg(count(lit(1)).as("overlap_ngrams"))
