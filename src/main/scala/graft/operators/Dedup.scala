@@ -36,23 +36,30 @@ object Dedup {
        |  i -> array_join(slice($toks, i + 1, $n), ' ')))""".stripMargin
   }
 
-  /** Exact n-gram Jaccard duplicate pairs via a shingle inverted index:
-    * explode distinct shingles, self-join on shingle (skipping shingles
+  /** EXACT n-gram Jaccard duplicate pairs via a shingle inverted index —
+    * the ORACLE/TEST-PATH sibling of [[minhashPairs]], which is the default
+    * near-duplicate entry point at scale. The inverted index is exact but
+    * its candidate-join fan-out grows with duplicate density (superlinear
+    * on adversarial corpora); MinHash bounds fan-out at #bands per
+    * document. Use this form to validate MinHash parameter choices on a
+    * sample, not to sweep a 100 TB corpus.
+    *
+    * Explodes distinct shingles, self-joins on shingle (skipping shingles
     * shared by more than `maxShingleFreq` docs — stopword-gram blowup
-    * guard), then verify exact Jaccard ≥ threshold from the true
+    * guard), then verifies exact Jaccard ≥ threshold from the true
     * intersection size. Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
     *
     * Plan shape: the index is built ONCE. Per-doc shingle counts are
     * computed as `size(shingles)` before the explode (no groupBy, no
     * re-join against a second index build — r1's version built the explode
-    * up to 3× in one plan) and carried through the candidate join; the
-    * single remaining shared subtree (the capped index, which feeds both
-    * sides of the self-join) is persisted so AQE/broadcast replanning can
-    * never recompute it.
-    *
-    * At 100 TB prefer [[minhashPairs]]: the inverted index is exact but its
-    * join fan-out grows with document similarity density; MinHash bounds
-    * the fan-out at #bands per document.
+    * up to 3× in one plan) and carried through the candidate join. The
+    * capped index feeds both sides of the self-join, so it is persisted for
+    * the duration of ONE eager materialization of the (small) pair result
+    * and unpersisted before returning — same cache discipline as
+    * [[components]]; r2's version leaked a corpus-sized cached index per
+    * invocation. The returned frame is the localCheckpointed pair list:
+    * lineage is truncated, so downstream replanning can never rebuild the
+    * index either.
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String = "text", n: Int = 3,
@@ -65,7 +72,7 @@ object Dedup {
       .filter(col("__f") <= maxShingleFreq)
       .select("doc_id", "n_sh", "shingle")
       .persist()
-    idx.as("a").join(idx.as("b"),
+    val pairs = idx.as("a").join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
@@ -74,6 +81,9 @@ object Dedup {
         expr("round(CAST(inter AS DOUBLE) / CAST(sh_a + sh_b - inter AS DOUBLE), 6)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // eager: runs the pair job while idx is cached
+    idx.unpersist()
+    pairs
   }
 
   /** MinHash + LSH near-duplicate pairs: k minhashes over shingle hashes,

@@ -32,9 +32,16 @@ object Json {
     * Databricks' `schema_of_json_agg` (which graft rejects at compile time):
     * infer once from a bounded sample, parse everywhere with codegen.
     * Fields missing from a row read as NULL; fields absent from the sample
-    * are dropped — widen `sampleRows` for sparser payloads. Note `limit`
-    * takes an arbitrary subset: for strictly reproducible schemas over
-    * heterogeneous payloads, pass `sampleRows` ≥ corpus size or pre-sort.
+    * are dropped — widen `sampleRows` for sparser payloads.
+    *
+    * The sample is DETERMINISTIC: the `sampleRows` payloads with the
+    * smallest `xxhash64(payload)` (content-derived order, so the inferred
+    * schema is identical across runs, partitionings, and shuffled inputs —
+    * a bare `limit` takes an arbitrary subset and can compile a
+    * heterogeneous corpus to different schemas run-to-run). Hash order also
+    * spreads the sample across payload shapes instead of favoring any
+    * storage order. Plan cost: one TakeOrderedAndProject over the scan —
+    * no full sort, no shuffle.
     */
   def flatten(
       df: DataFrame, jsonCol: String, sampleRows: Int = 100,
@@ -42,6 +49,7 @@ object Json {
     val spark = df.sparkSession
     import spark.implicits._
     val sample = df.select(col(jsonCol)).filter(col(jsonCol).isNotNull)
+      .orderBy(xxhash64(col(jsonCol)), col(jsonCol))
       .limit(sampleRows).as[String]
     val inferred = spark.read.json(sample).schema
     val parsedCol = from_json(col(jsonCol), inferred)

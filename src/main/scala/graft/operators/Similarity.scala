@@ -135,19 +135,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF (inverted-file) ANN top-k: MLlib KMeans partitions the corpus into
-    * `nLists` cells; each query probes its `nProbe` nearest cells only.
-    * The classic trade: nProbe/nLists bounds the scanned corpus fraction,
-    * recall follows cell locality. The corpus is clustered ONCE (model
-    * reusable across query batches); candidate generation is an equi-join
-    * on cell id — shuffle-on-key, no cartesian, the standard 100 TB ANN
-    * shape (same plan as FAISS IVF-Flat, distributed).
+  /** A fitted IVF index: the coarse-quantizer centroids (tiny — lives on
+    * the driver / in task closures) plus the cell-assigned corpus. The
+    * FAISS IVF discipline is train-once / probe-many: fit the index with
+    * [[ivfFit]] (expensive — an iterative KMeans job plus one corpus
+    * assignment pass), persist or materialize `assigned` (it is a plain
+    * DataFrame — `persist()` it across query batches, or write it
+    * bucketed by `__cell` as the 100 TB form), then serve every query
+    * batch through [[cosineTopKIvfProbe]], which only joins against the
+    * probed cells and never re-clusters.
     */
-  def cosineTopKIvf(
-      corpus: DataFrame, queries: DataFrame, k: Int,
+  final case class IvfIndex(
+      centroids: Array[Array[Double]], assigned: DataFrame,
+      vecCol: String, idCol: String)
+
+  /** Fits the IVF coarse quantizer and assigns every corpus row to its
+    * cell. Run ONCE per corpus; reuse the returned index across query
+    * batches (r2 re-ran this inside every query invocation — the
+    * scale-killer this split removes).
+    */
+  def ivfFit(
+      corpus: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-      fitSampleFraction: Double = 1.0): DataFrame = {
+      nLists: Int = 16, seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(fitSampleFraction > 0 && fitSampleFraction <= 1.0,
@@ -164,8 +175,18 @@ object Similarity {
       .setFeaturesCol("__v").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(featured)
       .select(col(idCol), col(vecCol), col("__cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned, vecCol, idCol)
+  }
 
+  /** Probe path of IVF ANN top-k: each query batch touches only its
+    * `nProbe` nearest cells of a previously fitted [[IvfIndex]] —
+    * candidate generation is an equi-join on cell id (shuffle-on-key, no
+    * cartesian; broadcast on the exploded query side). No clustering and
+    * no corpus re-assignment happens here.
+    */
+  def cosineTopKIvfProbe(
+      index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val IvfIndex(centroids, assigned, vecCol, idCol) = index
     // per-query nProbe nearest cells, compiled row-local (centroids are a
     // tiny driver array shipped in the closure)
     import org.apache.spark.sql.Row
@@ -204,6 +225,18 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** One-shot convenience: [[ivfFit]] + [[cosineTopKIvfProbe]]. Pays the
+    * KMeans fit per call — for repeated batches fit once and probe.
+    */
+  def cosineTopKIvf(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): DataFrame =
+    cosineTopKIvfProbe(
+      ivfFit(corpus, vecCol, idCol, nLists, seed, fitSampleFraction),
+      queries, k, nProbe)
 
   /** Multi-table sign-LSH ANN top-k: `tables` independent hyperplane sets;
     * a corpus row is a candidate when it collides with the query in ANY

@@ -116,6 +116,49 @@ object Events {
       .toDF("user_id", "session_start", "session_end", "n_events", "value_cents")
   }
 
+  /** Bounded-evidence streaming form of [[hourlyStatsBatch]]: the same
+    * tumbling-window aggregation as [[hourlyStatsStream]] but with exact
+    * counts and COMPLETE output mode semantics in mind — on a bounded
+    * source an AvailableNow run must emit every window, and append mode
+    * would hold back windows newer than the final watermark (bounded
+    * inputs end before that state ever times out). Run it with
+    * [[runAvailableNow]]; the result is value-identical to the batch form,
+    * so the batch DuckDB oracle applies.
+    */
+  def hourlyStatsStreamBounded(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Executes a streaming DataFrame over its bounded source with an
+    * AvailableNow trigger into an in-memory table and returns the result
+    * as a batch DataFrame — the cross-engine evidence path for the
+    * streaming forms (a DuckDB oracle can only compare materialized rows).
+    * `complete = true` for streaming aggregations (every group emitted at
+    * the end); `false` (append) for flatMapGroupsWithState, where rows
+    * emit on session close/timeout.
+    */
+  def runAvailableNow(
+      spark: SparkSession, df: DataFrame, complete: Boolean): DataFrame = {
+    val name = s"graft_stream_run_${runCounter.incrementAndGet()}"
+    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) OutputMode.Complete() else OutputMode.Append())
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Read the events parquet (nanosecond timestamps — Spark reads them as
     * LONG via the legacy conf, then converts to microsecond timestamps).
     */

@@ -84,7 +84,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 'a' appears everywhere (df=2) → score ≤ 2*2/2=2;
     // 'y' 2× in doc 2 only → 2*2/1=4 beats ubiquitous 'a'
     val t = TextAnalysis.topTerms(docsDf(Seq(
-      (1L, "x x x a"), (2L, "a a y y"))), totalDocs = 2, k = 2)
+      (1L, "x x x a"), (2L, "a a y y"))), k = 2)
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
     assert(t((1L, 1)) == "x")
     assert(t((2L, 1)) == "y")
@@ -124,7 +124,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = spark.createDataset(
       (1L to 80L).map(i => (i, "t " * 5, if (i <= 60) "en" else "de", s"src${i % 2}")))
       .toDF("doc_id", "text", "lang", "source")
-    val mix = TextAnalysis.mixReport(docs, totalDocs = 80)
+    val mix = TextAnalysis.mixReport(docs)
     assert(math.abs(mix.agg(sum("pct_docs")).head().getDouble(0) - 100.0) < 1e-6)
     assert(mix.filter(col("lang") === "en").agg(sum("n_docs")).head().getLong(0) == 60)
     // rebalance: downsample the dominant stratum; seeded → deterministic
