@@ -4,7 +4,7 @@ import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
 import graft.operators.{CorpusPipeline, Dedup, Json, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,10 +69,17 @@ object SparkEntry {
     "q_nation_suppliers" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_nation",
         "n_nationkey", "n_name", "supplier_cnt", "supplier_acctbal_cents")),
-    // A5: percentile/median/collection/boolean aggregates over an M path
+    // A5: percentile/median/collection/boolean aggregates over an M path.
+    // has_open_order is coalesced to FALSE in the COMPARED projection only
+    // (both sides): a NULL boolean renders as None via pyarrow but NaN via
+    // DuckDB's pandas reader — the same two-reader divergence class as
+    // q_part_decimal. The hub keeps the nullable column (reference
+    // semantics: empty aggregate → NULL).
     "q_customer_percentiles" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_customer",
-        "c_custkey", "median_order", "p25_order", "statuses", "has_open_order")),
+        "c_custkey", "median_order", "p25_order", "statuses", "has_open_order")
+        .withColumn("has_open_order",
+          coalesce(col("has_open_order"), lit(false)))),
     // A4: HLL++ approximate distinct (rows-only: sketch is engine-specific)
     "q_customer_approx" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_customer", "c_custkey", "approx_orders")),
@@ -125,10 +132,14 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) => TextAnalysis.topTerms(docs(s, dir), k = 5)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     "q_mix_report" -> ((s, dir) => TextAnalysis.mixReport(docs(s, dir))),
-    // rows-only (seeded Bernoulli sampling is engine-specific)
+    // deterministic hash-threshold stratified sample — DuckDB computes the
+    // identical md5-bucket arithmetic, so the selected row SET is the
+    // oracle (seeded Bernoulli `stratifiedSample` remains the fast
+    // engine-specific sibling, spec-covered)
     "q_stratified_sample" -> ((s, dir) =>
-      TextAnalysis.stratifiedSample(docs(s, dir), "lang",
-        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))),
+      TextAnalysis.stratifiedSampleHash(docs(s, dir), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
+        .select("doc_id", "lang")),
     // deterministic content-hash split assignment (train/val/test)
     "q_split" -> ((s, dir) =>
       TextAnalysis.assignSplit(docs(s, dir),
@@ -138,10 +149,18 @@ object SparkEntry {
     // token-length histogram (sequence-length planning input)
     "q_token_histogram" -> ((s, dir) =>
       TextAnalysis.tokenLengthHistogram(docs(s, dir), bucketSize = 16)),
-    // rows-only: bin ids depend on partition-local packing
-    "q_pack_sequences" -> ((s, dir) =>
-      graft.operators.Packing.packSequences(docs(s, dir), capacity = 256)),
-    // rows-only: KMeans cells are engine-specific; cross-validated in spec
+    // engine-portable packing invariants (bin IDS are partition-local by
+    // design — the conserved aggregates + FFD guarantees are the
+    // oracle-able face; row-level packing is spec-covered)
+    "q_pack_invariants" -> ((s, dir) =>
+      graft.operators.Packing.packingInvariants(docs(s, dir), capacity = 256)),
+    // SemDeDup keep/drop decisions vs the DuckDB global brute force: a
+    // vector is dropped iff a smaller-id near-duplicate shares its KMeans
+    // cell; the global criterion (any smaller-id near-duplicate) coincides
+    // whenever clustering splits no duplicate pair — on this corpus the
+    // oracle itself proves there are no cosine≥0.9 pairs at all, so the
+    // two criteria agree exactly and the full (vec_id, is_kept) relation
+    // is oracle-checked
     "q_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedup(embeds(s, dir), nClusters = 16, threshold = 0.9,
         fitSampleFraction = 0.5)),
@@ -164,10 +183,24 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(d, threshold = 0.5)
           .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
     }),
-    // rows-only checks (hash functions are engine-specific):
+    // MinHash-LSH verified pairs: every candidate is verified with EXACT
+    // Jaccard, so precision is 1 by construction, and at these banding
+    // parameters recall over this corpus is total — the exact inverted-
+    // index sibling's pair set (incl. jaccard values) IS the oracle. A
+    // recall miss would surface as a hash-fail, which is precisely the
+    // regression this row guards against.
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), threshold = 0.5)),
+    // rows-only: the 64-bit signature is engine-specific (Spark XXH64) and
+    // Hamming proximity is a genuinely different similarity notion from
+    // n-gram Jaccard (it misses 2 of the 25 jaccard≥0.5 pairs here), so no
+    // cross-engine oracle exists; cross-validated in OperatorsSpec
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    // sign-LSH near-dup pairs, verified with exact cosine: precision 1 by
+    // construction, and the DuckDB all-pairs brute force independently
+    // certifies this corpus has NO pairs at cosine ≥ 0.9 (max pairwise
+    // cosine ≈ 0.51) — so set equality with the exact sibling is the
+    // oracle, empty on both sides
     "q_embed_dup_pairs" -> ((s, dir) =>
       Dedup.embeddingDupPairs(embeds(s, dir), threshold = 0.9)),
     "q_similarity_topk" -> ((s, dir) => {
@@ -199,6 +232,28 @@ object SparkEntry {
       graft.streaming.Events.hourlyStatsBatch(events(s, dir))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Events.sessionizeBatch(events(s, dir))),
+    // STREAMING driver evidence: the same aggregations executed as real
+    // Structured Streaming queries (readStream → AvailableNow → memory
+    // sink) over the bounded file source, value-identical to the batch
+    // forms — so the batch DuckDB oracles apply to the streaming engine
+    // path itself. Complete mode emits every window at end-of-stream.
+    "q_events_hourly_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      val staged = e.stageStreamDir(s, s"$dir/events.parquet")
+      e.runAvailableNow(s,
+        e.hourlyStatsStreamBounded(e.readEventsStream(s, staged)), complete = true)
+    }),
+    // flatMapGroupsWithState sessionization in append mode: a far-future
+    // close sentinel per user (stageStreamDir) makes every REAL session
+    // close inside the single AvailableNow batch, so the emitted set is
+    // exactly the batch sessionization (sentinel sessions stay in state,
+    // never emitted; stream output carries no session_seq)
+    "q_sessionize_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      val staged = e.stageStreamDir(s, s"$dir/events.parquet", closeSentinel = true)
+      e.runAvailableNow(s,
+        e.sessionizeStream(s, e.readEventsStream(s, staged)), complete = false)
+    }),
 
     // skew-safe two-phase (salted) aggregation: the result is
     // salt-invariant, so the plain GROUP BY is its exact oracle
@@ -303,7 +358,7 @@ object SparkEntry {
           a.med AS median_order,
           a.p25 AS p25_order,
           coalesce(array_to_string(a.sts, ','), '') AS statuses,
-          a.open AS has_open_order
+          coalesce(a.open, FALSE) AS has_open_order
         FROM customer c
         LEFT JOIN (SELECT o_custkey,
                      median(o_totalprice) med,
@@ -696,5 +751,106 @@ object SparkEntry {
           min(ts) AS session_start, max(ts) AS session_end,
           count(*) AS n_events,
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        FROM s GROUP BY 1, 2""")
+        FROM s GROUP BY 1, 2""",
+    // MinHash-LSH pairs are exact-verified, so the exact inverted-index
+    // sibling (same SQL as q_ngram_jaccard) is the oracle.
+    "q_minhash_pairs" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
+    // Sign-LSH near-dup pairs are exact-cosine-verified; the DuckDB
+    // all-pairs brute force is the exact sibling (empty at 0.9 on this
+    // corpus — independently certified by the oracle itself).
+    "q_embed_dup_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9""",
+    // Global brute-force keep/drop: is_kept iff no smaller-id vector is a
+    // cosine≥0.9 near-duplicate (coincides with the within-cluster
+    // criterion because the corpus has no such pairs — see query comment).
+    "q_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id, NOT EXISTS (
+            SELECT 1 FROM e b WHERE b.vec_id < a.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+          ) AS is_kept
+        FROM e a""",
+    // Identical md5-bucket arithmetic as the engine's stratifiedSampleHash
+    // (and q_split): bucket = first 4 md5 hex digits of 'doc_id|lang'.
+    "q_stratified_sample" ->
+      """WITH h AS (
+          SELECT doc_id, lang,
+            md5(CAST(doc_id AS VARCHAR) || '|' || lang) AS m
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang,
+            (((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+          FROM h)
+        SELECT doc_id, lang FROM b
+        WHERE bucket < CASE lang
+          WHEN 'de' THEN 16384 WHEN 'en' THEN 32768 WHEN 'es' THEN 16384
+          WHEN 'fr' THEN 16384 WHEN 'zh' THEN 6554 ELSE 0 END""",
+    // Conservation + FFD invariants: n_docs/n_tokens computed directly
+    // over the corpus; the boolean invariants must hold by construction.
+    "q_pack_invariants" ->
+      """SELECT count(*) AS n_docs,
+          CAST(sum(len(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''))) AS BIGINT) AS n_tokens,
+          TRUE AS fill_consistent, TRUE AS max_fill_ok,
+          TRUE AS bins_lower_ok, TRUE AS underfull_ok
+        FROM documents""",
+    // Streaming forms are value-identical to the batch forms, so the batch
+    // oracles apply (minus n_users / session_seq, which the streaming
+    // shapes do not emit).
+    "q_events_hourly_stream" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        GROUP BY 1, 2""",
+    "q_sessionize_stream" ->
+      """WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        t AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                 THEN 1 ELSE 0 END AS ns
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq
+          FROM t)
+        SELECT user_id,
+          min(ts) AS session_start, max(ts) AS session_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, session_seq""")
 }

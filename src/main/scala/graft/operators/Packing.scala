@@ -59,6 +59,55 @@ object Packing {
     packed
   }
 
+  /** Engine-portable packing invariants as a single row — the oracle-able
+    * face of [[packSequences]] (whose bin ids are partition-local by
+    * design and thus engine-specific):
+    *
+    *  - `n_docs` / `n_tokens`: conservation — every document is packed
+    *    exactly once and token mass is preserved, so both equal the same
+    *    aggregates computed directly over the source corpus (the DuckDB
+    *    oracle's side of the compare).
+    *  - `fill_consistent`: every bin's recorded `bin_fill` equals the sum
+    *    of its members' token counts (all members agree on the value).
+    *  - `max_fill_ok`: no bin exceeds capacity, except a singleton bin
+    *    holding one oversized (> capacity) document — the documented
+    *    oversize contract.
+    *  - `bins_lower_ok`: bin count ≥ ceil(total tokens / capacity), the
+    *    information-theoretic lower bound (no packer can do better).
+    *  - `underfull_ok`: at most one bin per partition is ≤ half full —
+    *    the first-fit guarantee (two half-empty bins would have been
+    *    merged), per FFD instance (= partition; partition id sits in the
+    *    bin id's high 32 bits).
+    *
+    * The booleans are computed engine-side and must all be TRUE; the
+    * oracle states the same invariants as literals next to its own exact
+    * `n_docs`/`n_tokens` computation.
+    */
+  def packingInvariants(
+      docs: DataFrame, capacity: Int, textCol: String = "text"): DataFrame = {
+    val packed = packSequences(docs, capacity, textCol)
+    val bins = packed.groupBy("bin_id").agg(
+      sum(col("n_tokens").cast("long")).as("tok_sum"),
+      min("bin_fill").as("fill_min"), max("bin_fill").as("fill_max"),
+      count(lit(1)).as("n_docs_bin"), max("n_tokens").as("max_doc"))
+    bins.select(
+      col("tok_sum"), col("n_docs_bin"),
+      (col("fill_min") === col("fill_max") && col("tok_sum") === col("fill_max"))
+        .as("consistent"),
+      (col("fill_max") <= capacity ||
+        (col("n_docs_bin") === 1 && col("max_doc") > capacity)).as("cap_ok"),
+      (col("fill_max") <= capacity / 2).as("underfull"),
+      expr("shiftright(bin_id, 32)").as("part_id"))
+    .agg(
+      sum("n_docs_bin").as("n_docs"),
+      sum("tok_sum").as("n_tokens"),
+      expr("bool_and(consistent)").as("fill_consistent"),
+      expr("bool_and(cap_ok)").as("max_fill_ok"),
+      (count(lit(1)) * capacity >= sum("tok_sum")).as("bins_lower_ok"),
+      (sum(col("underfull").cast("long")) <=
+        expr("count(DISTINCT part_id)")).as("underfull_ok"))
+  }
+
   /** Packing efficiency summary: bins, mean fill ratio, padding waste. */
   def packingStats(packed: DataFrame, capacity: Int): DataFrame =
     packed

@@ -159,6 +159,49 @@ object Events {
     spark.table(name)
   }
 
+  /** Stage a bounded events parquet file into a fresh directory for
+    * FileStreamSource (which needs a directory, not a file). With
+    * `closeSentinel = true`, a second parquet of one far-future event per
+    * user (ts = max ts + 10 days, event_id = -1) is staged alongside: in
+    * the single AvailableNow batch the sentinel breaks every user's last
+    * real session inside the flatMapGroupsWithState function, so EVERY
+    * real session emits in append mode, while the sentinel sessions
+    * themselves stay in state (their event-time timeout lies beyond the
+    * final watermark) and are never emitted. This is bounded-evidence
+    * harness plumbing — a production stream closes sessions by watermark
+    * timeout as events keep arriving; the driver-side max(ts) lookup here
+    * is staging cost, not part of the streaming plan.
+    */
+  def stageStreamDir(
+      spark: SparkSession, eventsParquet: String,
+      closeSentinel: Boolean = false): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(eventsParquet), dir.resolve("events.parquet"))
+    if (closeSentinel) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(eventsParquet) // ts: LONG nanoseconds
+      val maxTs = raw.agg(max("ts")).head().getLong(0)
+      val tenDaysNs = 10L * 24 * 3600 * 1000 * 1000 * 1000
+      val sentinels = raw.select("user_id").distinct()
+        .select(
+          lit(-1L).as("event_id"),
+          lit(maxTs + tenDaysNs).as("ts"),
+          col("user_id"),
+          lit("__close").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+      val tmpOut = java.nio.file.Files.createTempDirectory("graft_sentinel")
+        .resolve("out").toString
+      sentinels.coalesce(1).write.parquet(tmpOut)
+      val part = new java.io.File(tmpOut).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel parquet not written"))
+      java.nio.file.Files.copy(part.toPath, dir.resolve("zz_sentinel.parquet"))
+    }
+    dir.toString
+  }
+
   /** Read the events parquet (nanosecond timestamps — Spark reads them as
     * LONG via the legacy conf, then converts to microsecond timestamps).
     */

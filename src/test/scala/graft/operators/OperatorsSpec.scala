@@ -167,6 +167,53 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.getAs[Long]("n_bins") == byBin.size)
   }
 
+  test("packingInvariants: conservation + FFD booleans, incl. oversize contract") {
+    import spark.implicits._
+    // one oversized doc (100 tokens > capacity 64) must land alone in its
+    // bin without tripping max_fill_ok
+    val docs = spark.createDataset(
+      (1L to 50L).map(i => (i, ("w " * (i % 37 + 1).toInt).trim)) :+
+        (51L, ("w " * 100).trim))
+      .toDF("doc_id", "text").repartition(3, col("doc_id"))
+    val inv = Packing.packingInvariants(docs, capacity = 64).head()
+    assert(inv.getAs[Long]("n_docs") == 51)
+    val expectedTokens = (1L to 50L).map(i => i % 37 + 1).sum + 100
+    assert(inv.getAs[Long]("n_tokens") == expectedTokens)
+    assert(inv.getAs[Boolean]("fill_consistent"))
+    assert(inv.getAs[Boolean]("max_fill_ok"))
+    assert(inv.getAs[Boolean]("bins_lower_ok"))
+    assert(inv.getAs[Boolean]("underfull_ok"))
+  }
+
+  test("stratifiedSampleHash: deterministic, partition-invariant, growth-stable") {
+    import spark.implicits._
+    val docs = spark.createDataset(
+      (1L to 400L).map(i => (i, "txt", if (i % 4 == 0) "de" else "en")))
+      .toDF("doc_id", "text", "lang")
+    val fr = Map("en" -> 0.5, "de" -> 0.25)
+    val s1 = TextAnalysis.stratifiedSampleHash(docs, "lang", fr)
+      .select("doc_id").as[Long].collect().toSet
+    // identical set under a different partitioning (content-derived fate)
+    val s2 = TextAnalysis.stratifiedSampleHash(
+      docs.repartition(7, col("text")), "lang", fr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    // growth-stable: sampling a superset never changes an existing doc's fate
+    val grown = spark.createDataset(
+      (1L to 600L).map(i => (i, "txt", if (i % 4 == 0) "de" else "en")))
+      .toDF("doc_id", "text", "lang")
+    val s3 = TextAnalysis.stratifiedSampleHash(grown, "lang", fr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.filter(_ <= 400L) == s1, "existing docs' fate must not move as data grows")
+    // realized fractions near targets (±15pp at n=300/100) and strata
+    // missing from the map are dropped
+    val en = s1.count(i => i % 4 != 0).toDouble / 300.0
+    val de = s1.count(i => i % 4 == 0).toDouble / 100.0
+    assert(math.abs(en - 0.5) < 0.15 && math.abs(de - 0.25) < 0.15)
+    assert(TextAnalysis.stratifiedSampleHash(docs, "lang", Map("de" -> 1.0))
+      .filter(col("lang") === "en").count() == 0)
+  }
+
   test("ngramContamination flags docs sharing n-gram runs with probes") {
     val corpus = docsDf(Seq(
       (100L, "alpha beta gamma delta epsilon zeta unique tail here"),

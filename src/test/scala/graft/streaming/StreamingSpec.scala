@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() > 0, "no sessions emitted")
   }
 
+  test("sessionize stream with close sentinel emits EXACTLY the batch sessions") {
+    val staged = Events.stageStreamDir(
+      spark, s"$sfDir/events.parquet", closeSentinel = true)
+    val got = Events.runAvailableNow(spark,
+      Events.sessionizeStream(spark, Events.readEventsStream(spark, staged)),
+      complete = false)
+    val batch = Events.sessionizeBatch(events)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_cents"))
+    assert(got.count() == batch.count(), "sentinel must close every real session")
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "streamed sessions must equal batch sessions exactly")
+  }
+
+  test("bounded hourly stream (complete mode) equals batch exactly") {
+    val staged = Events.stageStreamDir(spark, s"$sfDir/events.parquet")
+    val got = Events.runAvailableNow(spark,
+      Events.hourlyStatsStreamBounded(Events.readEventsStream(spark, staged)),
+      complete = true)
+    val batch = Events.hourlyStatsBatch(events)
+      .select("hour_start", "event_type", "n_events", "value_cents")
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0)
+  }
+
   test("streaming dedup drops watermark-window duplicates, matches batch") {
     // duplicate every event id by staging the fixture twice
     val d = Files.createTempDirectory("graftdup")
