@@ -175,12 +175,16 @@ object SparkEntry {
       Dedup.ngramContamination(d, d.filter(col("doc_id") < 25), minOverlap = 3)
         .filter(col("doc_id") =!= col("probe_id"))
     }),
-    // transitive duplicate groups over the exact-Jaccard pair relation
+    // transitive duplicate groups, with MinHash-LSH as the edge generator —
+    // the documented default/scale path (bounded fan-out); its pair set is
+    // value-equal to the exact inverted-index sibling (oracle-proven by
+    // q_minhash_pairs), so the WITH RECURSIVE closure over exact pairs
+    // remains the oracle
     "q_dup_components" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.components(
         d.select(col("doc_id").as("id")),
-        Dedup.ngramJaccardPairs(d, threshold = 0.5)
+        Dedup.minhashPairs(d, threshold = 0.5)
           .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
     }),
     // MinHash-LSH verified pairs: every candidate is verified with EXACT
