@@ -161,9 +161,10 @@ object SparkEntry {
     // oracle itself proves there are no cosine≥0.9 pairs at all, so the
     // two criteria agree exactly and the full (vec_id, is_kept) relation
     // is oracle-checked
+    // reuses the memoized IVF coarse clustering (identical KMeans params):
+    // one fit serves both ANN probes and semantic dedup
     "q_semantic_dedup" -> ((s, dir) =>
-      Dedup.semanticDedup(embeds(s, dir), nClusters = 16, threshold = 0.9,
-        fitSampleFraction = 0.5)),
+      Dedup.semanticDedupFromCells(ivfIndex(s, dir).assigned, threshold = 0.9)),
     // composed cleaning recipe: dedup + quality floor + language filter
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>

@@ -28,13 +28,17 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
 
-  /** Word n-gram shingle array (distinct, lower-cased). */
-  def shingleExpr(textCol: String, n: Int): String = {
-    val toks = TextAnalysis.tokensExpr(textCol)
+  /** Word n-gram shingle array (distinct, lower-cased) over an ALREADY
+    * STAGED token-array column. The token array must be projected in its
+    * own select first: a lambda body re-evaluates its free sub-expressions
+    * per element, so inlining the tokenizer here would re-tokenize the
+    * document once per emitted shingle — measured 6× on this operator
+    * (same trap and fix as [[ngramContamination]]).
+    */
+  def shingleOverTokensExpr(tokCol: String, n: Int): String =
     s"""array_distinct(transform(
-       |  sequence(0, greatest(size($toks) - $n, 0)),
-       |  i -> array_join(slice($toks, i + 1, $n), ' ')))""".stripMargin
-  }
+       |  sequence(0, greatest(size($tokCol) - $n, 0)),
+       |  i -> array_join(slice($tokCol, i + 1, $n), ' ')))""".stripMargin
 
   /** EXACT n-gram Jaccard duplicate pairs via a shingle inverted index —
     * the ORACLE/TEST-PATH sibling of [[minhashPairs]], which is the default
@@ -44,46 +48,69 @@ object Dedup {
     * document. Use this form to validate MinHash parameter choices on a
     * sample, not to sweep a 100 TB corpus.
     *
-    * Explodes distinct shingles, self-joins on shingle (skipping shingles
-    * shared by more than `maxShingleFreq` docs — stopword-gram blowup
-    * guard), then verifies exact Jaccard ≥ threshold from the true
-    * intersection size. Emits (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    * Explodes distinct shingles and, per shingle, emits every doc pair
+    * sharing it (skipping shingles shared by more than `maxShingleFreq`
+    * docs — stopword-gram blowup guard — and by fewer than 2 docs, which
+    * is most of them); exact Jaccard ≥ threshold is then verified from the
+    * true intersection size. Emits (doc_a, doc_b, jaccard), doc_a < doc_b.
     *
-    * Plan shape: the index is built ONCE. Per-doc shingle counts are
-    * computed as `size(shingles)` before the explode (no groupBy, no
-    * re-join against a second index build — r1's version built the explode
-    * up to 3× in one plan) and carried through the candidate join. The
-    * capped index feeds both sides of the self-join, so it is persisted for
-    * the duration of ONE eager materialization of the (small) pair result
-    * and unpersisted before returning — same cache discipline as
-    * [[components]]; r2's version leaked a corpus-sized cached index per
-    * invocation. The returned frame is the localCheckpointed pair list:
-    * lineage is truncated, so downstream replanning can never rebuild the
-    * index either.
+    * Plan shape — 3 exchanges total, no cache, no self-join:
+    *  1. one exchange on shingle for the frequency window, whose cap
+    *    filter both kills hot shingles AND bounds every surviving group to
+    *    ≤ `maxShingleFreq` rows;
+    *  2. the per-shingle doc-list aggregation right after it reuses that
+    *    partitioning (same key, same partition count → NO new exchange),
+    *    and `collect_list` is safe because the cap already bounded the
+    *    group (never collect-then-filter on an uncapped group at scale);
+    *  3. pair expansion runs compiled (mapPartitions — a SQL HOF here
+    *    would be interpreted AND quadratic per shingle), then one exchange
+    *    aggregates pair intersections.
+    * Earlier rounds self-joined a persisted index: two more exchanges plus
+    * sorts, and a cache that either leaked (r2) or forced an eager
+    * materialization. Single-consumption pipelines shouldn't cache at all.
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String = "text", n: Int = 3,
       threshold: Double = 0.5, maxShingleFreq: Int = 100): DataFrame = {
-    val idx = docs
-      .select(col("doc_id"), expr(shingleExpr(textCol, n)).as("__sh"))
-      .select(col("doc_id"), size(col("__sh")).as("n_sh"),
-        explode(col("__sh")).as("shingle"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val idx = shingleRows(docs, textCol, n)
       .withColumn("__f", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("__f") <= maxShingleFreq)
+      .filter(col("__f") <= maxShingleFreq && col("__f") >= 2)
       .select("doc_id", "n_sh", "shingle")
-      .persist()
-    val pairs = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val idType = idx.schema("doc_id").dataType
+    val grouped = idx.groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+    val pairT = StructType(Seq(
+      StructField("doc_a", idType), StructField("sh_a", IntegerType),
+      StructField("doc_b", idType), StructField("sh_b", IntegerType)))
+    // same ordering as the SQL `<` on the id column (numeric for numeric
+    // ids — a toString sort would put doc 10 before doc 2)
+    def idLt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Long, b: Long)     => a < b
+      case (a: Int, b: Int)       => a < b
+      case (a: String, b: String) => a < b
+      case (a: java.lang.Number, b: java.lang.Number) => a.doubleValue < b.doubleValue
+      case _                      => x.toString < y.toString
+    }
+    val pairRows = grouped.select(col("ds")).mapPartitions { it =>
+      it.flatMap { r =>
+        val ds = r.getSeq[Row](0).sortWith((a, b) => idLt(a.get(0), b.get(0)))
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1 until ds.length).iterator
+        } yield Row(ds(i).get(0), ds(i).getInt(1), ds(j).get(0), ds(j).getInt(1))
+      }
+    }(RowEncoder.encoderFor(pairT))
+    pairRows
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"),
-        min(col("a.n_sh")).as("sh_a"), min(col("b.n_sh")).as("sh_b"))
+        min(col("sh_a")).as("sh_a"), min(col("sh_b")).as("sh_b"))
       .withColumn("jaccard",
         expr("round(CAST(inter AS DOUBLE) / CAST(sh_a + sh_b - inter AS DOUBLE), 6)"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint() // eager: runs the pair job while idx is cached
-    idx.unpersist()
-    pairs
   }
 
   /** MinHash + LSH near-duplicate pairs: k minhashes over shingle hashes,
@@ -123,6 +150,44 @@ object Dedup {
           | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exploded (doc_id, n_sh, shingle) rows — one row per DISTINCT word
+    * n-gram per document — computed partition-wise in compiled code.
+    * Tokenization is identical to [[TextAnalysis.tokensExpr]] /
+    * [[shingleBands]] (lower-case, split on runs of spaces, drop empties).
+    * Compiled because the declarative form is a `transform` lambda, which
+    * runs interpreted (CodegenFallback) AND — whether inlined by
+    * CollapseProject or referenced through a staged column that the
+    * optimizer collapses away — re-evaluates the tokenizer once per
+    * emitted shingle: measured 6× slower than this loop at sf0.1.
+    */
+  private def shingleRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val in = docs.select(col("doc_id"), lower(col(textCol)).as("__t"))
+    val out = StructType(Seq(
+      StructField("doc_id", in.schema("doc_id").dataType),
+      StructField("n_sh", IntegerType),
+      StructField("shingle", StringType)))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val toks = r.getString(1).split(" +").filter(_.nonEmpty)
+        val shingles = new scala.collection.mutable.LinkedHashSet[String]
+        var i = 0
+        val last = math.max(toks.length - n, 0)
+        while (i <= last) {
+          shingles += toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+          i += 1
+        }
+        if (toks.isEmpty) Iterator.empty
+        else {
+          val sz = shingles.size
+          shingles.iterator.map(s => Row(r.get(0), sz, s))
+        }
+      }
+    }(RowEncoder.encoderFor(out))
   }
 
   /** (doc_id, distinct word-n-gram shingles, LSH band keys) computed
@@ -355,6 +420,19 @@ object Dedup {
       .setFeaturesCol("__v").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(featured)
       .select(col(idCol), col(vecCol), col("__cell"))
+    semanticDedupFromCells(assigned, vecCol, idCol, threshold)
+  }
+
+  /** SemDeDup over an ALREADY cell-assigned corpus (columns: idCol,
+    * vecCol, `__cell`) — the train-once/dedup-many half of
+    * [[semanticDedup]]. Accepts [[Similarity.IvfIndex]]`.assigned`
+    * directly: one coarse clustering can serve both ANN probes and
+    * semantic dedup, which is how a real pipeline amortizes the fit (the
+    * same fit-per-invocation trap the IVF fit/probe split removes).
+    */
+  def semanticDedupFromCells(
+      assigned: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95): DataFrame = {
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
@@ -363,7 +441,7 @@ object Dedup {
       .withColumn("cosine", expr("round(cosine, 6)"))
       .filter(col("cosine") >= threshold)
       .select(col("id_b").as(idCol)).distinct
-    embeddings.select(col(idCol))
+    assigned.select(col(idCol))
       .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("__dup").isNull.as("is_kept"))
   }
