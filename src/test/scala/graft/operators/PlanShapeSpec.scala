@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Executable scale evidence: pins the number of full-data shuffle
+  * exchanges in each operator's physical plan (see SCALE.md's shuffle
+  * budget). A regression that adds an exchange — a lost partitioning
+  * reuse, an agg that stopped being partial, a broadcast that silently
+  * became a shuffle join on the small fixtures — fails here long before a
+  * bench run would catch it. Broadcast exchanges are NOT counted: they are
+  * dimension-sized by design and their selection is stats-driven.
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planshape-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeds = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private def events = graft.streaming.Events.readEvents(spark, s"$sfDir/events.parquet")
+
+  /** Shuffle exchanges in the planned physical tree (broadcasts excluded). */
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range|Single|round)".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("scan-shaped operators plan ZERO shuffles") {
+    assert(shuffles(TextAnalysis.textStats(docs)) == 0)
+    assert(shuffles(TextAnalysis.langId(docs)) == 0)
+    assert(shuffles(TextAnalysis.qualityScore(docs)) == 0)
+    assert(shuffles(TextAnalysis.fingerprint(docs)) == 0)
+    assert(shuffles(TextAnalysis.assignSplit(docs,
+      Seq("train" -> 0.8, "val" -> 0.2))) == 0)
+    assert(shuffles(TextAnalysis.stratifiedSampleHash(docs, "lang",
+      Map("en" -> 0.5))) == 0)
+    assert(shuffles(Packing.packSequences(docs, 256)) == 0)
+  }
+
+  test("single-shuffle aggregations stay single-shuffle") {
+    assert(shuffles(Dedup.exact(docs)) == 1)
+    assert(shuffles(TextAnalysis.tokenLengthHistogram(docs, 16)) == 1)
+    assert(shuffles(graft.streaming.Events.sessionizeBatch(events)) == 1)
+  }
+
+  test("staged aggregations plan exactly their documented budget") {
+    // (doc,token) agg + token agg
+    assert(shuffles(TextAnalysis.vocabulary(docs)) == 2)
+    // strata agg + single-partition window over the (tiny) aggregated strata
+    assert(shuffles(TextAnalysis.mixReport(docs)) == 2)
+    // distinct-agg expand: (hour,type,user) partial + (hour,type) final
+    assert(shuffles(graft.streaming.Events.hourlyStatsBatch(events)) == 2)
+    // (doc,token) agg + df window (token) + rank window (doc) + the 1-row
+    // corpus-total aggregate that feeds the broadcast join
+    assert(shuffles(TextAnalysis.topTerms(docs, k = 5)) == 4)
+  }
+
+  test("exact ngram pairs: cap window + pair agg, nothing else") {
+    // 1: exchange on shingle for the frequency window; the per-shingle
+    //    doc-list groupBy reuses that partitioning (same key, same
+    //    partition count -> no exchange between them);
+    // 2: pair-intersection aggregate after the compiled pair expansion.
+    // The r2 self-join form planned 4+ (join sides + sorts) and needed a
+    // scoped cache.
+    assert(shuffles(Dedup.ngramJaccardPairs(docs, threshold = 0.5)) == 2)
+  }
+
+  test("LSH candidate generation never exceeds its banded budget") {
+    assert(shuffles(Dedup.minhashPairs(docs, threshold = 0.5)) <= 3)
+    assert(shuffles(Dedup.simhashPairs(docs)) <= 3)
+    assert(shuffles(Dedup.embeddingDupPairs(embeds, threshold = 0.9)) <= 2)
+    // bipartite decontamination: corpus cap window + overlap agg; the
+    // probe index joins via broadcast (asserted non-shuffle)
+    assert(shuffles(Dedup.ngramContamination(docs,
+      docs.filter(col("doc_id") < 25))) == 2)
+  }
+
+  test("ANN probes: one top-k window exchange, corpus never self-joins") {
+    assert(shuffles(Similarity.cosineTopK(embeds,
+      embeds.filter(col("vec_id") < 16), k = 5)) == 1)
+    val idx = Similarity.ivfFit(embeds, nLists = 4, seed = 42L)
+    assert(shuffles(Similarity.cosineTopKIvfProbe(idx,
+      embeds.filter(col("vec_id") < 16), k = 5, nProbe = 2)) <= 2)
+  }
+}
