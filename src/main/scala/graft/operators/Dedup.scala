@@ -322,19 +322,19 @@ object Dedup {
   def ngramContamination(
       docs: DataFrame, probes: DataFrame, textCol: String = "text", n: Int = 3,
       minOverlap: Int = 3, maxShingleFreq: Int = 1000): DataFrame = {
-    // stage the token array in its own projection before the shingle
-    // transform: inlined, the transform's slice() lambda re-tokenizes the
-    // text once PER EMITTED SHINGLE (lambda bodies re-evaluate their free
-    // sub-expressions per element; Generate doesn't collapse into its
-    // child Project, so the staged column computes once per row)
+    // stage the token array in its own projection DIRECTLY below the
+    // Generate: lambda bodies re-evaluate their free sub-expressions per
+    // element, so an inlined tokenizer would re-tokenize per emitted
+    // shingle. This staging survives only because Generate (explode) does
+    // not collapse into its child Project — a staged column one Project
+    // further down gets re-inlined by CollapseProject (which is why
+    // ngramJaccardPairs, needing size+explode of the same array, computes
+    // its shingle rows in compiled code instead — see [[shingleRows]]).
     def index(df: DataFrame, idAs: String) = df
       .select(col("doc_id").as(idAs),
         expr(TextAnalysis.tokensExpr(textCol)).as("__tk"))
-      .select(col(idAs), explode(expr(
-        s"""array_distinct(transform(
-           |  sequence(0, greatest(size(__tk) - $n, 0)),
-           |  i -> array_join(slice(__tk, i + 1, $n), ' ')))""".stripMargin))
-        .as("shingle"))
+      .select(col(idAs),
+        explode(expr(shingleOverTokensExpr("__tk", n))).as("shingle"))
     val corpusIdx = index(docs, "doc_id")
       .withColumn("__f", count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("__f") <= maxShingleFreq)
