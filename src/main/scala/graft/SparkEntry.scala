@@ -169,6 +169,16 @@ object SparkEntry {
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
+    // incremental dedup: an incoming batch (doc_id < 100) against the
+    // already-ingested corpus (doc_id >= 100) — bipartite MinHash with
+    // exact-Jaccard verification; the exact bipartite inverted index is
+    // the oracle (same sibling relationship as q_minhash_pairs)
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashPairsAgainst(
+        d.filter(col("doc_id") >= 100), d.filter(col("doc_id") < 100),
+        threshold = 0.5)
+    }),
     // benchmark decontamination: corpus docs sharing n-grams with a probe
     // set (first 25 docs standing in for an eval benchmark)
     "q_contamination" -> ((s, dir) => {
@@ -775,6 +785,28 @@ object SparkEntry {
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
+    // Bipartite exact sibling of the incremental (batch-vs-corpus) MinHash
+    // dedup: full-set Jaccard over batch×corpus shingle matches.
+    "q_incremental_dedup" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT b.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS inter
+          FROM sh b JOIN sh c ON b.shingle = c.shingle
+          WHERE b.doc_id < 100 AND c.doc_id >= 100
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
           round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard

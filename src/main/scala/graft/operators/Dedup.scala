@@ -152,6 +152,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental (batch-vs-corpus) MinHash near-duplicate pairs: every
+    * production pipeline deduplicates an INCOMING batch against the
+    * already-ingested corpus, not just within one snapshot. Bipartite
+    * variant of [[minhashPairs]]: both sides get the same signatures
+    * (shingle → minhash → band keys, compiled), candidates are batch×corpus
+    * band-key collisions only — never batch² or corpus² — and candidates
+    * are verified with exact Jaccard on the full shingle sets. A document
+    * present in both inputs pairs with itself at jaccard 1 (callers dedup
+    * disjoint id spaces in practice).
+    *
+    * Emits (doc_a = batch id, doc_b = corpus id, jaccard). The corpus side
+    * never re-shuffles per batch beyond the band join; at 100 TB,
+    * materialize the corpus band keys once (they are a plain DataFrame —
+    * persist or write them bucketed by band key) and join each arriving
+    * batch against them, the same train-once/probe-many discipline as
+    * [[graft.operators.Similarity.ivfFit]].
+    */
+  def minhashPairsAgainst(
+      corpus: DataFrame, batch: DataFrame, textCol: String = "text", n: Int = 3,
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val shC = shingleBands(corpus, textCol, n, numHashes, bands)
+    val shB = shingleBands(batch, textCol, n, numHashes, bands)
+    def bandRows(sh: DataFrame, idAs: String) = sh.select(col("doc_id").as(idAs),
+      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+    val cand = bandRows(shB, "doc_a").as("a").join(bandRows(shC, "doc_b").as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(shB.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
+      .join(shC.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", expr(
+        """round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
+          | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exploded (doc_id, n_sh, shingle) rows — one row per DISTINCT word
     * n-gram per document — computed partition-wise in compiled code.
     * Tokenization is identical to [[TextAnalysis.tokensExpr]] /

@@ -283,6 +283,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mh == exact)
   }
 
+  test("incremental (batch-vs-corpus) minhash dedup matches exact bipartite jaccard") {
+    val corpus = docsDf(dupDocs.filter(_._1 != 2L))
+    val batch = docsDf(Seq(dupDocs.find(_._1 == 2L).get, (9L, "nothing in common here at all")))
+    val got = Dedup.minhashPairsAgainst(corpus, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch doc 2 is an exact dup of corpus doc 1 and a near dup of 3;
+    // batch doc 9 matches nothing; corpus-internal near-dups (1,3) are NOT
+    // emitted — only batch×corpus pairs are
+    val keys = got.map(p => (p._1, p._2)).toSet
+    assert(keys == Set((2L, 1L), (2L, 3L)))
+    assert(got.find(p => (p._1, p._2) == (2L, 1L)).get._3 == 1.0)
+    // cross-validation: identical to the exact pair relation restricted to
+    // the bipartite split (same sibling contract as minhashPairs)
+    val exactAll = Dedup.ngramJaccardPairs(docsDf(dupDocs), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactCross = exactAll.collect {
+      case (a, b, j) if a == 2L => (a, b, j)
+      case (a, b, j) if b == 2L => (b, a, j)
+    }.toSet
+    assert(got.toSet == exactCross)
+  }
+
   test("simhash pairs near-dups at low hamming distance") {
     val pairs = Dedup.simhashPairs(docsDf(dupDocs), maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
