@@ -167,6 +167,10 @@ object SparkEntry {
       Dedup.semanticDedupFromCells(ivfIndex(s, dir).assigned, threshold = 0.9)),
     // composed cleaning recipe: dedup + quality floor + language filter
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
+    // near-dup-aware cleaning: only near-dup-component canonicals survive
+    // (MinHash closure; oracle = WITH RECURSIVE over the exact pairs,
+    // valid because the pair sets are value-equal — see q_minhash_pairs)
+    "q_clean_neardup" -> ((s, dir) => CorpusPipeline.cleanNearDup(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
     // incremental dedup: an incoming batch (doc_id < 100) against the
@@ -643,6 +647,80 @@ object SparkEntry {
         JOIN lang USING (doc_id)
         JOIN st USING (doc_id)
         WHERE d.doc_id = d.canonical_id
+          AND qual.quality >= 0.3
+          AND st.n_tokens >= 8
+          AND lang.lang_pred IN ('en','de','fr','es','zh')""",
+    // Near-dup-aware cleaning: WITH RECURSIVE closure over the exact pair
+    // relation (== the MinHash pair relation, proven by q_minhash_pairs)
+    // for component canonicals, plus the q_clean_corpus floors.
+    "q_clean_neardup" ->
+      """WITH RECURSIVE toks AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        prs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        comp AS (
+          SELECT d.doc_id,
+            least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id),
+        qual AS (
+          SELECT doc_id,
+            round(
+              least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
+              (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE)) * 0.4 +
+              least(CAST(len(list_filter(tk, t -> t IN
+                  ('the','and','of','to','in','is','you','that','it','was','der','die','und','das',
+                   'nicht','ich','ist','du','sich','wir','le','la','et','les','des','est','un','une',
+                   'du','je','el','los','de','que','y','en','ser','se','no'))) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.2
+            , 6) AS quality
+          FROM toks),
+        lang AS (
+          SELECT doc_id,
+            CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' END AS lang_pred
+          FROM (
+            SELECT doc_id, text,
+              len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','you','that','it','was'))) AS s_en,
+              len(list_filter(tk, t -> t IN ('der','die','und','das','nicht','ich','ist','du','sich','wir'))) AS s_de,
+              len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','un','une','du','je'))) AS s_fr,
+              len(list_filter(tk, t -> t IN ('el','los','de','que','y','en','un','ser','se','no'))) AS s_es
+            FROM toks)),
+        st AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens FROM toks)
+        SELECT c.doc_id, lang.lang_pred, qual.quality, st.n_tokens
+        FROM comp c
+        JOIN qual USING (doc_id)
+        JOIN lang USING (doc_id)
+        JOIN st USING (doc_id)
+        WHERE c.doc_id = c.component_id
           AND qual.quality >= 0.3
           AND st.n_tokens >= 8
           AND lang.lang_pred IN ('en','de','fr','es','zh')""",

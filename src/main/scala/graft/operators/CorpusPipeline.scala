@@ -37,4 +37,37 @@ object CorpusPipeline {
         col("lang_pred").isin(keepLangs: _*))
       .select("doc_id", "lang_pred", "quality", "n_tokens", "dup_count")
   }
+
+  /** NEAR-duplicate-aware cleaning: the production recipe where a document
+    * survives only if it is the canonical (minimum-id) member of its
+    * near-duplicate COMPONENT — the transitive closure over MinHash-LSH
+    * pairs — and clears the same quality/token/language floors as
+    * [[clean]]. Exact duplicates are subsumed: identical text has Jaccard
+    * 1, so exact-dup groups are inside the components.
+    *
+    * Shape: one fused per-row projection wave for the filters (no joins
+    * between feature passes), plus the components label join. MinHash
+    * bounds candidate fan-out, so the whole recipe stays shuffle-on-key
+    * at any corpus size.
+    */
+  def cleanNearDup(
+      docs: DataFrame, textCol: String = "text",
+      minQuality: Double = 0.3, minTokens: Int = 8,
+      keepLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val comps = Dedup.components(
+      docs.select(col("doc_id").as("id")),
+      Dedup.minhashPairs(docs, textCol, threshold = jaccardThreshold)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+      .withColumnRenamed("id", "doc_id")
+    TextAnalysis.withLangPred(docs, textCol)
+      .withColumn("quality", TextAnalysis.qualityExpr(textCol))
+      .withColumn("n_tokens", expr(s"size(${TextAnalysis.tokensExpr(textCol)})"))
+      .join(comps, "doc_id")
+      .filter(col("doc_id") === col("component_id") &&
+        col("quality") >= minQuality &&
+        col("n_tokens") >= minTokens &&
+        col("lang_pred").isin(keepLangs: _*))
+      .select("doc_id", "lang_pred", "quality", "n_tokens")
+  }
 }

@@ -305,6 +305,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSet == exactCross)
   }
 
+  test("cleanNearDup keeps only near-dup-component canonicals") {
+    val kept = CorpusPipeline.cleanNearDup(docsDf(dupDocs), minQuality = 0.0,
+      minTokens = 1).collect().map(_.getLong(0)).toSet
+    // 1,2,3 form one near-dup component (2 exact dup, 3 near dup) → only
+    // canonical 1 survives; 4 survives; 5 has no recognized language
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(kept.contains(4L))
+  }
+
   test("simhash pairs near-dups at low hamming distance") {
     val pairs = Dedup.simhashPairs(docsDf(dupDocs), maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
