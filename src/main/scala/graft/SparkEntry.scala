@@ -258,9 +258,9 @@ object SparkEntry {
     // path itself. Complete mode emits every window at end-of-stream.
     "q_events_hourly_stream" -> ((s, dir) => {
       val e = graft.streaming.Events
-      val staged = e.stageStreamDir(s, s"$dir/events.parquet")
       e.runAvailableNow(s,
-        e.hourlyStatsStreamBounded(e.readEventsStream(s, staged)), complete = true)
+        e.hourlyStatsStreamBounded(e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
+        complete = true)
     }),
     // flatMapGroupsWithState sessionization in append mode: a far-future
     // close sentinel per user (stageStreamDir) makes every REAL session
@@ -269,9 +269,9 @@ object SparkEntry {
     // never emitted; stream output carries no session_seq)
     "q_sessionize_stream" -> ((s, dir) => {
       val e = graft.streaming.Events
-      val staged = e.stageStreamDir(s, s"$dir/events.parquet", closeSentinel = true)
       e.runAvailableNow(s,
-        e.sessionizeStream(s, e.readEventsStream(s, staged)), complete = false)
+        e.sessionizeStream(s, e.readEventsStream(s, stagedDir(s, dir, sentinel = true))),
+        complete = false)
     }),
 
     // skew-safe two-phase (salted) aggregation: the result is
@@ -323,6 +323,17 @@ object SparkEntry {
       val idx = Similarity.ivfFit(embeds(s, d),
         nLists = 16, seed = 42L, fitSampleFraction = 0.5)
       idx.copy(assigned = idx.assigned.persist())
+    })
+
+  /** Staged bounded-stream source dirs per dataset (the source files are
+    * immutable; only the checkpoint/sink must be fresh per run, and
+    * runAvailableNow creates those per invocation).
+    */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+  private def stagedDir(s: SparkSession, dir: String, sentinel: Boolean): String =
+    stagedDirs.computeIfAbsent((dir, sentinel), { case (d, sn) =>
+      graft.streaming.Events.stageStreamDir(s, s"$d/events.parquet", closeSentinel = sn)
     })
 
   private def docs(s: SparkSession, dir: String): DataFrame =

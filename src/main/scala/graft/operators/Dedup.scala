@@ -393,12 +393,16 @@ object Dedup {
     * transitive closure that turns pairwise dedup output into duplicate
     * GROUPS (pick `component_id` as the canonical representative).
     *
-    * Iterative min-label propagation: each round joins labels to the
-    * (symmetrized) edge list and takes the per-vertex minimum of own and
-    * neighbor labels; converges in O(graph diameter) rounds — near-dup
-    * graphs are unions of small cliques/chains, so a handful. Every round
-    * is one hash shuffle on id; `localCheckpoint` truncates the growing
-    * lineage so round N does not replan rounds 1..N-1.
+    * Iterative min-label propagation over ONLY the edge-touched vertices:
+    * each round joins labels to the (symmetrized) edge list and takes the
+    * per-vertex minimum of own and neighbor labels; converges in O(graph
+    * diameter) rounds — near-dup graphs are unions of small cliques/
+    * chains, so a handful. Isolated vertices (the overwhelming majority of
+    * a 100 TB corpus — duplicate graphs are sparse) never enter the loop
+    * and are labeled with themselves in one final left join: the per-round
+    * shuffles scale with |edge endpoints|, not |corpus|. `localCheckpoint`
+    * truncates the growing lineage so round N does not replan rounds
+    * 1..N-1.
     *
     * @param vertices one column `id` (every id to label, matched or not)
     * @param pairs    columns `id_a`, `id_b`
@@ -408,7 +412,8 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = vertices.select(col("id"), col("id").as("component_id"))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -430,7 +435,8 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    vertices.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component_id"), col("id")).as("component_id"))
   }
 
   /** SemDeDup-shaped semantic deduplication: KMeans-cluster the embedding
