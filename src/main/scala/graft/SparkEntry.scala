@@ -114,6 +114,16 @@ object SparkEntry {
 
     // P4/A2/S4: filtered aggregate output channel
     "q_feature_customer" -> ((_, dir) => runner(dir).output("feature_customer")),
+    // S3 hub materialization on the driver path: the same output computed
+    // through DROP/CREATE-style hub parquet round-trips (every hub written
+    // and re-read — the reference's hub-table contract and the restartable
+    // large-pipeline mode) must be value-identical to the lazy single-DAG
+    // plan; oracle = the q_feature_customer SQL
+    "q_feature_customer_mat" -> ((_, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hub_mat").toString
+      new Runner(compiled, Runners.parquetDir(dir), materializeDir = Some(tmp))
+        .output("feature_customer")
+    }),
     // O1/P7: multi-channel UNION ALL with typed null fill
     "q_party_summary" -> ((_, dir) => runner(dir).output("party_summary")),
     // A2/A3: DISTINCT + plain aggregates, min/max
@@ -438,6 +448,17 @@ object SparkEntry {
           CAST(CAST(CAST(round(p_retailprice * 100) AS BIGINT) * 3 AS DECIMAL(38,12)) AS VARCHAR) AS retail_x3_str
         FROM part""",
     "q_feature_customer" ->
+      """SELECT c.c_name AS customer,
+          strftime(o.o_orderdate, '%Y%m') AS ship_ym,
+          CAST(sum(CAST(round((l.l_extendedprice - l.l_tax - l.l_discount) * 100) AS BIGINT))
+               AS BIGINT) AS net_price_100
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE l.l_shipdate BETWEEN '1993-01-01' AND '1998-12-31'
+        GROUP BY c.c_name, strftime(o.o_orderdate, '%Y%m')""",
+    // S3 materialized-hub path: same result contract as the lazy plan.
+    "q_feature_customer_mat" ->
       """SELECT c.c_name AS customer,
           strftime(o.o_orderdate, '%Y%m') AS ship_ym,
           CAST(sum(CAST(round((l.l_extendedprice - l.l_tax - l.l_discount) * 100) AS BIGINT))
