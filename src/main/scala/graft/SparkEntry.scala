@@ -61,6 +61,33 @@ object SparkEntry {
         "l_orderkey", "l_linenumber", "net_price", "net_price_no_returns",
         "c_name", "c_n_name", "r_name", "part_type", "supp_name",
         "order_line_key", "order_ym")),
+    // C9 SQL-emission side channel on the driver path: the emitted
+    // reference-style SQL (CTE chains + lateral many-joins) EXECUTES via
+    // spark.sql over hub temp views in topo order, and its result is
+    // value-matched against the same oracle as the planner form
+    // (q_lineitem_enriched) — the two code paths must agree cell-for-cell
+    "q_lineitem_enriched_sql" -> ((s, dir) => {
+      Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+        .foreach { t =>
+          s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+        }
+      val em = new graft.exec.SqlEmitter(compiled)
+      compiled.sources.foreach { cs =>
+        // localCheckpoint: each hub view is RDD-backed, so downstream hub
+        // SQL never sees nested CTE chains (Spark's InlineCTE pass
+        // miscompiles deeply nested CTE+lateral view trees — same bug
+        // SqlEmitterSpec documents; this is its distributed workaround,
+        // and matches the reference's actual contract of materialized
+        // hub tables between source queries)
+        s.sql(em.sourceSql(cs.source.name, src => src.sourceTable))
+          .localCheckpoint()
+          .createOrReplaceTempView("hub_" + cs.source.name)
+      }
+      s.table("hub_tpch_lineitem").select(
+        "l_orderkey", "l_linenumber", "net_price", "net_price_no_returns",
+        "c_name", "c_n_name", "r_name", "part_type", "supp_name",
+        "order_line_key", "order_ym")
+    }),
     // J4/A1: M-aggregates over reverse path + scalar lookup
     "q_customer_aggs" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_customer",
@@ -356,6 +383,27 @@ object SparkEntry {
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
     "q_lineitem_enriched" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+          (l.l_extendedprice - l.l_tax - l.l_discount) * 100 AS net_price,
+          CASE WHEN l.l_returnflag = 'R' THEN 0.0
+               ELSE (l.l_extendedprice - l.l_tax - l.l_discount) * 100 END AS net_price_no_returns,
+          c.c_name AS c_name,
+          n2.n_name AS c_n_name,
+          r.r_name AS r_name,
+          p.p_type AS part_type,
+          s.s_name AS supp_name,
+          CONCAT(l.l_orderkey, '|', l.l_linenumber) AS order_line_key,
+          strftime(o.o_orderdate, '%Y%m') AS order_ym
+        FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        LEFT JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        LEFT JOIN region r ON ns.n_regionkey = r.r_regionkey
+        LEFT JOIN part p ON l.l_partkey = p.p_partkey""",
+    // C9: the emitted-SQL execution path shares the planner row's oracle.
+    "q_lineitem_enriched_sql" ->
       """SELECT l.l_orderkey, l.l_linenumber,
           (l.l_extendedprice - l.l_tax - l.l_discount) * 100 AS net_price,
           CASE WHEN l.l_returnflag = 'R' THEN 0.0
