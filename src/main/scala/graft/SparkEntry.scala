@@ -153,6 +153,18 @@ object SparkEntry {
     }),
     // O1/P7: multi-channel UNION ALL with typed null fill
     "q_party_summary" -> ((_, dir) => runner(dir).output("party_summary")),
+    // S4/S6 run-path file sink on the driver path: the same output executed
+    // through Runner.run's `file` sink (parquet under outDir — the
+    // reference's file-output contract) and read back; oracle = the
+    // q_party_summary SQL
+    "q_party_summary_file" -> ((s, dir) => {
+      val fileProj = SampleProject.project.copy(outputs = Seq(
+        SampleProject.partySummary.copy(
+          outputType = graft.core.OutputType.File("parquet"))))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_out_file").toString
+      new Runner(new Compiler(fileProj).compile(), Runners.parquetDir(dir)).run(tmp)
+      s.read.parquet(s"$tmp/party_summary")
+    }),
     // A2/A3: DISTINCT + plain aggregates, min/max
     "q_order_stats" -> ((_, dir) => runner(dir).output("order_stats")),
 
@@ -517,6 +529,14 @@ object SparkEntry {
         WHERE l.l_shipdate BETWEEN '1993-01-01' AND '1998-12-31'
         GROUP BY c.c_name, strftime(o.o_orderdate, '%Y%m')""",
     "q_party_summary" ->
+      """SELECT c_name AS party_name, c_mktsegment AS party_type,
+          c_acctbal AS acctbal, c_nationkey AS nation_key
+        FROM customer
+        UNION ALL
+        SELECT s_name, CAST(null AS VARCHAR), s_acctbal, s_nationkey
+        FROM supplier""",
+    // S4/S6 file-sink round trip shares the planner row's oracle.
+    "q_party_summary_file" ->
       """SELECT c_name AS party_name, c_mktsegment AS party_type,
           c_acctbal AS acctbal, c_nationkey AS nation_key
         FROM customer
