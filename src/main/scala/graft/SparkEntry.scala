@@ -286,6 +286,17 @@ object SparkEntry {
         ivfIndex(s, dir), e.filter(col("vec_id") < 16), k = 5, nProbe = 6)
         .select("query_id", "match_id", "cosine", "rank")
     }),
+    // IVF probed EXHAUSTIVELY (nProbe = nLists): every cell is a candidate
+    // cell, so the result must equal brute force EXACTLY — proving the IVF
+    // machinery (cell assignment partitions the corpus, candidate join,
+    // codegen cosine, top-k) is lossless; the approximate row above stays
+    // rows-only with measured recall
+    "q_similarity_topk_ivf_full" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      Similarity.cosineTopKIvfProbe(
+        ivfIndex(s, dir), e.filter(col("vec_id") < 16), k = 5, nProbe = 16)
+        .select("query_id", "match_id", "cosine", "rank")
+    }),
     "q_similarity_topk_lsh" -> ((s, dir) => {
       val e = embeds(s, dir)
       // weakly-similar corpus (max pairwise cosine ≈ 0.5): few bits, many
@@ -896,6 +907,20 @@ object SparkEntry {
         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         GROUP BY d.doc_id""",
     "q_similarity_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+            round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+          FROM q, embeddings c
+          WHERE q.vec_id != c.vec_id)
+        SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, match_id) AS rn FROM sc)
+        WHERE rn <= 5""",
+    // Exhaustive IVF probe shares the brute-force top-k oracle.
+    "q_similarity_topk_ivf_full" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
         sc AS (
           SELECT q.vec_id AS query_id, c.vec_id AS match_id,
