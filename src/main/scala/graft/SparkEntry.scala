@@ -110,6 +110,17 @@ object SparkEntry {
     // A4: HLL++ approximate distinct (rows-only: sketch is engine-specific)
     "q_customer_approx" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_customer", "c_custkey", "approx_orders")),
+    // A4 accuracy envelope, oracle-backed: the exact per-customer count is
+    // value-matched against DuckDB, and the sketch must land within
+    // max(4, 30%) of it (measured max deviation across SFs is 3 at
+    // rsd=0.05) — a broken sketch fails the gate even though its exact
+    // cell values cannot be oracled
+    "q_approx_bounds" -> ((_, dir) =>
+      runner(dir).hubSelect("tpch_customer",
+        "c_custkey", "order_cnt", "approx_orders")
+        .select(col("c_custkey"), col("order_cnt"),
+          expr("abs(approx_orders - order_cnt) <= " +
+            "greatest(4.0, CAST(order_cnt AS DOUBLE) * 0.3)").as("approx_ok"))),
     // W1: window rule pass-through
     "q_orders_window" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_orders",
@@ -456,6 +467,12 @@ object SparkEntry {
                           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) total
                    FROM orders GROUP BY o_custkey) a ON c.c_custkey = a.o_custkey
         LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+    // A4 envelope: exact count oracled; the sketch bound is engine-side.
+    "q_approx_bounds" ->
+      """SELECT c.c_custkey, coalesce(a.cnt, 0) AS order_cnt, TRUE AS approx_ok
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(o_orderkey) cnt
+                   FROM orders GROUP BY o_custkey) a ON c.c_custkey = a.o_custkey""",
     "q_nation_suppliers" ->
       """SELECT n.n_nationkey, n.n_name,
           coalesce(a.cnt, 0) AS supplier_cnt,
