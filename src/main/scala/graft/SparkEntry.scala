@@ -267,7 +267,11 @@ object SparkEntry {
     // parameters recall over this corpus is total — the exact inverted-
     // index sibling's pair set (incl. jaccard values) IS the oracle. A
     // recall miss would surface as a hash-fail, which is precisely the
-    // regression this row guards against.
+    // regression this row guards against. Premise: the exact sibling's
+    // intersection is counted over the freq-capped index while MinHash
+    // verifies over full sets; they coincide unless a qualifying pair
+    // shares a >cap-hot shingle (none in these corpora — this row itself
+    // gates that premise; see Dedup.verifyJaccard scaladoc).
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), threshold = 0.5)),
     // rows-only: the 64-bit signature is engine-specific (Spark XXH64) and

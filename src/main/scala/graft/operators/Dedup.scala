@@ -51,8 +51,13 @@ object Dedup {
     * Explodes distinct shingles and, per shingle, emits every doc pair
     * sharing it (skipping shingles shared by more than `maxShingleFreq`
     * docs — stopword-gram blowup guard — and by fewer than 2 docs, which
-    * is most of them); exact Jaccard ≥ threshold is then verified from the
-    * true intersection size. Emits (doc_a, doc_b, jaccard), doc_a < doc_b.
+    * is most of them); Jaccard ≥ threshold is then verified from the
+    * intersection size. Emits (doc_a, doc_b, jaccard), doc_a < doc_b.
+    * The metric is precisely "Jaccard with the intersection counted over
+    * NON-capped shingles" (denominators use full set sizes): shingles
+    * hotter than the cap neither generate candidates nor count toward the
+    * intersection — the standard boilerplate-gram suppression; see
+    * [[verifyJaccard]] for when this coincides with full-set Jaccard.
     *
     * Plan shape — 3 exchanges total, no cache, no self-join:
     *  1. one exchange on shingle for the frequency window, whose cap
@@ -86,12 +91,16 @@ object Dedup {
       StructField("doc_a", idType), StructField("sh_a", IntegerType),
       StructField("doc_b", idType), StructField("sh_b", IntegerType)))
     // same ordering as the SQL `<` on the id column (numeric for numeric
-    // ids — a toString sort would put doc 10 before doc 2)
+    // ids — a toString sort would put doc 10 before doc 2; the Number
+    // fallback compares as BigDecimal, not double, so ids beyond 2^53 —
+    // e.g. DECIMAL keys — don't collide after a lossy double conversion)
     def idLt(x: Any, y: Any): Boolean = (x, y) match {
       case (a: Long, b: Long)     => a < b
       case (a: Int, b: Int)       => a < b
       case (a: String, b: String) => a < b
-      case (a: java.lang.Number, b: java.lang.Number) => a.doubleValue < b.doubleValue
+      case (a: java.lang.Number, b: java.lang.Number) =>
+        new java.math.BigDecimal(a.toString)
+          .compareTo(new java.math.BigDecimal(b.toString)) < 0
       case _                      => x.toString < y.toString
     }
     val pairRows = grouped.select(col("ds")).mapPartitions { it =>
@@ -113,6 +122,39 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Band-key rows of a [[shingleBands]] frame: one (id, band, bucket) row
+    * per band per document — the LSH join relation, ids only.
+    */
+  private def bandRowsOf(sh: DataFrame, idAs: String): DataFrame =
+    sh.select(col("doc_id").as(idAs),
+      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: rejoins
+    * the FULL shingle arrays carried by the signature frames and keeps
+    * pairs at `jaccard >= threshold`. Shared by the intra-corpus and
+    * bipartite MinHash forms so the verification metric cannot drift
+    * between them.
+    *
+    * NOTE on the exact sibling: [[ngramJaccardPairs]] counts its
+    * intersection over the frequency-CAPPED index, while this verification
+    * uses full sets — the two agree on membership AND values exactly
+    * unless a qualifying pair shares a shingle hotter than
+    * `maxShingleFreq` (boilerplate-grams; none in the test corpora — the
+    * equality is continuously gated by the q_minhash_pairs oracle row and
+    * OperatorsSpec). On corpora where hot shingles matter, raise the cap
+    * or treat the MinHash form as the reference metric.
+    */
+  private def verifyJaccard(
+      cand: DataFrame, shA: DataFrame, shB: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(shA.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", expr(
+        """round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
+          | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
   /** MinHash + LSH near-duplicate pairs: k minhashes over shingle hashes,
     * banded into `bands` buckets; docs colliding in any band become
     * candidates; candidates are verified with exact Jaccard on the shingle
@@ -125,7 +167,6 @@ object Dedup {
     // 16 bands × 2 rows ⇒ ≈0.996 at j=0.54, the knee sits near j≈0.2 —
     // false candidates cost only verification, misses cost recall
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
     // Shingling + minhashing runs in compiled Scala (mapPartitions): the
     // SQL higher-order-function formulation is interpreted (CodegenFallback)
     // AND CollapseProject inlines the shingle expression into every one of
@@ -133,23 +174,15 @@ object Dedup {
     // The hash chain replicates SQL `xxhash64(s, j)` exactly (XXH64 seed 42,
     // value-chained), so results are stable across both formulations.
     val sh = shingleBands(docs, textCol, n, numHashes, bands)
-    val bandRows = sh.select(col("doc_id"),
-      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
+    val br = bandRowsOf(sh, "doc_id")
     // Band join carries ids only; shingle arrays rejoin for exact-Jaccard
     // verification of the (much smaller) candidate set.
-    val cand = bandRows.as("a").join(bandRows.as("b"),
+    val cand = br.as("a").join(br.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", expr(
-        """round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
-          | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(cand, sh, sh, threshold)
   }
 
   /** Incremental (batch-vs-corpus) MinHash near-duplicate pairs: every
@@ -175,20 +208,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val shC = shingleBands(corpus, textCol, n, numHashes, bands)
     val shB = shingleBands(batch, textCol, n, numHashes, bands)
-    def bandRows(sh: DataFrame, idAs: String) = sh.select(col("doc_id").as(idAs),
-      posexplode(col("__bands")).as(Seq("__band", "__bucket")))
-    val cand = bandRows(shB, "doc_a").as("a").join(bandRows(shC, "doc_b").as("b"),
+    val cand = bandRowsOf(shB, "doc_a").as("a").join(bandRowsOf(shC, "doc_b").as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(shB.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
-      .join(shC.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", expr(
-        """round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
-          | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(cand, shB, shC, threshold)
   }
 
   /** Exploded (doc_id, n_sh, shingle) rows — one row per DISTINCT word
@@ -212,21 +236,34 @@ object Dedup {
       StructField("shingle", StringType)))
     in.mapPartitions { it =>
       it.flatMap { r =>
-        val toks = r.getString(1).split(" +").filter(_.nonEmpty)
-        val shingles = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        val last = math.max(toks.length - n, 0)
-        while (i <= last) {
-          shingles += toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
-          i += 1
-        }
-        if (toks.isEmpty) Iterator.empty
-        else {
-          val sz = shingles.size
-          shingles.iterator.map(s => Row(r.get(0), sz, s))
-        }
+        val shingles = distinctShingles(r.getString(1), n)
+        val sz = shingles.size
+        shingles.iterator.map(s => Row(r.get(0), sz, s))
       }
     }(RowEncoder.encoderFor(out))
+  }
+
+  /** Distinct word n-gram shingles of an (already lower-cased) text —
+    * tokenize on runs of spaces, drop empties, slide an n-window: the
+    * single compiled implementation behind [[shingleRows]] and
+    * [[shingleBands]], so the tokenization contract (identical to
+    * [[TextAnalysis.tokensExpr]] semantics) cannot drift between the
+    * exact and MinHash forms. Empty/whitespace-only text yields an empty
+    * set (no empty-string shingle).
+    */
+  private def distinctShingles(
+      text: String, n: Int): scala.collection.mutable.LinkedHashSet[String] = {
+    val shingles = new scala.collection.mutable.LinkedHashSet[String]
+    val toks = text.split(" +").filter(_.nonEmpty)
+    if (toks.nonEmpty) {
+      var i = 0
+      val last = math.max(toks.length - n, 0)
+      while (i <= last) {
+        shingles += toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+        i += 1
+      }
+    }
+    shingles
   }
 
   /** (doc_id, distinct word-n-gram shingles, LSH band keys) computed
@@ -248,15 +285,8 @@ object Dedup {
       StructField("__bands", ArrayType(LongType))))
     in.mapPartitions { it =>
       it.flatMap { r =>
-        val toks = r.getString(1).split(" +").filter(_.nonEmpty)
-        val shingles = new scala.collection.mutable.LinkedHashSet[String]
-        var i = 0
-        val last = math.max(toks.length - n, 0)
-        while (i <= last) {
-          shingles += toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
-          i += 1
-        }
-        if (shingles.isEmpty || toks.isEmpty) None
+        val shingles = distinctShingles(r.getString(1), n)
+        if (shingles.isEmpty) None
         else {
           val mins = Array.fill(numHashes)(Long.MaxValue)
           shingles.foreach { s =>

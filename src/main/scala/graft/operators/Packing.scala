@@ -72,12 +72,17 @@ object Packing {
     *  - `max_fill_ok`: no bin exceeds capacity, except a singleton bin
     *    holding one oversized (> capacity) document — the documented
     *    oversize contract.
-    *  - `bins_lower_ok`: bin count ≥ ceil(total tokens / capacity), the
-    *    information-theoretic lower bound (no packer can do better).
-    *  - `underfull_ok`: at most one bin per partition is ≤ half full —
-    *    the first-fit guarantee (two half-empty bins would have been
-    *    merged), per FFD instance (= partition; partition id sits in the
-    *    bin id's high 32 bits).
+    *  - `bins_lower_ok`: bin count ≥ #oversized docs + ceil(remaining
+    *    tokens / capacity) — a valid OPT lower bound even with oversized
+    *    documents, which occupy a bin alone and cannot share (a naive
+    *    ceil(total/capacity) bound is NOT an invariant once a single
+    *    oversized doc exists: its bin contributes `capacity` to the bound
+    *    but more than `capacity` to the total).
+    *  - `underfull_ok`: at most one bin PER PARTITION is ≤ half full —
+    *    the first-fit guarantee (two half-empty bins in one FFD instance
+    *    would have been merged); checked per partition id (high 32 bin-id
+    *    bits), not as a global count, so a partition with two half-empty
+    *    bins fails even when other partitions have none.
     *
     * The booleans are computed engine-side and must all be TRUE; the
     * oracle states the same invariants as literals next to its own exact
@@ -90,22 +95,37 @@ object Packing {
       sum(col("n_tokens").cast("long")).as("tok_sum"),
       min("bin_fill").as("fill_min"), max("bin_fill").as("fill_max"),
       count(lit(1)).as("n_docs_bin"), max("n_tokens").as("max_doc"))
-    bins.select(
+    val checked = bins.select(
       col("tok_sum"), col("n_docs_bin"),
       (col("fill_min") === col("fill_max") && col("tok_sum") === col("fill_max"))
         .as("consistent"),
       (col("fill_max") <= capacity ||
         (col("n_docs_bin") === 1 && col("max_doc") > capacity)).as("cap_ok"),
+      (col("n_docs_bin") === 1 && col("max_doc") > capacity).as("oversize_bin"),
       (col("fill_max") <= capacity / 2).as("underfull"),
       expr("shiftright(bin_id, 32)").as("part_id"))
-    .agg(
-      sum("n_docs_bin").as("n_docs"),
-      sum("tok_sum").as("n_tokens"),
-      expr("bool_and(consistent)").as("fill_consistent"),
-      expr("bool_and(cap_ok)").as("max_fill_ok"),
-      (count(lit(1)) * capacity >= sum("tok_sum")).as("bins_lower_ok"),
-      (sum(col("underfull").cast("long")) <=
-        expr("count(DISTINCT part_id)")).as("underfull_ok"))
+    // per-partition FFD guarantee first (a global underfull count would
+    // let two half-empty bins in one partition hide behind other
+    // partitions), then fold everything to the one-row report
+    checked.groupBy("part_id").agg(
+        sum("n_docs_bin").as("p_docs"),
+        sum("tok_sum").as("p_tokens"),
+        expr("bool_and(consistent)").as("p_consistent"),
+        expr("bool_and(cap_ok)").as("p_cap_ok"),
+        count(lit(1)).as("p_bins"),
+        sum(col("oversize_bin").cast("long")).as("p_oversize"),
+        sum(when(col("oversize_bin"), 0L)
+          .otherwise(col("tok_sum"))).as("p_rest_tokens"),
+        (sum(col("underfull").cast("long")) <= 1L).as("p_underfull_ok"))
+      .agg(
+        sum("p_docs").as("n_docs"),
+        sum("p_tokens").as("n_tokens"),
+        expr("bool_and(p_consistent)").as("fill_consistent"),
+        expr("bool_and(p_cap_ok)").as("max_fill_ok"),
+        (sum("p_bins") >=
+          sum("p_oversize") + ceil(sum("p_rest_tokens") / lit(capacity.toDouble)))
+          .as("bins_lower_ok"),
+        expr("bool_and(p_underfull_ok)").as("underfull_ok"))
   }
 
   /** Packing efficiency summary: bins, mean fill ratio, padding waste. */

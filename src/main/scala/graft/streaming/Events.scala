@@ -143,20 +143,33 @@ object Events {
     * `complete = true` for streaming aggregations (every group emitted at
     * the end); `false` (append) for flatMapGroupsWithState, where rows
     * emit on session close/timeout.
+    *
+    * The memory-sink table and its checkpoint dir are dropped before
+    * returning (the result is localCheckpointed off the sink first):
+    * repeated invocations — a bench loop runs every driver query at least
+    * twice — would otherwise pin each run's full result set in driver
+    * memory forever.
     */
   def runAvailableNow(
       spark: SparkSession, df: DataFrame, complete: Boolean): DataFrame = {
     val name = s"graft_stream_run_${runCounter.incrementAndGet()}"
-    val ck = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_stream_ck")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(if (complete) OutputMode.Complete() else OutputMode.Append())
-      .option("checkpointLocation", ck)
+      .option("checkpointLocation", ckDir.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    scala.util.Try { // best-effort checkpoint cleanup
+      java.nio.file.Files.walk(ckDir)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    out
   }
 
   /** Stage a bounded events parquet file into a fresh directory for
@@ -181,7 +194,13 @@ object Events {
     if (closeSentinel) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(eventsParquet) // ts: LONG nanoseconds
-      val maxTs = raw.agg(max("ts")).head().getLong(0)
+      require(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType,
+        s"sentinel staging expects nanosecond-LONG ts (nanosAsLong), got " +
+          raw.schema("ts").dataType)
+      val maxRow = raw.agg(max("ts")).head()
+      require(!maxRow.isNullAt(0), s"cannot stage a close sentinel for an " +
+        s"empty events source: $eventsParquet")
+      val maxTs = maxRow.getLong(0)
       val tenDaysNs = 10L * 24 * 3600 * 1000 * 1000 * 1000
       val sentinels = raw.select("user_id").distinct()
         .select(

@@ -2,11 +2,10 @@
 and the oracle with duckdb.fetchdf, sorts columns by name, sorts rows,
 renders every cell to str, and hashes — reproducing the driver's two-reader
 setup that caught the q_part_decimal DECIMAL render divergence in r2.
-Usage: python duck_check_hash.py [sfDir] [outDir]
+Usage: python tools/check_oracle.py [sfDir] [outDir]
 """
 import duckdb, json, glob, sys, hashlib
 import pyarrow.parquet as pq
-import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
