@@ -31,17 +31,29 @@ object Main {
       println("source order: " + cp.sources.map(_.source.name).mkString(" -> "))
       spark.stop()
 
-    case cmd :: _ if cmd.replaceAll("^-+", "").toLowerCase.startsWith("import") =>
-      // C13 (versioned import reconciliation) is consciously not supported:
-      // graft keeps no persistent metadata store — the whole project
-      // recompiles from YAML on every run, which is cheap and removes the
-      // reference's upsert/cascade-delete surface (impc_execute.sql,
-      // u_delete_cascade.sql) entirely
-      System.err.println(
-        "Import reconciliation is not supported: graft has no persistent " +
-          "metadata store; every run recompiles the full project from YAML. " +
-          "Use 'validate' / 'run' instead.")
-      sys.exit(2)
+    case "import" :: projectDir :: dataDir :: outDir :: Nil =>
+      // C13: versioned import into a materialized workspace — validate
+      // (the reference's in-import checks), cascade-delete artifacts of
+      // objects removed since the last import (impc_execute.sql:163-186 →
+      // u_delete_cascade.sql), run, and append the import-log version.
+      // The upsert half of the reference's import is subsumed by
+      // recompiling the project from YAML (see ImportReconciler scaladoc).
+      val spark = session(warehouseDir = Some(s"$outDir/_warehouse"))
+      val project = YamlLoader.load(projectDir)
+      val (cp, warnings) = new Compiler(project).compileChecked(spark)
+      warnings.foreach(w => println(s"WARNING: $w"))
+      val report = graft.exec.ImportReconciler.reconcile(spark, project, outDir)
+      if (report.deletedSources.nonEmpty)
+        println(s"Deleted ${report.deletedSources.size} sources not existing " +
+          s"in import: ${report.deletedSources.mkString(", ")}")
+      if (report.deletedOutputs.nonEmpty)
+        println(s"Deleted ${report.deletedOutputs.size} outputs not existing " +
+          s"in import: ${report.deletedOutputs.mkString(", ")}")
+      val runner = new Runner(cp, Runners.parquetDir(dataDir),
+        materializeDir = Some(outDir))
+      runner.run(outDir)
+      println(s"Import v${report.version} completed successfully: $outDir")
+      spark.stop()
 
     case "plan" :: projectDir :: dataDir :: Nil =>
       val spark = session()
@@ -122,7 +134,8 @@ object Main {
           |       graft.Main init     <targetDir>
           |       graft.Main plan     <projectDir> <dataDir>
           |       graft.Main emit     <projectDir> <outDir>
-          |       graft.Main run      <projectDir> <dataDir> <outDir>""".stripMargin)
+          |       graft.Main run      <projectDir> <dataDir> <outDir>
+          |       graft.Main import   <projectDir> <dataDir> <outDir>   — versioned re-import (C13)""".stripMargin)
       sys.exit(2)
   }
 
