@@ -337,6 +337,22 @@ object SparkEntry {
         e.hourlyStatsStreamBounded(e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
         complete = true)
     }),
+    // streaming exact dedup (dropDuplicatesWithinWatermark): the staged
+    // source holds the events file TWICE, so the streamed, deduped result
+    // must be exactly the original relation — which the plain events
+    // oracle checks (value_cents derived so doubles stay off the compare)
+    "q_stream_dedup" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      val staged = e.stageStreamDir(s, s"$dir/events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(staged, "events_dup.parquet"))
+      e.runAvailableNow(s,
+        e.dedupStream(e.readEventsStream(s, staged), Seq("event_id")),
+        complete = false)
+        .selectExpr("event_id", "ts", "user_id", "event_type",
+          "CAST(round(value * 100) AS LONG) AS value_cents")
+    }),
     // flatMapGroupsWithState sessionization in append mode: a far-future
     // close sentinel per user (stageStreamDir) makes every REAL session
     // close inside the single AvailableNow batch, so the emitted set is
@@ -1095,6 +1111,10 @@ object SparkEntry {
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events
         GROUP BY 1, 2""",
+    "q_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+          CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events""",
     "q_sessionize_stream" ->
       """WITH e AS (
           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
