@@ -277,8 +277,36 @@ object SparkEntry {
     // rows-only: the 64-bit signature is engine-specific (Spark XXH64) and
     // Hamming proximity is a genuinely different similarity notion from
     // n-gram Jaccard (it misses 2 of the 25 jaccard≥0.5 pairs here), so no
-    // cross-engine oracle exists; cross-validated in OperatorsSpec
+    // cross-engine oracle exists; accuracy is driver-gated by
+    // q_simhash_bounds below (the q_approx_bounds pattern)
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    // SimHash accuracy envelope, oracle-backed: n_exact_pairs is
+    // value-matched against the DuckDB exact inverted index, and two
+    // engine-side booleans must be TRUE —
+    //  precision_ok: every emitted hamming≤8 pair shares UNIGRAM Jaccard
+    //    ≥ 0.2 (SimHash signatures are built from unigram token hashes, so
+    //    token overlap is the metric the signature actually approximates;
+    //    measured min across SFs is 0.238 — 3-gram Jaccard is the wrong
+    //    floor here: hamming-close short docs can share tokens but no
+    //    3-gram);
+    //  recall_ok: ≥ 85% of the exact 3-gram jaccard≥0.5 pairs are emitted
+    //    (measured 0.887 / 0.92 / 0.93 at sf0.1 / 0.01 / 0.001).
+    // A broken signature or band join fails either gate even though the
+    // signature cells themselves cannot be oracled.
+    "q_simhash_bounds" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sim = Dedup.simhashPairs(d).select("doc_a", "doc_b")
+      val prec = Dedup.jaccardOf(d, sim, n = 1)
+        .agg(expr("min(jaccard)").as("__minj"))
+      val rec = Dedup.ngramJaccardPairs(d, threshold = 0.5)
+        .join(sim.withColumn("__hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .agg(expr("count(1)").as("n_exact_pairs"),
+          expr("sum(CASE WHEN __hit THEN 1 ELSE 0 END)").as("__nhit"))
+      rec.crossJoin(prec).select(
+        col("n_exact_pairs"),
+        (coalesce(col("__minj"), lit(1.0)) >= 0.2).as("precision_ok"),
+        (col("__nhit") >= col("n_exact_pairs") * 0.85).as("recall_ok"))
+    }),
     // sign-LSH near-dup pairs, verified with exact cosine: precision 1 by
     // construction, and the DuckDB all-pairs brute force independently
     // certifies this corpus has NO pairs at cosine ≥ 0.9 (max pairwise
@@ -315,10 +343,42 @@ object SparkEntry {
     "q_similarity_topk_lsh" -> ((s, dir) => {
       val e = embeds(s, dir)
       // weakly-similar corpus (max pairwise cosine ≈ 0.5): few bits, many
-      // tables — see cosineTopKLsh scaladoc for the recall arithmetic
+      // tables — see cosineTopKLsh scaladoc for the recall arithmetic;
+      // accuracy driver-gated by q_similarity_topk_lsh_full (machinery) +
+      // q_lsh_recall_bounds (parameterized recall) below
       Similarity.cosineTopKLsh(e, e.filter(col("vec_id") < 16), k = 5,
         nBits = 4, tables = 12)
         .select("query_id", "match_id", "cosine", "rank")
+    }),
+    // sign-LSH probed EXHAUSTIVELY (nBits = 0 ⇒ every vector lands in
+    // bucket 0 of the single table, so candidates = all) — the IVF `_full`
+    // trick: the result must equal brute force EXACTLY, proving the whole
+    // LSH machinery (compiled bucket signatures, per-table candidate join,
+    // vector rejoin, codegen cosine, deterministic top-k) is lossless; the
+    // approximate row above stays rows-only with its measured recall
+    "q_similarity_topk_lsh_full" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      Similarity.cosineTopKLsh(e, e.filter(col("vec_id") < 16), k = 5,
+        nBits = 0, tables = 1)
+        .select("query_id", "match_id", "cosine", "rank")
+    }),
+    // recall@k envelope for the APPROXIMATE banding above (nBits=4,
+    // tables=12): engine-side overall recall vs the brute-force top-k must
+    // clear 0.7 (measured 0.75 / 0.81 / 0.89 at sf0.01 / 0.001 / 0.1 —
+    // deterministic: seeded hyperplanes over fixed fixtures); n_brute_rows
+    // is value-matched against the DuckDB brute-force count
+    "q_lsh_recall_bounds" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 16)
+      val brute = Similarity.cosineTopK(e, q, k = 5)
+        .select("query_id", "match_id")
+      val lsh = Similarity.cosineTopKLsh(e, q, k = 5, nBits = 4, tables = 12)
+        .select("query_id", "match_id").withColumn("__hit", lit(true))
+      brute.join(lsh, Seq("query_id", "match_id"), "left")
+        .agg(expr("count(1)").as("n_brute_rows"),
+          expr("sum(CASE WHEN __hit THEN 1 ELSE 0 END)").as("__nhit"))
+        .select(col("n_brute_rows"),
+          (col("__nhit") >= col("n_brute_rows") * 0.7).as("recall_ok"))
     }),
 
     // ------- event stream (batch forms; streaming forms in graft.streaming)
@@ -953,6 +1013,61 @@ object SparkEntry {
           FROM q, embeddings c
           WHERE q.vec_id != c.vec_id)
         SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, match_id) AS rn FROM sc)
+        WHERE rn <= 5""",
+    // SimHash envelope: the exact-pair count is the same relation as
+    // q_ngram_jaccard; the two accuracy booleans are engine-side claims the
+    // oracle states as literals (a violated floor breaks the hash match).
+    "q_simhash_bounds" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT count(*) AS n_exact_pairs,
+          TRUE AS precision_ok, TRUE AS recall_ok
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
+    // Exhaustive LSH probe shares the brute-force top-k oracle.
+    "q_similarity_topk_lsh_full" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+            round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+          FROM q, embeddings c
+          WHERE q.vec_id != c.vec_id)
+        SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, match_id) AS rn FROM sc)
+        WHERE rn <= 5""",
+    // LSH recall envelope: the brute-force row count is the oracle's half;
+    // the recall floor is the engine-side claim stated as a literal.
+    "q_lsh_recall_bounds" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+            round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+          FROM q, embeddings c
+          WHERE q.vec_id != c.vec_id)
+        SELECT count(*) AS n_brute_rows, TRUE AS recall_ok
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, match_id) AS rn FROM sc)
         WHERE rn <= 5""",

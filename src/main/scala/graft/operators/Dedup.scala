@@ -129,6 +129,29 @@ object Dedup {
     sh.select(col("doc_id").as(idAs),
       posexplode(col("__bands")).as(Seq("__band", "__bucket")))
 
+  /** Hot-bucket cap: drops every (band, bucket) group hotter than
+    * `maxBandFreq` BEFORE the candidate self/bipartite join. A
+    * boilerplate-heavy corpus (thousands of docs sharing a template) puts m
+    * docs into one band bucket and the join would emit m²/2 candidate pairs
+    * before verification — the one candidate-generation scale hole the
+    * shingle-level cap does not cover. The window partitions on the same
+    * (band, bucket) key the join shuffles on, so capping reuses that
+    * exchange rather than adding one.
+    *
+    * Recall trade (disclose to callers): docs colliding ONLY inside a
+    * hotter-than-cap bucket lose that band's collision; with `bands`
+    * independent bands a true near-dup pair almost surely still collides in
+    * a cooler band — template-heavy corpora are exactly where the remaining
+    * bands disagree — but a corpus that is one giant duplicate class
+    * genuinely needs [[exact]] (hash dedup) first, not pairwise LSH.
+    */
+  private def capBandBuckets(bandRows: DataFrame, maxBandFreq: Int): DataFrame =
+    bandRows
+      .withColumn("__bf",
+        count(lit(1)).over(Window.partitionBy("__band", "__bucket")))
+      .filter(col("__bf") <= maxBandFreq)
+      .drop("__bf")
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: rejoins
     * the FULL shingle arrays carried by the signature frames and keeps
     * pairs at `jaccard >= threshold`. Shared by the intra-corpus and
@@ -162,7 +185,8 @@ object Dedup {
     */
   def minhashPairs(
       docs: DataFrame, textCol: String = "text", n: Int = 3,
-      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5,
+      maxBandFreq: Int = 1000): DataFrame = {
     // banding chosen for the threshold: P(candidate) = 1-(1-j^rows)^bands;
     // 16 bands × 2 rows ⇒ ≈0.996 at j=0.54, the knee sits near j≈0.2 —
     // false candidates cost only verification, misses cost recall
@@ -174,7 +198,7 @@ object Dedup {
     // The hash chain replicates SQL `xxhash64(s, j)` exactly (XXH64 seed 42,
     // value-chained), so results are stable across both formulations.
     val sh = shingleBands(docs, textCol, n, numHashes, bands)
-    val br = bandRowsOf(sh, "doc_id")
+    val br = capBandBuckets(bandRowsOf(sh, "doc_id"), maxBandFreq)
     // Band join carries ids only; shingle arrays rejoin for exact-Jaccard
     // verification of the (much smaller) candidate set.
     val cand = br.as("a").join(br.as("b"),
@@ -204,11 +228,16 @@ object Dedup {
     */
   def minhashPairsAgainst(
       corpus: DataFrame, batch: DataFrame, textCol: String = "text", n: Int = 3,
-      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5,
+      maxBandFreq: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val shC = shingleBands(corpus, textCol, n, numHashes, bands)
     val shB = shingleBands(batch, textCol, n, numHashes, bands)
-    val cand = bandRowsOf(shB, "doc_a").as("a").join(bandRowsOf(shC, "doc_b").as("b"),
+    // the cap applies per side (each window counts within its own frame):
+    // candidates per bucket are bounded by maxBandFreq² instead of
+    // |batch bucket| × |corpus bucket|
+    val cand = capBandBuckets(bandRowsOf(shB, "doc_a"), maxBandFreq).as("a")
+      .join(capBandBuckets(bandRowsOf(shC, "doc_b"), maxBandFreq).as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -229,7 +258,11 @@ object Dedup {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
+    // NULL text ⇒ no shingles ⇒ no rows (same outcome as the pre-r3
+    // declarative form, where the lambda over a null array emitted nothing;
+    // without the filter the compiled loop would NPE on text.split)
     val in = docs.select(col("doc_id"), lower(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull)
     val out = StructType(Seq(
       StructField("doc_id", in.schema("doc_id").dataType),
       StructField("n_sh", IntegerType),
@@ -277,7 +310,9 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.unsafe.types.UTF8String
     val rows = numHashes / bands
+    // NULL text ⇒ no signature row (same contract as shingleRows)
     val in = docs.select(col("doc_id"), lower(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull)
     val idType = in.schema("doc_id").dataType
     val out = StructType(Seq(
       StructField("doc_id", idType),
@@ -327,7 +362,10 @@ object Dedup {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.unsafe.types.UTF8String
+    // NULL text ⇒ no signature row (a 64-bit signature of nothing would
+    // pair all null docs together; dropping matches shingleRows' contract)
     val in = docs.select(col("doc_id"), lower(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull)
     val idType = in.schema("doc_id").dataType
     val out = StructType(Seq(
       StructField("doc_id", idType), StructField("simhash", LongType)))
@@ -379,6 +417,48 @@ object Dedup {
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact full-set n-gram Jaccard for an EXPLICIT candidate pair relation
+    * (`doc_a`, `doc_b`) — the audit half of an accuracy envelope: feed it
+    * the pairs an approximate signature (SimHash, MinHash with aggressive
+    * caps) emitted and gate `min(jaccard)` as the precision floor. Left
+    * joins keep pairs whose docs have no shingles (< n tokens or NULL
+    * text): their `jaccard` is NULL — callers decide whether such pairs
+    * count against the floor. Same per-pair shape as [[verifyJaccard]]
+    * (two id-key joins against the shingle sets), no self-join, no
+    * threshold filter.
+    */
+  def jaccardOf(
+      docs: DataFrame, pairs: DataFrame, textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, textCol, n)
+    pairs.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")),
+        Seq("doc_a"), "left")
+      .join(sets.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")),
+        Seq("doc_b"), "left")
+      .withColumn("jaccard", expr(
+        """round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
+          | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** (doc_id, distinct shingle array) — [[shingleBands]] minus the minhash
+    * work, for callers that only need the sets (exact-Jaccard audits).
+    */
+  private def shingleSets(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val in = docs.select(col("doc_id"), lower(col(textCol)).as("__t"))
+      .filter(col("__t").isNotNull)
+    val out = StructType(Seq(
+      StructField("doc_id", in.schema("doc_id").dataType),
+      StructField("__sh", ArrayType(StringType))))
+    in.mapPartitions { it =>
+      it.map { r => Row(r.get(0), distinctShingles(r.getString(1), n).toSeq) }
+    }(RowEncoder.encoderFor(out))
   }
 
   /** Benchmark decontamination: training documents sharing at least

@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: images/audio/video as opaque `BINARY`
   * columns with typed metadata structs.
   *
-  * The decode step is a clearly-marked deterministic STUB (the real codecs
-  * are not in this container); everything around it — the schema contract,
-  * the mapPartitions batch shape, partition preservation, and the
-  * explode-style frame sampling — is the real Spark plumbing a production
-  * decode would use. Swap [[decodeBytesStub]] for a JNI/codec call and the
-  * pipeline is unchanged.
+  * [[decodeBytes]] is a real container-format header parser — magic-byte
+  * sniffing plus dimension/frame extraction for PNG (incl. APNG frame
+  * counts), JPEG (SOF scan), GIF, and WAV, all from the published byte
+  * layouts of those formats. It extracts METADATA, not pixels/samples: a
+  * full pixel decode needs a codec library, and the `bytes → features`
+  * signature is exactly where one would slot in. The `F!` branch is the
+  * deterministic test-fixture format [[fakeMediaFromDocs]] emits so the
+  * pipeline has SQL-derivable data to run against in this container.
   *
   * Scale notes: decode runs per-partition with no shuffle; metadata
   * extraction keeps binary columns out of the shuffle path (only small
@@ -36,20 +38,135 @@ object Multimodal {
     StructField("checksum", LongType),
     StructField("meta", mediaMetaSchema)))
 
-  /** STUB decode ??? — deterministic fake standing in for an image/audio
-    * codec: derives metadata from a fake 8-byte header (w, h, frames as
-    * 16-bit LE ints) and a rolling checksum of the payload. Replace with a
-    * real decoder; the signature (bytes → features) is the contract.
+  /** Container-format metadata decode: sniffs the magic bytes and parses
+    * the published header layout of the matched format. Returns
+    * (n_bytes, rolling checksum, (mime, width, height, n_frames)).
+    *
+    * Formats (all pure public byte-format knowledge — no codec library):
+    *  - PNG (`\x89PNG\r\n\x1a\n`): IHDR width/height (big-endian 32-bit at
+    *    chunk offsets 0/4); APNG `acTL` chunk, when present before IDAT,
+    *    supplies n_frames.
+    *  - JPEG (`FF D8 FF`): marker-segment scan to the first SOFn
+    *    (C0–CF minus C4/C8/CC) for height/width (big-endian 16-bit);
+    *    stops at SOS.
+    *  - GIF (`GIF87a`/`GIF89a`): logical-screen width/height
+    *    (little-endian 16-bit); block walk counting image descriptors
+    *    (0x2C) for n_frames, honoring global/local color tables and
+    *    sub-block chains.
+    *  - WAV (`RIFF....WAVE`): from `fmt `, width := sample rate and
+    *    height := channel count (the schema's spatial fields repurposed —
+    *    documented mapping, audio has no pixels); n_frames := `data` size
+    *    / block align (the real sample-frame count).
+    *  - `F!`: the deterministic test-fixture header of
+    *    [[fakeMediaFromDocs]] (w, h, frames as 16-bit LE at offsets 2/4/6).
+    *  - anything else: `application/octet-stream`, zero dims, 1 frame.
+    *
+    * Truncated/corrupt headers degrade to zero dims rather than throwing —
+    * at corpus scale a malformed file must not kill the partition.
     */
-  def decodeBytesStub(bytes: Array[Byte]): (Int, Long, (String, Int, Int, Int)) = {
-    def u16(i: Int): Int =
-      if (bytes.length >= i + 2) ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)) else 0
+  def decodeBytes(bytes: Array[Byte]): (Int, Long, (String, Int, Int, Int)) = {
+    val n = bytes.length
+    def at(i: Int): Int = if (i >= 0 && i < n) bytes(i) & 0xff else -1
+    def u16le(i: Int): Int = if (i + 2 <= n) at(i) | (at(i + 1) << 8) else 0
+    def u16be(i: Int): Int = if (i + 2 <= n) (at(i) << 8) | at(i + 1) else 0
+    def u32be(i: Int): Long =
+      if (i + 4 <= n) ((at(i).toLong << 24) | (at(i + 1) << 16) | (at(i + 2) << 8) | at(i + 3)) else 0L
+    def u32le(i: Int): Long =
+      if (i + 4 <= n) (at(i).toLong | (at(i + 1).toLong << 8) | (at(i + 2).toLong << 16) | (at(i + 3).toLong << 24)) else 0L
+    def ascii(i: Int, s: String): Boolean =
+      i + s.length <= n && s.indices.forall(k => at(i + k) == s.charAt(k))
     var checksum = 0L
     var i = 0
-    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-    val mime = if (bytes.length >= 2 && bytes(0) == 'F'.toByte) "image/fake" else "application/octet-stream"
-    (bytes.length, checksum, (mime, u16(2), u16(4), math.max(u16(6), 1)))
+    while (i < n) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+
+    val meta: (String, Int, Int, Int) =
+      if (n >= 8 && at(0) == 0x89 && ascii(1, "PNG") &&
+          at(4) == 0x0d && at(5) == 0x0a && at(6) == 0x1a && at(7) == 0x0a) {
+        // chunk walk: IHDR dims; APNG acTL frame count (only valid pre-IDAT)
+        var w = 0; var h = 0; var frames = 1
+        var p = 8
+        var done = false
+        while (!done && p + 8 <= n) {
+          val len = u32be(p)
+          if (ascii(p + 4, "IHDR")) { w = u32be(p + 8).toInt; h = u32be(p + 12).toInt }
+          else if (ascii(p + 4, "acTL")) frames = math.max(u32be(p + 8).toInt, 1)
+          else if (ascii(p + 4, "IDAT") || ascii(p + 4, "IEND")) done = true
+          if (len < 0 || len > Int.MaxValue - 12) done = true // corrupt length
+          else p += 12 + len.toInt                            // len + type + data + CRC
+        }
+        ("image/png", w, h, frames)
+      } else if (n >= 3 && at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) {
+        var w = 0; var h = 0
+        var p = 2
+        var done = false
+        while (!done && p + 1 < n) {
+          if (at(p) != 0xff) p += 1 // tolerate stray fill bytes
+          else {
+            val m = at(p + 1)
+            if (m == 0xff) p += 1 // fill byte before marker
+            else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) p += 2 // standalone
+            else {
+              val segLen = u16be(p + 2)
+              val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+              if (isSof) { h = u16be(p + 5); w = u16be(p + 7); done = true }
+              else if (m == 0xda || segLen < 2) done = true // SOS / corrupt
+              else p += 2 + segLen
+            }
+          }
+        }
+        ("image/jpeg", w, h, 1)
+      } else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) {
+        val w = u16le(6); val h = u16le(8)
+        // logical screen descriptor: packed byte at 10; global color table
+        // size = 3 * 2^(N+1) when flag 0x80 set
+        var p = 13
+        if (n > 10 && (at(10) & 0x80) != 0) p += 3 * (1 << ((at(10) & 0x07) + 1))
+        var frames = 0
+        var done = false
+        def skipSubBlocks(): Unit = {
+          var sz = at(p)
+          while (sz > 0) { p += 1 + sz; sz = at(p) }
+          p += 1 // terminator 0x00 (or EOF: at() = -1 exits the loop)
+        }
+        while (!done && p < n) at(p) match {
+          case 0x2c => // image descriptor: 9 bytes + optional local table + LZW
+            frames += 1
+            val packed = at(p + 9)
+            p += 10
+            if (packed >= 0 && (packed & 0x80) != 0) p += 3 * (1 << ((packed & 0x07) + 1))
+            p += 1 // LZW minimum code size
+            skipSubBlocks()
+          case 0x21 => p += 2; skipSubBlocks() // extension: introducer + label
+          case 0x3b => done = true             // trailer
+          case _    => done = true             // corrupt — stop, keep count
+        }
+        ("image/gif", w, h, math.max(frames, 1))
+      } else if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
+        var rate = 0; var channels = 0; var blockAlign = 0; var dataSize = 0L
+        var p = 12
+        var done = false
+        while (!done && p + 8 <= n) {
+          val size = u32le(p + 4)
+          if (ascii(p, "fmt ")) {
+            channels = u16le(p + 10); rate = u32le(p + 12).toInt
+            blockAlign = u16le(p + 20)
+          } else if (ascii(p, "data")) { dataSize = size; done = true }
+          if (size < 0 || size > Int.MaxValue) done = true
+          else p += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+        val frames = if (blockAlign > 0) (dataSize / blockAlign).toInt else 0
+        ("audio/wav", rate, channels, math.max(frames, 1))
+      } else if (n >= 2 && at(0) == 'F'.toInt && at(1) == '!'.toInt) {
+        ("image/fake", u16le(2), u16le(4), math.max(u16le(6), 1))
+      } else ("application/octet-stream", 0, 0, 1)
+
+    (n, checksum, meta)
   }
+
+  /** Renamed to [[decodeBytes]] (no longer a stub); kept for source compat. */
+  @deprecated("use decodeBytes — the decode is a real header parser now", "r4")
+  def decodeBytesStub(bytes: Array[Byte]): (Int, Long, (String, Int, Int, Int)) =
+    decodeBytes(bytes)
 
   /** Decode a binary column partition-wise (no shuffle, no Python): the
     * Scala analog of a pandas-UDF `mapInPandas` decode stage.
@@ -62,7 +179,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](bIdx)
-        val (n, sum, (mime, w, h, f)) = decodeBytesStub(bytes)
+        val (n, sum, (mime, w, h, f)) = decodeBytes(bytes)
         Row(r.get(idIdx), n, sum, Row(mime, w, h, f))
       }
     }(RowEncoder.encoderFor(out))
@@ -81,9 +198,11 @@ object Multimodal {
            |  i -> CAST(i * greatest(meta.n_frames / $maxFrames, 1) AS INT))""".stripMargin))
         .as("frame_index"))
 
-  /** Build a fake media table from the documents fixture: text bytes with a
-    * fake header prepended. Deterministic; exists so the multimodal
-    * plumbing has data to run against in this container.
+  /** Build a fake media table from the documents fixture: text bytes with
+    * the `F!` fixture header prepended. Deterministic; exists so the
+    * multimodal plumbing has SQL-derivable data to run against (the
+    * real-format branches of [[decodeBytes]] are covered by byte-fixture
+    * specs — this container ships no image/audio files).
     */
   def fakeMediaFromDocs(docs: DataFrame): DataFrame =
     docs.select(
