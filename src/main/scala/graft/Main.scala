@@ -42,7 +42,8 @@ object Main {
       val project = YamlLoader.load(projectDir)
       val (cp, warnings) = new Compiler(project).compileChecked(spark)
       warnings.foreach(w => println(s"WARNING: $w"))
-      val report = graft.exec.ImportReconciler.reconcile(spark, project, outDir)
+      val pending = graft.exec.ImportReconciler.reconcile(spark, project, outDir)
+      val report = pending.report
       if (report.deletedSources.nonEmpty)
         println(s"Deleted ${report.deletedSources.size} sources not existing " +
           s"in import: ${report.deletedSources.mkString(", ")}")
@@ -51,7 +52,13 @@ object Main {
           s"in import: ${report.deletedOutputs.mkString(", ")}")
       val runner = new Runner(cp, Runners.parquetDir(dataDir),
         materializeDir = Some(outDir))
+      // the log version commits only once the run materialized this
+      // import's artifacts — a failed run must not record a phantom
+      // version (the reference commits upserts, cascade delete, and its
+      // meta.import row in ONE transaction; deletes here are idempotent,
+      // so the retry simply re-reconciles)
       runner.run(outDir)
+      graft.exec.ImportReconciler.commit(outDir, pending)
       println(s"Import v${report.version} completed successfully: $outDir")
       spark.stop()
 

@@ -44,6 +44,17 @@ object ImportReconciler {
       version: Int,
       deletedSources: Seq[String], deletedOutputs: Seq[String])
 
+  /** A reconciled-but-uncommitted import: stale artifacts are already
+    * deleted, the log version is NOT yet appended. [[commit]] it after the
+    * import's run succeeds — the closest filesystem analog of the
+    * reference's single import transaction (upserts + cascade delete +
+    * `meta.import` row commit together): a failed run leaves the log at the
+    * previous version instead of recording an import whose artifacts were
+    * never materialized. The already-performed deletes are idempotent, so
+    * the retrying import simply re-reconciles.
+    */
+  final case class PendingImport(record: ImportRecord, report: ImportReport)
+
   private def logPath(outDir: String) =
     java.nio.file.Paths.get(outDir, "import_log.tsv")
 
@@ -53,7 +64,12 @@ object ImportReconciler {
     case OutputType.Virtual      => "virtual"
   }
 
-  /** Parse the append-only TSV import log (empty if none exists). */
+  /** Parse the append-only TSV import log (empty if none exists). Any
+    * malformed line — unknown tag, wrong arity, or an object line with no
+    * preceding `version` line (a truncated/corrupt head) — raises the same
+    * named "corrupt import log" error rather than a bare
+    * NoSuchElementException.
+    */
   def loadLog(outDir: String): Seq[ImportRecord] = {
     val p = logPath(outDir)
     if (!java.nio.file.Files.exists(p)) return Nil
@@ -64,6 +80,8 @@ object ImportReconciler {
       line.split("\t", -1).toList match {
         case "version" :: v :: ts :: Nil =>
           records += ImportRecord(v.toInt, ts, Map.empty, Map.empty)
+        case ("source" | "output") :: _ if records.isEmpty =>
+          sys.error(s"corrupt import log line (object before any version): $line")
         case "source" :: name :: hub :: Nil =>
           val last = records.last
           records(records.length - 1) =
@@ -79,6 +97,11 @@ object ImportReconciler {
     records.toList
   }
 
+  /** Atomic log write: the full log (existing versions + the new block) is
+    * written to a temp file in the same directory and moved over the old
+    * one — a crash mid-write can never leave a torn trailing block for the
+    * next [[loadLog]] to trip on (plain O_APPEND gives no such guarantee).
+    */
   private def append(outDir: String, rec: ImportRecord): Unit = {
     val sb = new StringBuilder
     sb.append(s"version\t${rec.version}\t${rec.timestamp}\n")
@@ -88,10 +111,25 @@ object ImportReconciler {
     rec.outputs.toSeq.sortBy(_._1).foreach { case (n, (t, tag)) =>
       sb.append(s"output\t$n\t$t\t$tag\n")
     }
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    java.nio.file.Files.writeString(logPath(outDir), sb.toString(),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    val dir = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(dir)
+    val target = logPath(outDir)
+    val existing =
+      if (java.nio.file.Files.exists(target))
+        java.nio.file.Files.readString(target)
+      else ""
+    val tmp = java.nio.file.Files.createTempFile(dir, ".import_log", ".tmp")
+    java.nio.file.Files.writeString(tmp, existing + sb.toString())
+    try
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // non-POSIX fs: plain move is still rename-based on one volume
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private def deleteDir(path: java.nio.file.Path): Unit =
@@ -102,14 +140,21 @@ object ImportReconciler {
 
   /** Reconcile the workspace at `outDir` against `project`: cascade-delete
     * the physical artifacts of every source/output present in the LAST
-    * import but absent (by name) from this one, then append this import's
-    * manifest as the next log version. Run AFTER validation and BEFORE
-    * `Runner.run` (the reference deletes inside the same import
-    * transaction, after its upserts validate).
+    * import but absent (by name) from this one, and return the next log
+    * version as an uncommitted [[PendingImport]]. Run AFTER validation (the
+    * reference deletes inside the same import transaction, after its
+    * upserts validate); [[commit]] AFTER the import's run succeeds.
+    *
+    * Table drops go through [[Runner.dropTableAndOrphanLocation]]: each
+    * `graft.Main import` runs in a fresh JVM whose in-memory catalog has no
+    * entry for tables a PREVIOUS import created, so DROP TABLE alone would
+    * be a no-op and the warehouse directory (`$outDir/_warehouse/<target>`)
+    * would be orphaned forever — exactly the cross-import scenario C13
+    * covers.
     */
   def reconcile(
       spark: SparkSession, project: Project, outDir: String,
-      timestamp: String = java.time.Instant.now().toString): ImportReport = {
+      timestamp: String = java.time.Instant.now().toString): PendingImport = {
     val log = loadLog(outDir)
     val prev = log.lastOption
     val curSources = project.sources.map(s => s.name -> s.hubName).toMap
@@ -125,23 +170,37 @@ object ImportReconciler {
       // hub parquet dir (materializeDir mode) and/or hub catalog table
       // (materializeTables mode) — u_delete_cascade's 'source' branch
       deleteDir(java.nio.file.Paths.get(outDir, hubName))
-      spark.sql(s"DROP TABLE IF EXISTS ${quoted(spark, hubName)}")
+      Runner.dropTableAndOrphanLocation(spark, hubName)
     }
     staleOutputs.foreach { case (_, (target, tag)) =>
       // u_delete_cascade's 'output' branch, per sink type
       tag match {
-        case "table"   => spark.sql(s"DROP TABLE IF EXISTS ${quoted(spark, target)}")
+        case "table"   => Runner.dropTableAndOrphanLocation(spark, target)
         case "virtual" => spark.catalog.dropTempView(target)
         case _         => deleteDir(java.nio.file.Paths.get(outDir, target))
       }
     }
 
     val version = prev.map(_.version + 1).getOrElse(1)
-    append(outDir, ImportRecord(version, timestamp, curSources, curOutputs))
-    ImportReport(version,
-      staleSources.keys.toSeq.sorted, staleOutputs.keys.toSeq.sorted)
+    PendingImport(
+      ImportRecord(version, timestamp, curSources, curOutputs),
+      ImportReport(version,
+        staleSources.keys.toSeq.sorted, staleOutputs.keys.toSeq.sorted))
   }
 
-  private def quoted(spark: SparkSession, name: String): String =
-    spark.sessionState.sqlParser.parseTableIdentifier(name).quotedString
+  /** Commit a reconciled import: atomically appends its log version. Call
+    * only after the import's run succeeded (see [[PendingImport]]).
+    */
+  def commit(outDir: String, pending: PendingImport): ImportReport = {
+    append(outDir, pending.record)
+    pending.report
+  }
+
+  /** reconcile + immediate commit, for callers with no run step between
+    * (e.g. a metadata-only import of a project with no outputs to write).
+    */
+  def reconcileAndCommit(
+      spark: SparkSession, project: Project, outDir: String,
+      timestamp: String = java.time.Instant.now().toString): ImportReport =
+    commit(outDir, reconcile(spark, project, outDir, timestamp))
 }

@@ -228,14 +228,26 @@ object Runner {
     */
   def overwriteTable(df: DataFrame, name: String)(
       configure: DataFrameWriter[Row] => DataFrameWriter[Row]): Unit = {
-    val spark = df.sparkSession
+    dropTableAndOrphanLocation(df.sparkSession, name)
+    configure(df.write.mode("overwrite").format("parquet")).saveAsTable(name)
+  }
+
+  /** DROP TABLE IF EXISTS + removal of the default managed LOCATION even
+    * when no catalog entry exists — with the default in-memory catalog a
+    * table created by a PREVIOUS session (or JVM) is not registered in this
+    * one, so the DROP alone is a no-op and the warehouse directory would be
+    * orphaned (and a later saveAsTable would fail with
+    * LOCATION_ALREADY_EXISTS). Shared by the CTAS path above and
+    * [[ImportReconciler]]'s cascade delete.
+    */
+  def dropTableAndOrphanLocation(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
     spark.sql(s"DROP TABLE IF EXISTS ${id.quotedString}")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(id))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    configure(df.write.mode("overwrite").format("parquet")).saveAsTable(name)
   }
 }
 

@@ -422,10 +422,12 @@ object Dedup {
   /** Exact full-set n-gram Jaccard for an EXPLICIT candidate pair relation
     * (`doc_a`, `doc_b`) — the audit half of an accuracy envelope: feed it
     * the pairs an approximate signature (SimHash, MinHash with aggressive
-    * caps) emitted and gate `min(jaccard)` as the precision floor. Left
-    * joins keep pairs whose docs have no shingles (< n tokens or NULL
-    * text): their `jaccard` is NULL — callers decide whether such pairs
-    * count against the floor. Same per-pair shape as [[verifyJaccard]]
+    * caps) emitted and gate `min(jaccard)` as the precision floor. A doc
+    * with an empty shingle set (no tokens) scores 0 against any non-empty
+    * doc; left joins keep pairs referencing docs absent from `docs` (or
+    * with NULL text, which the signature paths drop): their `jaccard` is
+    * NULL — callers decide whether those count against the floor. Same
+    * per-pair shape as [[verifyJaccard]]
     * (two id-key joins against the shingle sets), no self-join, no
     * threshold filter.
     */

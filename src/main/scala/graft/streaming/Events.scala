@@ -191,8 +191,7 @@ object Events {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(eventsParquet), dir.resolve("events.parquet"))
-    if (closeSentinel) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (closeSentinel) withNanosAsLong(spark) {
       val raw = spark.read.parquet(eventsParquet) // ts: LONG nanoseconds
       require(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType,
         s"sentinel staging expects nanosecond-LONG ts (nanosAsLong), got " +
@@ -221,19 +220,49 @@ object Events {
     dir.toString
   }
 
+  /** Scoped nanosAsLong: set for `body`, then RESTORED to its previous
+    * value (or unset). Safe only when every read inside `body` is fully
+    * executed before return — staging qualifies (head() + write are
+    * actions); [[readEvents]]/[[readEventsStream]] do NOT (their lazy
+    * plans re-read the conf at execution, so they must leave it set — the
+    * documented contract of those readers).
+    */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Read the events parquet (nanosecond timestamps — Spark reads them as
     * LONG via the legacy conf, then converts to microsecond timestamps).
+    * SESSION-CONF CONTRACT: leaves `spark.sql.legacy.parquet.nanosAsLong`
+    * set — the returned plan is lazy and the scan re-reads the conf at
+    * execution time, so it cannot be scoped here.
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeTs(spark.read.parquet(path))
   }
 
-  /** readStream over a parquet file/directory with the events schema. */
+  /** readStream over a parquet file/directory with the events schema.
+    * Same session-conf contract as [[readEvents]]. `maxFilesPerTrigger` is
+    * pinned high explicitly: the close-sentinel staging scheme
+    * ([[stageStreamDir]]) requires the real events file and the sentinel
+    * file to land in ONE AvailableNow micro-batch — a small inherited
+    * maxFilesPerTrigger could order the sentinel first and drop every real
+    * event as late data.
+    */
   def readEventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    normalizeTs(spark.readStream.schema(schema).parquet(path))
+    normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(path))
   }
 
   private def normalizeTs(df: DataFrame): DataFrame =

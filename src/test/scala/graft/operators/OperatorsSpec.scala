@@ -283,6 +283,63 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mh == exact)
   }
 
+  test("minhash hot-bucket cap (maxBandFreq) bounds candidate generation") {
+    // 30 clones of one template: identical signatures put all 30 into ONE
+    // (band, bucket) group per band — the m² candidate blowup scenario
+    val template = (1L to 30L).map(i =>
+      (i, "the same boilerplate template text repeated across many documents word for word"))
+    val nearDup = Seq(
+      (101L, "an unrelated pair of documents that resemble each other rather closely indeed"),
+      (102L, "an unrelated pair of documents that resemble each other rather closely today"))
+    val df = docsDf(template ++ nearDup)
+    // default cap (1000): all template pairs + the near-dup pair
+    val open = Dedup.minhashPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(open.size == 30 * 29 / 2 + 1 && open.contains((101L, 102L)))
+    // cap below the clone multiplicity: every hot bucket is dropped before
+    // the join (bounded candidates), cool buckets are untouched
+    val capped = Dedup.minhashPairs(df, threshold = 0.5, maxBandFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)))
+    // bipartite form: same knob, same behavior
+    val cappedBi = Dedup.minhashPairsAgainst(
+      docsDf(template.take(15) ++ nearDup.take(1)),
+      docsDf(template.drop(15) ++ nearDup.drop(1)),
+      threshold = 0.5, maxBandFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedBi == Set((102L, 101L)))
+  }
+
+  test("NULL text documents drop out of signature paths without NPE") {
+    val df = docsDf(Seq(
+      (1L, "a shared near duplicate text body with enough words to shingle properly"),
+      (2L, "a shared near duplicate text body with enough words to shingle nicely"),
+      (3L, null.asInstanceOf[String]), (4L, null.asInstanceOf[String])))
+    val exact = Dedup.ngramJaccardPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // null docs never pair (not even with each other); real pairs intact
+    assert(exact == Set((1L, 2L)) && mh == Set((1L, 2L)) && sh == Set((1L, 2L)))
+  }
+
+  test("jaccardOf audits explicit pairs, NULL jaccard for shingle-less docs") {
+    import spark.implicits._
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma epsilon"),
+      (3L, "")))  // empty text -> empty shingle set (short docs get a
+                  // whole-text shingle; only no-token docs have none)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 99L)).toDF("doc_a", "doc_b")
+    val got = Dedup.jaccardOf(df, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    // {ab g, b g d} vs {ab g, b g e}: inter 1 ("alpha beta gamma"), union 3
+    assert(got((1L, 2L)) == Some(0.333333))
+    assert(got((1L, 3L)) == Some(0.0)) // vs empty shingle set: 0/|A| = 0
+    assert(got((1L, 99L)).isEmpty)     // unknown doc -> NULL, caller decides
+  }
+
   test("incremental (batch-vs-corpus) minhash dedup matches exact bipartite jaccard") {
     val corpus = docsDf(dupDocs.filter(_._1 != 2L))
     val batch = docsDf(Seq(dupDocs.find(_._1 == 2L).get, (9L, "nothing in common here at all")))

@@ -76,6 +76,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("LSH candidate generation never exceeds its banded budget") {
     assert(shuffles(Dedup.minhashPairs(docs, threshold = 0.5)) <= 3)
+    // the maxBandFreq hot-bucket cap windows on the same (band, bucket)
+    // key the candidate join shuffles on — tightening it must not add an
+    // exchange to the plan
+    assert(shuffles(Dedup.minhashPairs(docs, threshold = 0.5, maxBandFreq = 10)) <= 3)
+    assert(shuffles(Dedup.minhashPairsAgainst(
+      docs, docs.filter(col("doc_id") < 25), threshold = 0.5, maxBandFreq = 10)) <= 4)
     assert(shuffles(Dedup.simhashPairs(docs)) <= 3)
     assert(shuffles(Dedup.embeddingDupPairs(embeds, threshold = 0.9)) <= 2)
     // bipartite decontamination: corpus cap window + overlap agg; the

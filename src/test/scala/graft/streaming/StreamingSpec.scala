@@ -88,6 +88,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed sessions must equal batch sessions exactly")
   }
 
+  test("stageStreamDir leaves the session conf untouched (scoped nanosAsLong)") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // previously unset: staging must leave the flag at its default (false)
+    // — getOption reports the registered default even when unset, so the
+    // observable contract is the VALUE, not absence
+    spark.conf.unset(key)
+    Events.stageStreamDir(spark, s"$sfDir/events.parquet", closeSentinel = true)
+    assert(spark.conf.get(key) == "false",
+      "sentinel staging leaked the legacy conf into the session")
+    // previously set to an explicit value: staging must restore it
+    spark.conf.set(key, "true")
+    Events.stageStreamDir(spark, s"$sfDir/events.parquet", closeSentinel = true)
+    assert(spark.conf.get(key) == "true", "staging clobbered the caller's conf")
+    spark.conf.unset(key)
+  }
+
   test("bounded hourly stream (complete mode) equals batch exactly") {
     val staged = Events.stageStreamDir(spark, s"$sfDir/events.parquet")
     val got = Events.runAvailableNow(spark,
