@@ -291,13 +291,19 @@ object SparkEntry {
     //    3-gram);
     //  recall_ok: ≥ 85% of the exact 3-gram jaccard≥0.5 pairs are emitted
     //    (measured 0.887 / 0.92 / 0.93 at sf0.1 / 0.01 / 0.001).
-    // A broken signature or band join fails either gate even though the
+    //  no_null_jaccard: zero emitted pairs have a NULL audit jaccard —
+    //    min() ignores NULLs, so without this gate a signature change that
+    //    starts emitting pairs touching shingle-less docs could slip under
+    //    the precision floor (jaccardOf leaves NULL-pair semantics to the
+    //    caller; this row chooses "forbidden").
+    // A broken signature or band join fails a gate even though the
     // signature cells themselves cannot be oracled.
     "q_simhash_bounds" -> ((s, dir) => {
       val d = docs(s, dir)
       val sim = Dedup.simhashPairs(d).select("doc_a", "doc_b")
       val prec = Dedup.jaccardOf(d, sim, n = 1)
-        .agg(expr("min(jaccard)").as("__minj"))
+        .agg(expr("min(jaccard)").as("__minj"),
+          expr("sum(CASE WHEN jaccard IS NULL THEN 1 ELSE 0 END)").as("__nnull"))
       val rec = Dedup.ngramJaccardPairs(d, threshold = 0.5)
         .join(sim.withColumn("__hit", lit(true)), Seq("doc_a", "doc_b"), "left")
         .agg(expr("count(1)").as("n_exact_pairs"),
@@ -305,7 +311,8 @@ object SparkEntry {
       rec.crossJoin(prec).select(
         col("n_exact_pairs"),
         (coalesce(col("__minj"), lit(1.0)) >= 0.2).as("precision_ok"),
-        (col("__nhit") >= col("n_exact_pairs") * 0.85).as("recall_ok"))
+        (col("__nhit") >= col("n_exact_pairs") * 0.85).as("recall_ok"),
+        (coalesce(col("__nnull"), lit(0L)) === 0).as("no_null_jaccard"))
     }),
     // sign-LSH near-dup pairs, verified with exact cosine: precision 1 by
     // construction, and the DuckDB all-pairs brute force independently
@@ -1037,7 +1044,7 @@ object SparkEntry {
           FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT count(*) AS n_exact_pairs,
-          TRUE AS precision_ok, TRUE AS recall_ok
+          TRUE AS precision_ok, TRUE AS recall_ok, TRUE AS no_null_jaccard
         FROM pairs
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b

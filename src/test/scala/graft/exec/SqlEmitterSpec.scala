@@ -121,6 +121,54 @@ class SqlEmitterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "runtime output event_struct: emitted SQL diverges from planner")
   }
 
+  test("InlineCTE canary: nested hub SQL WITHOUT localCheckpoint (SparkEntry q_lineitem_enriched_sql workaround)") {
+    // SparkEntry.scala (q_lineitem_enriched_sql) localCheckpoint()s every
+    // hub view because Spark's InlineCTE pass miscompiles deeply nested
+    // CTE+lateral-view trees ("Resolved plan became unresolved" /
+    // IllegalStateException during analysis). This canary runs the SAME
+    // composition with plan-backed (non-checkpointed) hub views so a Spark
+    // upgrade can't change the situation silently:
+    //  - documented failure  -> workaround still needed, test passes;
+    //  - success + planner-equal rows -> Spark fixed it: test FAILS with a
+    //    "drop the workaround" message (a red canary on upgrade is the
+    //    point — the fix is deleting code, not debugging);
+    //  - success + WRONG rows -> worst case, fails with a divergence diff.
+    runner // registers raw-table temp views
+    cp.sources.foreach { cs =>
+      spark.sql(emitter.sourceSql(cs.source.name, tableFor))
+        .createOrReplaceTempView("hub_" + cs.source.name)
+    }
+    val attempt = scala.util.Try {
+      spark.table("hub_tpch_lineitem").collect()
+    }
+    attempt match {
+      case scala.util.Failure(e) =>
+        val msg = Option(e.getMessage).getOrElse("") + " " + e.getClass.getName
+        assert(
+          msg.contains("unresolved") || msg.contains("Unresolved") ||
+            msg.contains("IllegalStateException") ||
+            msg.contains("Invalid call to") || msg.contains("INTERNAL_ERROR"),
+          s"nested hub SQL failed with an UNRECOGNIZED error class — " +
+            s"not the documented InlineCTE miscompile; investigate: $e")
+      case scala.util.Success(rows) =>
+        val a = rows.map(_.toString).sorted
+        val b = runner.hub("tpch_lineitem").collect().map(_.toString).sorted
+        assert(a.length == b.length && a.sameElements(b),
+          "nested hub SQL now RUNS but diverges from the planner — Spark's " +
+            "CTE inlining changed behavior; keep localCheckpoint and diff: " +
+            a.diff(b).take(3).mkString("; "))
+        fail("Spark now compiles the nested CTE+lateral hub chain correctly: " +
+          "DROP the localCheckpoint workaround in SparkEntry " +
+          "q_lineitem_enriched_sql and delete this fail()")
+    }
+    // restore checkpointed hubs for any later test relying on hub_* views
+    cp.sources.foreach { cs =>
+      spark.sql(emitter.sourceSql(cs.source.name, tableFor))
+        .localCheckpoint()
+        .createOrReplaceTempView("hub_" + cs.source.name)
+    }
+  }
+
   test("run.sql is one executable script") {
     val script = emitter.runSql(tableFor)
     // execute statement by statement (split on ';' at line ends)
