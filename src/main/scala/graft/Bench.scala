@@ -55,8 +55,9 @@ object Bench {
     // stall inflates at most one pass of each query, not all N of one.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to passes; n <- names if warmup(n) >= 0) {
-      val t = try time(exec(n)) catch { case _: Throwable => -1.0 }
+    for (p <- 1 to passes; n <- names if warmup(n) >= 0) {
+      val t = try time(exec(n))
+      catch { case e: Throwable => errors += s"$n (pass $p): ${e.getMessage}"; -1.0 }
       if (t >= 0) samples(n) = t :: samples(n)
     }
     val results = names.map { n =>

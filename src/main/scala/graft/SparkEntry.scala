@@ -74,11 +74,15 @@ object SparkEntry {
       val em = new graft.exec.SqlEmitter(compiled)
       compiled.sources.foreach { cs =>
         // localCheckpoint: each hub view is RDD-backed, so downstream hub
-        // SQL never sees nested CTE chains (Spark's InlineCTE pass
-        // miscompiles deeply nested CTE+lateral view trees — same bug
-        // SqlEmitterSpec documents; this is its distributed workaround,
-        // and matches the reference's actual contract of materialized
-        // hub tables between source queries)
+        // SQL never sees nested CTE chains. Spark's InlineCTE pass
+        // miscompiles deeply nested CTE+lateral view trees
+        // (PLAN_VALIDATION_FAILED_RULE_IN_BATCH "resolved became
+        // unresolved") — deterministic in a pristine JVM (the
+        // Verify/Bench path), though masked after unrelated plans have
+        // executed, which is why only SqlEmitterSpec's sub-JVM
+        // InlineCteProbe canary reproduces it. Also matches the
+        // reference's contract of materialized hub tables between
+        // source queries.
         s.sql(em.sourceSql(cs.source.name, src => src.sourceTable))
           .localCheckpoint()
           .createOrReplaceTempView("hub_" + cs.source.name)

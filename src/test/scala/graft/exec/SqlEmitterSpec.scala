@@ -121,51 +121,51 @@ class SqlEmitterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "runtime output event_struct: emitted SQL diverges from planner")
   }
 
-  test("InlineCTE canary: nested hub SQL WITHOUT localCheckpoint (SparkEntry q_lineitem_enriched_sql workaround)") {
-    // SparkEntry.scala (q_lineitem_enriched_sql) localCheckpoint()s every
-    // hub view because Spark's InlineCTE pass miscompiles deeply nested
-    // CTE+lateral-view trees ("Resolved plan became unresolved" /
-    // IllegalStateException during analysis). This canary runs the SAME
-    // composition with plan-backed (non-checkpointed) hub views so a Spark
-    // upgrade can't change the situation silently:
-    //  - documented failure  -> workaround still needed, test passes;
-    //  - success + planner-equal rows -> Spark fixed it: test FAILS with a
-    //    "drop the workaround" message (a red canary on upgrade is the
-    //    point — the fix is deleting code, not debugging);
-    //  - success + WRONG rows -> worst case, fails with a divergence diff.
-    runner // registers raw-table temp views
-    cp.sources.foreach { cs =>
-      spark.sql(emitter.sourceSql(cs.source.name, tableFor))
-        .createOrReplaceTempView("hub_" + cs.source.name)
-    }
-    val attempt = scala.util.Try {
-      spark.table("hub_tpch_lineitem").collect()
-    }
-    attempt match {
-      case scala.util.Failure(e) =>
-        val msg = Option(e.getMessage).getOrElse("") + " " + e.getClass.getName
-        assert(
-          msg.contains("unresolved") || msg.contains("Unresolved") ||
-            msg.contains("IllegalStateException") ||
-            msg.contains("Invalid call to") || msg.contains("INTERNAL_ERROR"),
-          s"nested hub SQL failed with an UNRECOGNIZED error class — " +
-            s"not the documented InlineCTE miscompile; investigate: $e")
-      case scala.util.Success(rows) =>
-        val a = rows.map(_.toString).sorted
-        val b = runner.hub("tpch_lineitem").collect().map(_.toString).sorted
-        assert(a.length == b.length && a.sameElements(b),
-          "nested hub SQL now RUNS but diverges from the planner — Spark's " +
-            "CTE inlining changed behavior; keep localCheckpoint and diff: " +
-            a.diff(b).take(3).mkString("; "))
-        fail("Spark now compiles the nested CTE+lateral hub chain correctly: " +
-          "DROP the localCheckpoint workaround in SparkEntry " +
-          "q_lineitem_enriched_sql and delete this fail()")
-    }
-    // restore checkpointed hubs for any later test relying on hub_* views
-    cp.sources.foreach { cs =>
-      spark.sql(emitter.sourceSql(cs.source.name, tableFor))
-        .localCheckpoint()
-        .createOrReplaceTempView("hub_" + cs.source.name)
+  test("InlineCTE canary: sub-JVM probe of the nested hub SQL (SparkEntry localCheckpoint workaround)") {
+    // The InlineCTE miscompile that forces SparkEntry
+    // q_lineitem_enriched_sql to localCheckpoint() each hub view only
+    // reproduces in a PRISTINE JVM (the Verify/Bench path): after any
+    // unrelated plan has executed in the same JVM — as in this shared
+    // suite session — the identical composition compiles fine (verified
+    // round 6, deterministic 3/3 either way). So the canary runs
+    // InlineCteProbe in a sub-JVM, which is the exact fresh-JVM
+    // composition, and asserts on its exit code:
+    //   2 -> documented miscompile: workaround still needed, test passes
+    //   0 -> Spark fixed it: FAIL with "drop the workaround" (a red
+    //        canary on upgrade is the point — the fix is deleting code)
+    //   3 -> runs but diverges from the planner: FAIL (worst case)
+    //   1 -> unrecognized error: FAIL, investigate
+    // The probe never touches this suite's session, so no view state
+    // needs restoring on any path.
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq("-Xmx4g",
+      "-cp", sys.props("java.class.path"),
+      "graft.exec.InlineCteProbe", sfDir)).toArray
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val code = proc.waitFor()
+    val probeLine = out.linesIterator.find(_.startsWith("PROBE_"))
+      .getOrElse(out.takeRight(400))
+    code match {
+      case 2 => // documented miscompile still present: workaround justified
+      case 0 => fail("Spark now compiles the nested CTE+lateral hub chain " +
+        "correctly in a fresh JVM: DROP the localCheckpoint workaround in " +
+        s"SparkEntry q_lineitem_enriched_sql ($probeLine)")
+      case 3 => fail("nested hub SQL now RUNS in a fresh JVM but diverges " +
+        "from the planner — Spark's CTE inlining changed behavior; keep " +
+        s"localCheckpoint and investigate ($probeLine)")
+      case c => fail(s"InlineCteProbe exited $c with an unrecognized " +
+        s"outcome — not the documented InlineCTE miscompile ($probeLine)")
     }
   }
 
