@@ -57,6 +57,11 @@ object Multimodal {
     *    height := channel count (the schema's spatial fields repurposed —
     *    documented mapping, audio has no pixels); n_frames := `data` size
     *    / block align (the real sample-frame count).
+    *  - MP4/ISO-BMFF (`....ftyp`): box walk into moov/trak/mdia; `mvhd`
+    *    timescale+duration (version 0 and 1 layouts), first video
+    *    `tkhd`'s 16.16 fixed-point width/height; n_frames := whole
+    *    seconds of duration (documented mapping — true frame counts
+    *    live in the `stts` sample table).
     *  - `F!`: the deterministic test-fixture header of
     *    [[fakeMediaFromDocs]] (w, h, frames as 16-bit LE at offsets 2/4/6).
     *  - anything else: `application/octet-stream`, zero dims, 1 frame.
@@ -156,6 +161,55 @@ object Multimodal {
         }
         val frames = if (blockAlign > 0) (dataSize / blockAlign).toInt else 0
         ("audio/wav", rate, channels, math.max(frames, 1))
+      } else if (n >= 12 && u32be(0) >= 8 && ascii(4, "ftyp")) {
+        // ISO-BMFF (MP4/MOV/3GP): [size:u32be][type:4cc][payload] box
+        // sequence; size==1 → u64 largesize follows the type, size==0 →
+        // box runs to EOF. moov/trak are containers; mvhd carries
+        // timescale+duration (offsets differ by version byte), tkhd
+        // carries 16.16 fixed-point width/height at the end of its
+        // payload. Published byte layout (ISO/IEC 14496-12).
+        var w = 0; var h = 0; var durSec = 0L
+        def walk(start: Long, end: Long, depth: Int): Unit = {
+          var p = start
+          while (p + 8 <= end && depth < 8) {
+            val size0 = u32be(p.toInt)
+            var header = 8L
+            val boxEnd =
+              if (size0 == 0L) end
+              else if (size0 == 1L && p + 16 <= end) {
+                header = 16L
+                val hi = u32be(p.toInt + 8); val lo = u32be(p.toInt + 12)
+                math.min(p + ((hi << 32) | lo), end)
+              } else math.min(p + size0, end)
+            if (boxEnd <= p + 7) return // corrupt size — stop, keep fields
+            val t = p.toInt + 4
+            if (ascii(t, "moov") || ascii(t, "trak") || ascii(t, "mdia"))
+              walk(p + header, boxEnd, depth + 1)
+            else if (ascii(t, "mvhd")) {
+              val b = (p + header).toInt
+              val version = at(b)
+              if (version == 1) {
+                val ts = u32be(b + 20)
+                val dur = (u32be(b + 24) << 32) | u32be(b + 28)
+                if (ts > 0) durSec = dur / ts
+              } else {
+                val ts = u32be(b + 12); val dur = u32be(b + 16)
+                if (ts > 0) durSec = dur / ts
+              }
+            } else if (ascii(t, "tkhd") && w == 0) {
+              val b = (p + header).toInt
+              val off = if (at(b) == 1) b + 88 else b + 76
+              val tw = (u32be(off) >> 16).toInt; val th = (u32be(off + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th } // first VIDEO track
+            }
+            p = boxEnd
+          }
+        }
+        walk(0L, n.toLong, 0)
+        // n_frames := whole seconds of mvhd duration (documented mapping —
+        // a real frame count needs the stts sample table; same spirit as
+        // WAV's rate/channels repurposing of the spatial fields)
+        ("video/mp4", w, h, math.max(durSec.toInt, 1))
       } else if (n >= 2 && at(0) == 'F'.toInt && at(1) == '!'.toInt) {
         ("image/fake", u16le(2), u16le(4), math.max(u16le(6), 1))
       } else ("application/octet-stream", 0, 0, 1)
@@ -197,6 +251,105 @@ object Multimodal {
            |  sequence(0, least(meta.n_frames - 1, ${maxFrames - 1})),
            |  i -> CAST(i * greatest(meta.n_frames / $maxFrames, 1) AS INT))""".stripMargin))
         .as("frame_index"))
+
+  /** Schema of a pixel-stats row ([[decodePixels]]). */
+  def pixelStatsSchema(idType: DataType): StructType = StructType(Seq(
+    StructField("media_id", idType),
+    StructField("decode_ok", BooleanType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("mean_luma", DoubleType)))
+
+  /** REAL pixel decode via JDK ImageIO (PNG/JPEG/GIF/BMP — ships with the
+    * JDK, no external codec dependency): per-image width/height,
+    * per-channel means, and Rec.601 mean luma
+    * (0.299 R + 0.587 G + 0.114 B). This is the `bytes → features` slot
+    * [[decodeBytes]] (the cheap header-metadata default) leaves open,
+    * made real end-to-end.
+    *
+    * Same scale posture as [[decode]]: runs per-partition via
+    * mapPartitions, binary never shuffles, only the small stats rows
+    * survive projection. Pixels are read one ROW at a time (bulk
+    * `getRGB` per scanline), so peak memory is O(width), not
+    * O(width*height). Undecodable/truncated/non-image bytes degrade to
+    * `decode_ok = false` with null stats — a malformed file must not
+    * kill the partition.
+    */
+  def decodePixels(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    val idType = media.schema(idCol).dataType
+    val out = pixelStatsSchema(idType)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val bIdx = media.schema.fieldIndex(bytesCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null } // corrupt stream: not decodable
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+          Row(id, false, null, null, null, null, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val line = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, line, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = line(x)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val npx = w.toLong * h
+          val mr = sr.toDouble / npx; val mg = sg.toDouble / npx
+          val mb = sb.toDouble / npx
+          Row(id, true, w, h, mr, mg, mb,
+            0.299 * mr + 0.587 * mg + 0.114 * mb)
+        }
+      }
+    }(RowEncoder.encoderFor(out))
+  }
+
+  /** Synthetic REAL-PNG media from the documents fixture: each doc_id
+    * becomes a solid-color PNG (dims and RGB derived arithmetically from
+    * doc_id), encoded per-partition with ImageIO. Solid color + lossless
+    * PNG means every [[decodePixels]] statistic is exactly computable in
+    * SQL from doc_id alone — which is what lets the driver oracle-gate a
+    * real codec round-trip (encode and decode both go through ImageIO).
+    */
+  def syntheticImagesFromDocs(docs: DataFrame): DataFrame = {
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val out = StructType(Seq(
+      StructField("media_id", docs.schema("doc_id").dataType),
+      StructField("bytes", BinaryType)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (id % 16 + 1).toInt; val h = (id % 8 + 1).toInt
+        val rgb = (((id * 37) % 256).toInt << 16) |
+          (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.get(idIdx), bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(out))
+  }
 
   /** Build a fake media table from the documents fixture: text bytes with
     * the `F!` fixture header prepended. Deterministic; exists so the

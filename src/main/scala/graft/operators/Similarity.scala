@@ -144,15 +144,30 @@ object Similarity {
     * bucketed by `__cell` as the 100 TB form), then serve every query
     * batch through [[cosineTopKIvfProbe]], which only joins against the
     * probed cells and never re-clusters.
+    *
+    * LIFECYCLE: [[ivfFit]] does NOT persist `assigned`; if the caller
+    * persists it (the recommended serve-many form), the caller also owns
+    * releasing that cache — call [[IvfIndex.close]] (or
+    * `assigned.unpersist()`) when the index is retired. Nothing else in
+    * the index holds executor resources: `centroids` is a plain driver
+    * array.
     */
   final case class IvfIndex(
       centroids: Array[Array[Double]], assigned: DataFrame,
-      vecCol: String, idCol: String)
+      vecCol: String, idCol: String) {
+    /** Releases the `assigned` cache if the caller persisted it (no-op
+      * otherwise — `unpersist` on an unpersisted DataFrame is safe).
+      * Non-blocking; the index is unusable for probes only in the sense
+      * that subsequent probes recompute the assignment lineage. */
+    def close(): Unit = { assigned.unpersist(false); () }
+  }
 
   /** Fits the IVF coarse quantizer and assigns every corpus row to its
     * cell. Run ONCE per corpus; reuse the returned index across query
     * batches (r2 re-ran this inside every query invocation — the
-    * scale-killer this split removes).
+    * scale-killer this split removes). `assigned` comes back UNPERSISTED;
+    * a caller that persists it for probe reuse owns the matching
+    * `unpersist` — see [[IvfIndex.close]].
     */
   def ivfFit(
       corpus: DataFrame,

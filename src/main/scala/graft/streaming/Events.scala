@@ -185,12 +185,33 @@ object Events {
     * timeout as events keep arriving; the driver-side max(ts) lookup here
     * is staging cost, not part of the streaming plan.
     */
+  /** Copies a parquet table — a single file OR a Spark-written DIRECTORY
+    * of part-files — into `destDir` under `baseName`. Directory inputs
+    * are flattened (each part file lands as `baseName_NNNNN.parquet`) so
+    * FileStreamSource sees plain data files; `_SUCCESS`/metadata entries
+    * are skipped. A single-file fixture (the driver's pyarrow layout)
+    * copies through unchanged as `baseName.parquet`.
+    */
+  def copyParquetInto(src: String, destDir: java.nio.file.Path,
+      baseName: String): Unit = {
+    val p = java.nio.file.Paths.get(src)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val parts = new java.io.File(src).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath,
+          destDir.resolve(f"${baseName}_$i%05d.parquet"))
+      }
+    } else java.nio.file.Files.copy(p, destDir.resolve(s"$baseName.parquet"))
+  }
+
   def stageStreamDir(
       spark: SparkSession, eventsParquet: String,
       closeSentinel: Boolean = false): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(eventsParquet), dir.resolve("events.parquet"))
+    copyParquetInto(eventsParquet, dir, "events")
     if (closeSentinel) withNanosAsLong(spark) {
       val raw = spark.read.parquet(eventsParquet) // ts: LONG nanoseconds
       require(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType,

@@ -97,4 +97,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Similarity.cosineTopKIvfProbe(idx,
       embeds.filter(col("vec_id") < 16), k = 5, nProbe = 2)) <= 2)
   }
+
+  test("IvfIndex lifecycle: caller-owned persist is released by close()") {
+    val idx = Similarity.ivfFit(embeds, nLists = 4, seed = 42L)
+    val cached = idx.copy(assigned = idx.assigned.persist())
+    cached.assigned.count()
+    assert(cached.assigned.storageLevel.useMemory,
+      "persisted assignment should be cached after materialization")
+    cached.close()
+    assert(!cached.assigned.storageLevel.useMemory,
+      "close() must unpersist the caller-persisted assignment")
+    idx.close() // unpersisted index: close() is a safe no-op
+  }
 }

@@ -88,6 +88,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed sessions must equal batch sessions exactly")
   }
 
+  test("stageStreamDir stages a DIRECTORY-shaped parquet source (Spark-written tables)") {
+    // the driver fixture is a single pyarrow file, but real tables are
+    // Spark-written DIRECTORIES of part files — a plain Files.copy stages
+    // an EMPTY directory and the stream silently sees only the sentinel
+    // (0 real events; found live on the sf1 headroom fixtures, round 6)
+    val asDir = Files.createTempDirectory("graftevdir").resolve("events.parquet")
+    Events.readEvents(spark, s"$sfDir/events.parquet") // sets nanosAsLong
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(3).write.parquet(asDir.toString)
+    val staged = Events.stageStreamDir(spark, asDir.toString, closeSentinel = true)
+    val got = Events.runAvailableNow(spark,
+      Events.sessionizeStream(spark, Events.readEventsStream(spark, staged)),
+      complete = false)
+    val batch = Events.sessionizeBatch(events)
+    assert(got.count() == batch.count(),
+      "directory-shaped staging must stream every real event, not just the sentinel")
+    // and the flattened layout holds plain files only (no nested dirs)
+    val files = new java.io.File(staged).listFiles()
+    assert(files.forall(_.isFile) && files.exists(_.getName.startsWith("events_")))
+  }
+
   test("stageStreamDir leaves the session conf untouched (scoped nanosAsLong)") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     // previously unset: staging must leave the flag at its default (false)
