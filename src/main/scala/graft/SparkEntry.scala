@@ -190,6 +190,18 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fp_md5")),
+    // PII scrub: the pattern set is Java-regex/RE2-common, so DuckDB
+    // mirrors the exact replacement chain (order is part of the contract).
+    // The fixture text contains no PII (verified — every doc would scrub
+    // to itself, a gate a dead regex also passes), so both sides append
+    // the SAME doc_id-derived email/IP/phone tail and the oracle checks
+    // the actual redactions.
+    "q_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(docs(s, dir).withColumn("text", expr(
+        "concat(text, ' mail u', CAST(doc_id AS STRING), '@ex.org ip 10.0.'," +
+          " CAST(doc_id % 256 AS STRING), '.7 tel 555', " +
+          "CAST(1000000 + doc_id AS STRING))")))
+        .select("doc_id", "text_scrubbed", "has_pii")),
     // corpus-level curation ops: vocabulary, salient terms, repetition
     // quality signals, data-mix report, stratified mixing
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
@@ -737,6 +749,18 @@ object SparkEntry {
       """SELECT doc_id,
           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
         FROM documents""",
+    "q_pii_scrub" ->
+      """SELECT doc_id, text_scrubbed, (text_scrubbed != text) AS has_pii
+        FROM (SELECT doc_id, text,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+            '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g') AS text_scrubbed
+        FROM (SELECT doc_id,
+                text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org ip 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555'
+                  || CAST(1000000 + doc_id AS VARCHAR) AS text
+              FROM documents))""",
     "q_split" ->
       """WITH h AS (
           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),

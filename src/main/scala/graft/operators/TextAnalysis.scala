@@ -302,4 +302,34 @@ object TextAnalysis {
       .filter(expr(s"__bucket < CASE $byCol $cases ELSE 0 END"))
       .drop("__h", "__bucket")
   }
+
+  /** PII redaction patterns: (name, regex, replacement token). The shapes
+    * are the standard corpus-curation redaction set (emails, dotted-quad
+    * IPs, phone-like digit runs), written in the common subset of Java
+    * regex and RE2 — no backreferences or lookaround — so an external
+    * engine (the DuckDB oracle, a Python re-implementation) can mirror
+    * the pipeline byte-for-byte. ORDER MATTERS and is part of the
+    * contract: emails first (their local parts contain digits and dots),
+    * then IPv4 (dotted digits a later digit-run pattern would chew up),
+    * then the aggressive phone/digit-run pattern.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>"))
+
+  /** PII scrub: adds `text_scrubbed` (all [[piiPatterns]] applied in
+    * order) and `has_pii` (whether anything was redacted). Pure per-row
+    * codegen'd projection — zero shuffles, scan-bound at any scale, and
+    * deterministic: the same text always scrubs identically, independent
+    * of partitioning or corpus contents.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pattern, repl)) => regexp_replace(c, pattern, repl)
+    }
+    docs
+      .withColumn("text_scrubbed", scrubbed)
+      .withColumn("has_pii", col(textCol) =!= col("text_scrubbed"))
+  }
 }

@@ -52,6 +52,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("bpe_tokens") == 6)
   }
 
+  test("piiScrub redacts emails, IPs, and phone runs in contract order") {
+    val df = TextAnalysis.piiScrub(docsDf(Seq(
+      (1L, "mail bob.smith+x@example.co.uk now"),
+      (2L, "host 192.168.001.1 up"),
+      (3L, "call +1 (555) 123-4567 today"),
+      (4L, "clean text with the number 42"),
+      (5L, "a@b.io at 10.0.0.1 ring 5551234567890"))))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_scrubbed"), r.getAs[Boolean]("has_pii"))).toMap
+    assert(df(1L) == (("mail <EMAIL> now", true)))
+    assert(df(2L) == (("host <IP> up", true)))
+    assert(df(3L) == (("call <PHONE> today", true)))
+    assert(df(4L) == (("clean text with the number 42", false)))
+    // order contract: email before IP before phone — all three in one doc
+    assert(df(5L) == (("<EMAIL> at <IP> ring <PHONE>", true)))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = TextAnalysis.fingerprint(docsDf(Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "different"))))

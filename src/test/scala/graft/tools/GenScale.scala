@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   *    linearly (10x), never quadratically (100x), matching how duplicate
   *    density behaves in a real growing corpus.
   *  - embeddings: vec_id offset; for r>0 each component is jittered
-  *    multiplicatively by a hash-derived factor in [1-0.8, 1+0.8]
-  *    (cosine to the parent ≈ 0.90 over 64 dims, below the 0.95
-  *    near-dup/SemDeDup threshold), so embedding near-dup pairs also
-  *    scale linearly while rough cluster geometry survives for IVF.
+  *    multiplicatively by a hash-derived factor in [1-1.5, 1+1.5]
+  *    (expected cosine to the parent = 1/sqrt(1+var) ≈ 0.76 over 64
+  *    dims — comfortably below every near-dup/SemDeDup threshold; the
+  *    first ±0.8 attempt landed AT the 0.90 SemDeDup threshold and
+  *    minted 10k phantom cross-replica dups), so embedding near-dup
+  *    pairs scale linearly while rough cluster geometry survives.
   *
   * Deterministic end to end: replication is positional, jitter comes from
   * hash(vec_id, i, r) — two runs produce identical tables.
@@ -109,14 +111,14 @@ object GenScale {
         .withColumn("n_chars", length(col("text")).cast("long"))),
       "documents", 16)
 
-    // embeddings: per-replica multiplicative jitter in [0.2, 1.8] per
-    // component (hash-derived, deterministic) ⇒ cosine to parent ≈ 0.90,
+    // embeddings: per-replica multiplicative jitter in [-0.5, 2.5] per
+    // component (hash-derived, deterministic) ⇒ cosine to parent ≈ 0.76,
     // below every near-dup threshold; element type stays float
     write(replicate(embeddings, Map("vec_id" -> vecSpan), (d, r) =>
       if (r == 0) d
       else d.withColumn("embedding", expr(
         s"""transform(embedding, (x, i) ->
-           |  CAST(x * (1.0 + (pmod(hash(vec_id, i, $r), 1601) - 800) / 1000.0)
+           |  CAST(x * (1.0 + (pmod(hash(vec_id, i, $r), 3001) - 1500) / 1000.0)
            |       AS FLOAT))""".stripMargin))),
       "embeddings", 8)
 
