@@ -202,6 +202,13 @@ object SparkEntry {
           " CAST(doc_id % 256 AS STRING), '.7 tel 555', " +
           "CAST(1000000 + doc_id AS STRING))")))
         .select("doc_id", "text_scrubbed", "has_pii")),
+    // domain provenance stats: same planted-input discipline as
+    // q_pii_scrub (the fixture has no URLs) — both sides append a
+    // doc_id-derived URL and run the same extraction chain
+    "q_domain_stats" -> ((s, dir) =>
+      TextAnalysis.domainStats(docs(s, dir).withColumn("text", expr(
+        "concat(text, ' see https://Ex', CAST(doc_id % 20 AS STRING)," +
+          " '.org/p/', CAST(doc_id AS STRING))")))),
     // corpus-level curation ops: vocabulary, salient terms, repetition
     // quality signals, data-mix report, stratified mixing
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
@@ -761,6 +768,18 @@ object SparkEntry {
                   || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555'
                   || CAST(1000000 + doc_id AS VARCHAR) AS text
               FROM documents))""",
+    "q_domain_stats" ->
+      """WITH aug AS (
+          SELECT doc_id,
+            text || ' see https://Ex' || CAST(doc_id % 20 AS VARCHAR)
+              || '.org/p/' || CAST(doc_id AS VARCHAR) AS text
+          FROM documents),
+        u AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s/]+[^\s]*')) AS url
+          FROM aug)
+        SELECT lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)) AS domain,
+          count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+        FROM u GROUP BY 1""",
     "q_split" ->
       """WITH h AS (
           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),

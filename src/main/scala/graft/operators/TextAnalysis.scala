@@ -318,6 +318,33 @@ object TextAnalysis {
     ("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
     ("phone", "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>"))
 
+  /** URL pattern (Java-regex/RE2-common, like [[piiPatterns]]): scheme +
+    * non-space host + non-space tail. Deliberately greedy on the tail —
+    * trailing punctuation stays attached, the standard cheap extractor.
+    */
+  val urlPattern: String = "https?://[^\\s/]+[^\\s]*"
+
+  /** Per-domain URL statistics over a corpus: extract every URL
+    * ([[urlPattern]]), reduce to the lower-cased host, and aggregate URL
+    * and document counts per domain — the provenance/mix report run on
+    * crawl-derived training corpora. One explode (bounded by URLs per
+    * doc) + one aggregation; the distinct-doc count rides the same
+    * shuffle as a two-phase partial agg.
+    */
+  def domainStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // fully-qualified lit: this object's private string-quoting lit(…)
+    // shadows org.apache.spark.sql.functions.lit
+    val flit = org.apache.spark.sql.functions.lit _
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col(textCol), flit(urlPattern), flit(0)))
+          .as("url"))
+      .select(col("doc_id"),
+        lower(regexp_extract(col("url"), "https?://([^/:?#]+)", 1)).as("domain"))
+      .groupBy("domain")
+      .agg(count(flit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   /** PII scrub: adds `text_scrubbed` (all [[piiPatterns]] applied in
     * order) and `has_pii` (whether anything was redacted). Pure per-row
     * codegen'd projection — zero shuffles, scan-bound at any scale, and

@@ -69,6 +69,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df(5L) == (("<EMAIL> at <IP> ring <PHONE>", true)))
   }
 
+  test("domainStats extracts hosts, lower-cases, counts urls and distinct docs") {
+    val df = TextAnalysis.domainStats(docsDf(Seq(
+      (1L, "read https://A.org/x and https://a.org/y plus http://b.io/z"),
+      (2L, "also https://a.org:8080/path?q=1 here"),
+      (3L, "no links at all"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(df("a.org") == ((3L, 2L)), "A.org/a.org merge; 3 urls across 2 docs")
+    assert(df("b.io") == ((1L, 1L)))
+    assert(df.size == 2, "url-less docs contribute no domains")
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = TextAnalysis.fingerprint(docsDf(Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "different"))))

@@ -44,6 +44,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.stratifiedSampleHash(docs, "lang",
       Map("en" -> 0.5))) == 0)
     assert(shuffles(Packing.packSequences(docs, 256)) == 0)
+    assert(shuffles(TextAnalysis.piiScrub(docs)) == 0)
+    // pixel decode: mapPartitions (ImageIO needs objects) but still a
+    // single scan-shaped stage — binary never crosses an exchange
+    assert(shuffles(Multimodal.decodePixels(
+      Multimodal.syntheticImagesFromDocs(docs))) == 0)
   }
 
   test("single-shuffle aggregations stay single-shuffle") {
@@ -57,6 +62,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.vocabulary(docs)) == 2)
     // strata agg + single-partition window over the (tiny) aggregated strata
     assert(shuffles(TextAnalysis.mixReport(docs)) == 2)
+    // explode is exchange-free; the domain agg pays the distinct-doc
+    // expand: (domain, doc) partial + domain final
+    assert(shuffles(TextAnalysis.domainStats(docs)) == 2)
     // distinct-agg expand: (hour,type,user) partial + (hour,type) final
     assert(shuffles(graft.streaming.Events.hourlyStatsBatch(events)) == 2)
     // (doc,token) agg + df window (token) + rank window (doc) + the 1-row
