@@ -454,6 +454,22 @@ object SparkEntry {
         complete = false)
     }),
 
+    // point-in-time (as-of backward inclusive) join: every event picks up
+    // the latest per-user hourly snapshot at-or-before its own ts — the
+    // leak-free feature-join shape; DuckDB's native ASOF LEFT JOIN is the
+    // oracle, so the semantics (inclusive boundary, left-join nulls,
+    // latest-match) are pinned engine-to-engine
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts", "value")
+      val dim = ev.groupBy(col("user_id"),
+          expr("date_trunc('hour', ts)").as("snap_ts"))
+        .agg(expr("count(1)").as("hr_events"),
+          expr("sum(CAST(round(value * 100) AS LONG))").as("hr_value_cents"))
+      graft.operators.AsOf.asOfJoin(
+        ev.select("event_id", "user_id", "ts"), dim,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "snap_ts",
+        payload = Seq("hr_events", "hr_value_cents"))
+    }),
     // skew-safe two-phase (salted) aggregation: the result is
     // salt-invariant, so the plain GROUP BY is its exact oracle
     "q_skew_agg" -> ((s, dir) =>
@@ -1177,6 +1193,17 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1""",
+    "q_asof_join" ->
+      """WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        d AS (
+          SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+            count(*) AS hr_events,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hr_value_cents
+          FROM e GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, d.hr_events, d.hr_value_cents
+        FROM e ASOF LEFT JOIN d
+          ON e.user_id = d.user_id AND e.ts >= d.snap_ts""",
     "q_events_json" ->
       """SELECT event_type,
           count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import java.sql.Timestamp
+
+class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-asof-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+
+  test("asOfJoin attaches the latest right row at or before each left ts") {
+    import spark.implicits._
+    val quotes = Seq( // (key, ts, px)
+      ("a", ts(100), 1.0), ("a", ts(200), 2.0), ("a", ts(300), 3.0),
+      ("b", ts(150), 9.0)).toDF("sym", "ts", "px")
+    val trades = Seq( // (key, ts, qty)
+      ("a", ts(99), 10L),   // before any quote -> null
+      ("a", ts(100), 11L),  // equal ts -> INCLUSIVE match px=1.0
+      ("a", ts(250), 12L),  // between -> px=2.0
+      ("a", ts(999), 13L),  // after all -> px=3.0
+      ("b", ts(151), 14L),  // other key -> own quote
+      ("c", ts(500), 15L)). // key with no quotes -> null
+      toDF("sym", "ts", "qty")
+    val out = AsOf.asOfJoin(trades, quotes, on = Seq("sym"))
+      .collect().map(r => r.getAs[Long]("qty") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(out(10L).isEmpty, "left row before any right row gets null")
+    assert(out(11L).contains(1.0), "equal ts matches (inclusive backward)")
+    assert(out(12L).contains(2.0))
+    assert(out(13L).contains(3.0))
+    assert(out(14L).contains(9.0))
+    assert(out(15L).isEmpty, "unseen key gets null")
+  }
+
+  test("asOfJoin tolerance nulls out stale matches") {
+    import spark.implicits._
+    val dim = Seq(("a", ts(100), "fresh")).toDF("k", "ts", "v")
+    val fact = Seq(("a", ts(130), 1L), ("a", ts(5000), 2L)).toDF("k", "ts", "id")
+    val out = AsOf.asOfJoin(fact, dim, on = Seq("k"),
+      toleranceMs = Some(60_000L))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("v"))).toMap
+    assert(out(1L).contains("fresh"), "30s-old match inside 60s tolerance")
+    assert(out(2L).isEmpty, "4900s-old match nulled by tolerance")
+  }
+
+  test("asOfJoin multi-key + payload prefix keeps left schema intact") {
+    import spark.implicits._
+    val dim = Seq((1L, "x", ts(10), 7L)).toDF("uid", "seg", "ts", "score")
+    val fact = Seq((1L, "x", ts(20), "e1"), (1L, "y", ts(20), "e2"))
+      .toDF("uid", "seg", "ts", "name")
+    val out = AsOf.asOfJoin(fact, dim, on = Seq("uid", "seg"),
+      payload = Seq("score"), prefix = "dim_")
+    assert(out.columns.toSeq == Seq("uid", "seg", "ts", "name", "dim_score"))
+    val m = out.collect().map(r => r.getAs[String]("name") ->
+      Option(r.getAs[java.lang.Long]("dim_score"))).toMap
+    assert(m("e1").contains(7L) && m("e2").isEmpty,
+      "both equality keys must match, not just the first")
+  }
+}

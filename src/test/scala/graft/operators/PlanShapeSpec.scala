@@ -55,6 +55,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Dedup.exact(docs)) == 1)
     assert(shuffles(TextAnalysis.tokenLengthHistogram(docs, 16)) == 1)
     assert(shuffles(graft.streaming.Events.sessionizeBatch(events)) == 1)
+    // as-of join: union is exchange-free, ONE window exchange carries the
+    // match — never a range explosion or per-key quadratic theta join
+    assert(shuffles(AsOf.asOfJoin(
+      events.select("event_id", "user_id", "ts"),
+      events.select(col("user_id"), col("ts"), col("value")),
+      on = Seq("user_id"))) == 1)
   }
 
   test("staged aggregations plan exactly their documented budget") {
