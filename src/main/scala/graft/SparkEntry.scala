@@ -470,6 +470,20 @@ object SparkEntry {
         on = Seq("user_id"), leftTs = "ts", rightTs = "snap_ts",
         payload = Seq("hr_events", "hr_value_cents"))
     }),
+    // bucketed interval (range) join: every event lands in exactly its
+    // own session's [start, end] window — a plain inequality join in the
+    // DuckDB oracle, a hash join on (user, time-bucket) + residual filter
+    // here (never a nested-loop; plan pinned in PlanShapeSpec)
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sessions = graft.streaming.Events.sessionizeBatch(ev)
+      graft.operators.AsOf.rangeJoin(
+        ev.select("event_id", "user_id", "ts"), sessions,
+        on = Seq("user_id"), pointTs = "ts",
+        startCol = "session_start", endCol = "session_end",
+        payload = Seq("session_seq", "n_events"))
+        .select("event_id", "user_id", "session_seq", "n_events")
+    }),
     // skew-safe two-phase (salted) aggregation: the result is
     // salt-invariant, so the plain GROUP BY is its exact oracle
     "q_skew_agg" -> ((s, dir) =>
@@ -1204,6 +1218,31 @@ object SparkEntry {
         SELECT e.event_id, e.user_id, e.ts, d.hr_events, d.hr_value_cents
         FROM e ASOF LEFT JOIN d
           ON e.user_id = d.user_id AND e.ts >= d.snap_ts""",
+    "q_range_join" ->
+      """WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        t AS (
+          SELECT user_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                 THEN 1 ELSE 0 END AS ns
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id,
+            CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_seq,
+            ts
+          FROM t),
+        sess AS (
+          SELECT user_id, session_seq,
+            min(ts) AS session_start, max(ts) AS session_end,
+            count(*) AS n_events
+          FROM s GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, sess.session_seq, sess.n_events
+        FROM e JOIN sess
+          ON e.user_id = sess.user_id
+         AND e.ts >= sess.session_start AND e.ts <= sess.session_end""",
     "q_events_json" ->
       """SELECT event_type,
           count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,

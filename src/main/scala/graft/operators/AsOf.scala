@@ -77,4 +77,58 @@ object AsOf {
       leftCols.map(c => col(s"__l.`$c`").as(c)) ++
         pay.map(c => col(s"__m.`$c`").as(prefix + c)): _*)
   }
+
+  /** Interval (range) join: INNER-join point rows to every interval
+    * [startCol, endCol] (inclusive both ends) sharing the equality keys
+    * that contains the point's timestamp. The other temporal join Spark
+    * lacks natively: a plain inequality join plans a per-key
+    * nested-loop/cartesian (Databricks added a range-join HINT for
+    * exactly this).
+    *
+    * Spark-first shape — bucketize: each interval explodes into the
+    * fixed-width time buckets it overlaps, points compute their single
+    * bucket, both sides hash-join on (keys, bucket), and the exact
+    * containment predicate filters residuals. Explode factor =
+    * intervalLength / bucketWidth + 1, declared up front via
+    * `bucketWidthSec` (size it near the TYPICAL interval length: too
+    * small explodes the interval side, too large degrades toward the
+    * per-key product). The join stays a hash join at any scale — never
+    * CartesianProduct / BroadcastNestedLoopJoin (pinned in
+    * PlanShapeSpec).
+    *
+    * A point matching several overlapping intervals emits one row per
+    * match (standard interval-join semantics); unmatched points drop
+    * (inner). Use [[asOfJoin]] when "latest single match" is wanted.
+    */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame, on: Seq[String],
+      pointTs: String = "ts",
+      startCol: String = "start", endCol: String = "end",
+      payload: Seq[String] = Nil,
+      prefix: String = "",
+      bucketWidthSec: Long = 3600L): DataFrame = {
+    require(on.nonEmpty, "range join needs at least one equality key")
+    require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    val pay =
+      if (payload.nonEmpty) payload
+      else intervals.columns.toSeq
+        .filterNot(c => on.contains(c) || c == startCol || c == endCol)
+    val widthUs = bucketWidthSec * 1000000L
+
+    val p = points
+      .withColumn("__pts", col(pointTs).cast("timestamp"))
+      .withColumn("__b", floor(unix_micros(col("__pts")) / widthUs))
+    val iCols = on.map(col) ++
+      Seq(col(startCol).cast("timestamp").as("__s"),
+        col(endCol).cast("timestamp").as("__e")) ++
+      pay.map(c => col(c).as(prefix + c))
+    val i = intervals.select(iCols: _*)
+      .withColumn("__b", explode(sequence(
+        floor(unix_micros(col("__s")) / widthUs),
+        floor(unix_micros(col("__e")) / widthUs))))
+
+    p.join(i, on :+ "__b")
+      .filter(col("__pts") >= col("__s") && col("__pts") <= col("__e"))
+      .drop("__b", "__pts", "__s", "__e")
+  }
 }

@@ -55,6 +55,41 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).isEmpty, "4900s-old match nulled by tolerance")
   }
 
+  test("rangeJoin: containment incl. boundaries, overlap fan-out, key isolation") {
+    import spark.implicits._
+    val intervals = Seq(
+      ("a", ts(100), ts(200), "i1"),
+      ("a", ts(150), ts(300), "i2"), // overlaps i1 on [150,200]
+      ("b", ts(100), ts(200), "i3")).toDF("k", "start", "end", "tag")
+    val points = Seq(
+      ("a", ts(100), 1L), // at start boundary -> i1
+      ("a", ts(175), 2L), // inside both -> i1 AND i2
+      ("a", ts(200), 3L), // at i1 end boundary, inside i2
+      ("a", ts(301), 4L), // outside all -> dropped (inner)
+      ("b", ts(175), 5L)).toDF("k", "ts", "id")
+    val out = AsOf.rangeJoin(points, intervals, on = Seq("k"),
+      bucketWidthSec = 60)
+      .collect().groupBy(_.getAs[Long]("id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[String]("tag")).sorted.toSeq }
+    assert(out(1L) == Seq("i1"), "start boundary is inclusive")
+    assert(out(2L) == Seq("i1", "i2"), "overlapping intervals fan out")
+    assert(out(3L) == Seq("i1", "i2"), "end boundary is inclusive")
+    assert(!out.contains(4L), "unmatched points drop (inner join)")
+    assert(out(5L) == Seq("i3"), "keys isolate intervals")
+  }
+
+  test("rangeJoin result is bucket-width invariant") {
+    import spark.implicits._
+    val intervals = Seq(("a", ts(0), ts(10000), 1L)).toDF("k", "start", "end", "iid")
+    val points = (0L to 50L).map(i => ("a", ts(i * 250), i)).toDF("k", "ts", "id")
+    val counts = Seq(1L, 60L, 86400L).map { w =>
+      AsOf.rangeJoin(points, intervals, on = Seq("k"), bucketWidthSec = w).count()
+    }
+    assert(counts.distinct.size == 1,
+      s"bucket width must not change semantics: $counts")
+    assert(counts.head == 41, "points 0..10000s inclusive at 250s spacing")
+  }
+
   test("asOfJoin multi-key + payload prefix keeps left schema intact") {
     import spark.implicits._
     val dim = Seq((1L, "x", ts(10), 7L)).toDF("uid", "seg", "ts", "score")

@@ -63,6 +63,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       on = Seq("user_id"))) == 1)
   }
 
+  test("rangeJoin is a hash join on (keys, bucket) — never a nested loop") {
+    val sessions = graft.streaming.Events.sessionizeBatch(events)
+    val plan = AsOf.rangeJoin(
+      events.select("event_id", "user_id", "ts"), sessions,
+      on = Seq("user_id"), startCol = "session_start", endCol = "session_end",
+      payload = Seq("session_seq"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "range join must bucketize into a hash join, not a nested loop")
+  }
+
   test("staged aggregations plan exactly their documented budget") {
     // (doc,token) agg + token agg
     assert(shuffles(TextAnalysis.vocabulary(docs)) == 2)
