@@ -214,6 +214,11 @@ object SparkEntry {
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
     "q_top_terms" -> ((s, dir) => TextAnalysis.topTerms(docs(s, dir), k = 5)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    // unigram surprise: tf-weighted mean inverse token probability,
+    // integer-microunit quantized before summation so both engines do
+    // exact integer aggregation (ln is banned from compared values —
+    // libm last-ulp divergence; see TextAnalysis.unigramSurprise)
+    "q_surprise" -> ((s, dir) => TextAnalysis.unigramSurprise(docs(s, dir))),
     "q_mix_report" -> ((s, dir) => TextAnalysis.mixReport(docs(s, dir))),
     // deterministic hash-threshold stratified sample — DuckDB computes the
     // identical md5-bucket arithmetic, so the selected row SET is the
@@ -843,6 +848,22 @@ object SparkEntry {
         pd AS (SELECT doc_id, token, count(*) AS tf_doc FROM tk GROUP BY 1, 2)
         SELECT token, CAST(sum(tf_doc) AS BIGINT) AS tf, count(*) AS df
         FROM pd GROUP BY 1""",
+    "q_surprise" ->
+      """WITH tk AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+                                t -> t != '')) AS token
+          FROM documents),
+        pd AS (SELECT doc_id, token, count(*) AS tf_doc FROM tk GROUP BY 1, 2),
+        tot AS (SELECT token, CAST(sum(tf_doc) AS BIGINT) AS tf FROM pd GROUP BY 1),
+        n AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tot),
+        q AS (
+          SELECT pd.doc_id, pd.tf_doc,
+            CAST(round(1e6 * CAST(n.n AS DOUBLE) / CAST(tot.tf AS DOUBLE)) AS BIGINT) AS ip_micro
+          FROM pd JOIN tot USING (token) CROSS JOIN n)
+        SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_tokens,
+          round(CAST(sum(tf_doc * ip_micro) AS DOUBLE)
+            / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6) AS surprise
+        FROM q GROUP BY 1""",
     "q_top_terms" ->
       """WITH tk AS (
           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),

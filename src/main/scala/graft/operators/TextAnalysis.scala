@@ -173,6 +173,42 @@ object TextAnalysis {
       .select("doc_id", "token", "score", "rank")
   }
 
+  /** Unigram surprise scoring (CCNet-style "how typical is this document
+    * of the corpus" signal, ln-free): per document, the tf-weighted mean
+    * INVERSE unigram probability of its tokens,
+    * `sum(tf_doc * N/tf_corpus) / n_tokens` — boilerplate full of common
+    * tokens scores low, rare-token noise scores high. The classic form
+    * is mean negative log-prob (cross-entropy), but `ln` differs in the
+    * last ulp across libm implementations and breaks cross-engine hash
+    * parity (see [[topTerms]]); N/tf is a single IEEE division —
+    * bit-identical everywhere — and ranks documents monotonically for
+    * filtering just the same.
+    *
+    * Determinism discipline: each token's N/tf is quantized to integer
+    * micro-units BEFORE the per-document sum, so the aggregation is
+    * exact integer arithmetic — engine/partition/order independent —
+    * and only the final mean is rounded. Plan: one (doc, token)
+    * aggregation, a token-window for corpus totals on the SAME build
+    * (no second index build), corpus size as a broadcast scalar, and
+    * the per-document aggregation — 3 full-data exchanges, plus the
+    * scalar total's 1-row-per-partition exchange and 1 broadcast.
+    */
+  def unigramSurprise(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.select(expr(
+      s"CAST(sum(size(${tokensExpr(textCol)})) AS BIGINT)").as("__n"))
+    docTokenFreq(docs, textCol)
+      .withColumn("tf", sum("tf_doc").over(Window.partitionBy("token")))
+      .crossJoin(broadcast(n))
+      .withColumn("__ip_micro", expr(
+        "CAST(round(1e6 * CAST(__n AS DOUBLE) / CAST(tf AS DOUBLE)) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf_doc").as("n_tokens"),
+        expr("round(CAST(sum(tf_doc * __ip_micro) AS DOUBLE)" +
+          " / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6)").as("surprise"))
+  }
+
   /** Within-document repetition signals (Gopher-style quality filters):
     * token count, distinct-token count, repetition ratio (1 - distinct /
     * total) and the share of the single most frequent token. One staged

@@ -127,6 +127,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L) == ((4L, 4L, 0.0, 0.25)))
   }
 
+  test("unigramSurprise: rare tokens raise the score; exact rational values") {
+    // corpus: a:2 b:2 c:1, N=5 ⇒ inverse probs a,b = 2.5; c = 5.0
+    val df = TextAnalysis.unigramSurprise(docsDf(Seq(
+      (1L, "a a b"),   // (2*2.5 + 1*2.5)/3 = 2.5
+      (2L, "b c"))))   // (2.5 + 5.0)/2 = 3.75
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("surprise"))).toMap
+    assert(df(1L) == ((3L, 2.5)))
+    assert(df(2L) == ((2L, 3.75)), "the rare token must raise doc 2's score")
+  }
+
   test("assignSplit is deterministic with roughly proportional splits") {
     import spark.implicits._
     val docs = (1L to 2000L).map(i => (i, "t")).toDF("doc_id", "text")

@@ -83,6 +83,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // explode is exchange-free; the domain agg pays the distinct-doc
     // expand: (domain, doc) partial + domain final
     assert(shuffles(TextAnalysis.domainStats(docs)) == 2)
+    // (doc,token) agg + token window + doc agg, plus the 1-row-per-
+    // partition SinglePartition exchange of the corpus-total scalar
+    // build (metadata-sized, then broadcast — not a full-data shuffle)
+    assert(shuffles(TextAnalysis.unigramSurprise(docs)) == 4)
     // distinct-agg expand: (hour,type,user) partial + (hour,type) final
     assert(shuffles(graft.streaming.Events.hourlyStatsBatch(events)) == 2)
     // (doc,token) agg + df window (token) + rank window (doc) + the 1-row
