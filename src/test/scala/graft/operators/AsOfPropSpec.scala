@@ -55,4 +55,31 @@ object AsOfPropSpec extends Properties("AsOf.asOfJoin") {
             Option(r.getAs[java.lang.Long]("v")).map(_.toLong)).toMap
       got == expected
     }
+
+  // intervals as (key, start, start+len, iid); points must collect every
+  // containing interval's id — brute-force containment is the reference
+  private val intervalSide: Gen[List[(String, Int, Int, Long)]] =
+    Gen.listOf(Gen.zip(keys, Gen.choose(0, 40), Gen.choose(0, 15))).map(
+      _.zipWithIndex.map { case ((k, s, len), i) => (k, s, s + len, i.toLong) })
+
+  property("rangeJoin matches brute-force interval containment at any bucket width") =
+    forAll(leftSide, intervalSide, Gen.oneOf(1L, 7L, 3600L)) { (prows, irows, width) =>
+      import spark.implicits._
+      val expected = (for {
+        (k, t, id) <- prows
+        (ik, s, e, iid) <- irows
+        if ik == k && t >= s && t <= e
+      } yield (id, iid)).toSet
+      val points = prows.map { case (k, t, id) => (k, ts(t), id) }
+        .toDF("k", "ts", "id")
+      val intervals = irows.map { case (k, s, e, iid) => (k, ts(s), ts(e), iid) }
+        .toDF("k", "start", "end", "iid")
+      val got =
+        if (irows.isEmpty) Set.empty[(Long, Long)]
+        else AsOf.rangeJoin(points, intervals, on = Seq("k"),
+            bucketWidthSec = width)
+          .collect()
+          .map(r => (r.getAs[Long]("id"), r.getAs[Long]("iid"))).toSet
+      got == expected
+    }
 }
