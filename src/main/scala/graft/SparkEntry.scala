@@ -212,13 +212,19 @@ object SparkEntry {
     // corpus-level curation ops: vocabulary, salient terms, repetition
     // quality signals, data-mix report, stratified mixing
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
-    "q_top_terms" -> ((s, dir) => TextAnalysis.topTerms(docs(s, dir), k = 5)),
+    // headMinDf/headMinTf below are joinTokenTotals' frequency-routing
+    // knob (broadcast head vs shuffled tail) — it never changes answers.
+    // 10 splits the sf0.01 fixture vocabulary, so the oracle exercises
+    // BOTH routing paths, not just the all-tail degenerate plan.
+    "q_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(docs(s, dir), k = 5, headMinDf = 10L)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
     // unigram surprise: tf-weighted mean inverse token probability,
     // integer-microunit quantized before summation so both engines do
     // exact integer aggregation (ln is banned from compared values —
     // libm last-ulp divergence; see TextAnalysis.unigramSurprise)
-    "q_surprise" -> ((s, dir) => TextAnalysis.unigramSurprise(docs(s, dir))),
+    "q_surprise" -> ((s, dir) =>
+      TextAnalysis.unigramSurprise(docs(s, dir), headMinTf = 10L)),
     "q_mix_report" -> ((s, dir) => TextAnalysis.mixReport(docs(s, dir))),
     // deterministic hash-threshold stratified sample — DuckDB computes the
     // identical md5-bucket arithmetic, so the selected row SET is the
@@ -858,7 +864,7 @@ object SparkEntry {
         n AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM tot),
         q AS (
           SELECT pd.doc_id, pd.tf_doc,
-            CAST(round(1e6 * CAST(n.n AS DOUBLE) / CAST(tot.tf AS DOUBLE)) AS BIGINT) AS ip_micro
+            CAST(round(1e6 * CAST(n.n AS DOUBLE) / CAST(tot.tf AS DOUBLE)) AS DECIMAL(38,0)) AS ip_micro
           FROM pd JOIN tot USING (token) CROSS JOIN n)
         SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_tokens,
           round(CAST(sum(tf_doc * ip_micro) AS DOUBLE)

@@ -122,9 +122,18 @@ object TextAnalysis {
   /** Exploded (doc_id, token) pairs — the shared base of the corpus-level
     * operators below. split+explode are codegen'd; the only shuffle cost
     * is whatever the consumer aggregates.
+    *
+    * Deliberately explode-then-filter rather than `filter(split(...), …)`:
+    * higher-order-function lambdas carry `NamedLambdaVariable` ids that
+    * defeat plan canonicalization, so a HOF-bearing subtree consumed from
+    * several branches would re-shuffle per branch instead of planning a
+    * `ReusedExchange`. The lambda-free form lets every consumer of
+    * [[docTokenFreq]] share ONE (doc, token) exchange.
     */
   def tokenPairs(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), explode(expr(tokensExpr(textCol))).as("token"))
+    docs.select(col("doc_id"),
+        explode(split(lower(col(textCol)), " +")).as("token"))
+      .filter(col("token") =!= "")
 
   /** Per-document token frequencies (one shuffle on (doc_id, token);
     * map-side combine keeps the explode fan-out off the wire).
@@ -142,6 +151,47 @@ object TextAnalysis {
     docTokenFreq(docs, textCol).groupBy("token")
       .agg(sum("tf_doc").as("tf"), expr("count(1)").as("df"))
 
+  /** Frequency-routed token-total join — the skew-safe replacement for a
+    * `Window.partitionBy("token")` corpus total. A token-partitioned
+    * window buffers one row per document containing the token in a single
+    * task; for a Zipf-head token (a stopword) that partition is
+    * corpus-sized at 100 TB. Here the totals are instead aggregated
+    * vocabulary-style (two-phase partial aggregation: the wire carries at
+    * most one row per upstream partition per token, so a stopword costs
+    * #partitions rows, not #documents) and rejoined frequency-routed at
+    * `headMin`:
+    *
+    *   - head (total >= headMin): at most P/headMin tokens exist for P
+    *     total (doc, token) pairs — bounded, broadcastable, and joined
+    *     without shuffling a single per-document row. Zipf puts every
+    *     skewed key here.
+    *   - tail (total < headMin): every surviving probe key has fewer than
+    *     headMin rows by construction, so the hash-partitioned rejoin has
+    *     no skewed partition; head-matched rows are filtered out before
+    *     the exchange and never travel.
+    *
+    * Every probe row routes through exactly ONE side, so the result is
+    * identical for any headMin — the knob trades broadcast size against
+    * shuffle volume, never answers. All three consumers of the per-doc
+    * build (totals, head probe, tail probe) share one (doc, token)
+    * exchange via ReusedExchange (see [[tokenPairs]] on why the build is
+    * lambda-free).
+    */
+  private[operators] def joinTokenTotals(
+      perDoc: DataFrame, totalAgg: Column, totalName: String,
+      headMin: Long): DataFrame = {
+    require(headMin > 0, "headMin must be positive")
+    val totals = perDoc.groupBy("token").agg(totalAgg.as(totalName))
+    val head = totals.filter(col(totalName) >= headMin)
+    val tail = totals.filter(col(totalName) < headMin)
+    val withHead = perDoc.join(broadcast(head), Seq("token"), "left")
+    val viaHead = withHead.filter(col(totalName).isNotNull)
+    val viaTail = withHead.filter(col(totalName).isNull)
+      .drop(totalName)
+      .join(tail, Seq("token"))
+    viaHead.unionByName(viaTail)
+  }
+
   /** Per-document top-k salient terms, scored `tf_doc * N / df` — a
     * rational-idf variant of tf-idf (monotone in tf and 1/df). The natural-
     * log idf is deliberately avoided in the scored output: ln differs in
@@ -151,19 +201,26 @@ object TextAnalysis {
     * The corpus size enters the plan as a broadcast scalar (a 1-row
     * aggregate cross-joined in), NOT a driver-side `docs.count()` action:
     * one Spark job total, no extra build-time scan before the real query
-    * runs (VERDICT r2 "What's wrong" #3).
+    * runs (VERDICT r2 "What's wrong" #3). Document frequencies arrive via
+    * [[joinTokenTotals]] (skew-safe; `headMinDf` is its routing knob and
+    * never changes answers); the only window left partitions by `doc_id`,
+    * whose partitions are bounded by a document's vocabulary, and Spark
+    * 4's WindowGroupLimit pushes the top-k below that exchange.
     */
   def topTerms(
-      docs: DataFrame, k: Int = 5, textCol: String = "text"): DataFrame = {
+      docs: DataFrame, k: Int = 5, textCol: String = "text",
+      headMinDf: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df as a count-over-token window on the single perDoc build: one
-    // (doc,token) aggregation, no self-join against a second index build
-    // (HOF-bearing subtrees don't canonicalize equal, so exchange reuse
-    // can't be relied on), and Spark 4's WindowGroupLimit pushes the
-    // top-k below the final exchange
     val total = docs.select(expr("count(1)").as("__total_docs"))
-    docTokenFreq(docs, textCol)
-      .withColumn("df", count(expr("1")).over(Window.partitionBy("token")))
+    // df = count(nullif(tf_doc, 0)), not count(1): identical values
+    // (tf_doc = count(1) >= 1, so nullif never fires), but the optimizer
+    // cannot prove that, so tf_doc survives column pruning in the totals
+    // branch — keeping its (doc, token) exchange canonically identical to
+    // the probe branches' and eligible for ReusedExchange (one corpus
+    // scan+explode instead of two; pinned in PlanShapeSpec). A plain
+    // count(tf_doc) gets normalized back to count(1) and re-pruned.
+    joinTokenTotals(docTokenFreq(docs, textCol),
+      expr("count(nullif(tf_doc, 0))"), "df", headMinDf)
       .crossJoin(broadcast(total))
       .withColumn("score", expr(
         "round(CAST(tf_doc AS DOUBLE) * CAST(__total_docs AS DOUBLE) / CAST(df AS DOUBLE), 6)"))
@@ -186,26 +243,32 @@ object TextAnalysis {
     *
     * Determinism discipline: each token's N/tf is quantized to integer
     * micro-units BEFORE the per-document sum, so the aggregation is
-    * exact integer arithmetic — engine/partition/order independent —
-    * and only the final mean is rounded. Plan: one (doc, token)
-    * aggregation, a token-window for corpus totals on the SAME build
-    * (no second index build), corpus size as a broadcast scalar, and
-    * the per-document aggregation — 3 full-data exchanges, plus the
-    * scalar total's 1-row-per-partition exchange and 1 broadcast.
+    * exact fixed-point arithmetic — engine/partition/order independent —
+    * and only the final mean is rounded. The micro-units and their sum
+    * are DECIMAL(38,0), not BIGINT: a singleton token's inverse
+    * probability is 1e6·N, which overflows a signed 64-bit long once the
+    * corpus passes ~9.2e12 tokens — inside the 100 TB posture — and
+    * Spark (ANSI off) would wrap silently where DuckDB errors, breaking
+    * parity. DECIMAL(38,0) stays exact to 1e38.
+    *
+    * Plan: one (doc, token) aggregation, corpus token totals via
+    * [[joinTokenTotals]] (skew-safe two-phase aggregation + frequency-
+    * routed rejoin; `headMinTf` routes, never changes answers), corpus
+    * size as a broadcast scalar, and the per-document aggregation.
     */
-  def unigramSurprise(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def unigramSurprise(
+      docs: DataFrame, textCol: String = "text",
+      headMinTf: Long = 100000L): DataFrame = {
     val n = docs.select(expr(
       s"CAST(sum(size(${tokensExpr(textCol)})) AS BIGINT)").as("__n"))
-    docTokenFreq(docs, textCol)
-      .withColumn("tf", sum("tf_doc").over(Window.partitionBy("token")))
+    joinTokenTotals(docTokenFreq(docs, textCol), sum("tf_doc"), "tf", headMinTf)
       .crossJoin(broadcast(n))
       .withColumn("__ip_micro", expr(
-        "CAST(round(1e6 * CAST(__n AS DOUBLE) / CAST(tf AS DOUBLE)) AS BIGINT)"))
+        "CAST(round(1e6 * CAST(__n AS DOUBLE) / CAST(tf AS DOUBLE)) AS DECIMAL(38,0))"))
       .groupBy("doc_id")
       .agg(
         sum("tf_doc").as("n_tokens"),
-        expr("round(CAST(sum(tf_doc * __ip_micro) AS DOUBLE)" +
+        expr("round(CAST(sum(CAST(tf_doc AS DECIMAL(38,0)) * __ip_micro) AS DOUBLE)" +
           " / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6)").as("surprise"))
   }
 

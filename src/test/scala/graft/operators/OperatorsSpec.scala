@@ -118,6 +118,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t((2L, 1)) == "y")
   }
 
+  test("frequency routing is answer-invariant with a planted Zipf head") {
+    // "zz" is planted in EVERY document (the Zipf-head stopword whose
+    // token-window partition would be corpus-sized); the remaining tokens
+    // are rare. Any headMin must give identical answers — the knob only
+    // moves tokens between the broadcast-head and shuffled-tail paths.
+    val corpus = docsDf((1L to 40L).map(i => (i, s"zz tok$i tok${i % 7} zz")))
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val ttAll = canon(TextAnalysis.topTerms(corpus, k = 3, headMinDf = 1L))
+    val ttMix = canon(TextAnalysis.topTerms(corpus, k = 3, headMinDf = 10L))
+    val ttTail = canon(TextAnalysis.topTerms(corpus, k = 3, headMinDf = Long.MaxValue))
+    assert(ttAll == ttMix && ttMix == ttTail)
+    val usAll = canon(TextAnalysis.unigramSurprise(corpus, headMinTf = 1L))
+    val usMix = canon(TextAnalysis.unigramSurprise(corpus, headMinTf = 10L))
+    val usTail = canon(TextAnalysis.unigramSurprise(corpus, headMinTf = Long.MaxValue))
+    assert(usAll == usMix && usMix == usTail)
+    // at the mixed threshold the head really is routed via broadcast:
+    // zz (df=40, tf=80) sits in the head split, every tail key is < 10
+    val totals = TextAnalysis.joinTokenTotals(
+      TextAnalysis.docTokenFreq(corpus), expr("count(nullif(tf_doc, 0))"),
+      "df", headMin = 10L)
+    val zz = totals.filter(col("token") === "zz").select("df").distinct().collect()
+    assert(zz.map(_.getLong(0)).toSeq == Seq(40L))
+  }
+
   test("repetitionStats flags repetitive documents") {
     val r = TextAnalysis.repetitionStats(docsDf(Seq(
       (1L, "spam spam spam spam"), (2L, "all tokens here differ"))))

@@ -83,15 +83,50 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // explode is exchange-free; the domain agg pays the distinct-doc
     // expand: (domain, doc) partial + domain final
     assert(shuffles(TextAnalysis.domainStats(docs)) == 2)
-    // (doc,token) agg + token window + doc agg, plus the 1-row-per-
-    // partition SinglePartition exchange of the corpus-total scalar
-    // build (metadata-sized, then broadcast — not a full-data shuffle)
-    assert(shuffles(TextAnalysis.unigramSurprise(docs)) == 4)
     // distinct-agg expand: (hour,type,user) partial + (hour,type) final
     assert(shuffles(graft.streaming.Events.hourlyStatsBatch(events)) == 2)
-    // (doc,token) agg + df window (token) + rank window (doc) + the 1-row
-    // corpus-total aggregate that feeds the broadcast join
-    assert(shuffles(TextAnalysis.topTerms(docs, k = 5)) == 4)
+  }
+
+  /** Expands AdaptiveSparkPlan + query stages into the real executed tree. */
+  private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => Seq(q) ++ walk(q.plan)
+      case other => Seq(other)
+    }
+    here ++ p.children.flatMap(walk)
+  }
+
+  test("token corpus totals never window-partition by token (Zipf skew)") {
+    // VERDICT r6 "What's wrong" #1: a Window.partitionBy("token") buffers
+    // one row per containing document in a single task — corpus-sized for
+    // a Zipf-head stopword at 100 TB. topTerms/unigramSurprise instead
+    // route totals through joinTokenTotals (two-phase agg + frequency-
+    // routed broadcast/tail rejoin). Executed-plan budget per operator:
+    // the (doc, token) agg, the token totals agg (REUSES the (doc, token)
+    // exchange — one corpus scan+explode, not two), the final doc_id
+    // exchange, and the corpus-scalar SinglePartition exchange; the only
+    // windows left partition by doc_id.
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (df <- Seq(
+        TextAnalysis.topTerms(docs, k = 5, headMinDf = 10L),
+        TextAnalysis.unigramSurprise(docs, headMinTf = 10L))) {
+      df.collect() // materialize so AQE settles the final stage graph
+      val nodes = walk(df.queryExecution.executedPlan)
+      val tokenWindows = nodes.collect {
+        case w: WindowExec if w.partitionSpec.exists(_.toString.contains("token")) => w
+      }
+      assert(tokenWindows.isEmpty, "corpus totals must not window on token")
+      assert(nodes.collect { case s: ShuffleExchangeLike => s }.size == 4,
+        "budget: (doc,token) agg + token totals + doc_id + corpus scalar")
+      assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        "totals branch must reuse the (doc,token) exchange, not re-scan")
+      assert(nodes.count(_.nodeName.contains("Scan")) == 2,
+        "one corpus scan for the shared build + one for the scalar total")
+    }
   }
 
   test("exact ngram pairs: cap window + pair agg, nothing else") {
