@@ -71,9 +71,17 @@ object Bench {
     val warm = warmup.values.filter(_ >= 0).sum
     val err = errors.map(e => "\"" + e.replace("\"", "'").replace("\n", " ") + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$passes,"pass_counts":$nPasses,""" +
-      s""""warmup_total":$warm,"n_queries":${results.size},"errors":$err,"sf":"$sfDir"}""")
+      s""""warmup_total":$warm,"n_queries":${results.size},"errors":$err,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the artifact in a file when asked: the driver captures a
+    // console TAIL, which has truncated the per-query map before
+    // (BENCH_r06 parsed:null) — a file survives independent of console
+    // buffering.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -481,6 +481,22 @@ object SparkEntry {
         on = Seq("user_id"), leftTs = "ts", rightTs = "snap_ts",
         payload = Seq("hr_events", "hr_value_cents"))
     }),
+    // forward as-of: EARLIEST right row at or after each event ("next
+    // snapshot after") — DuckDB's ASOF with the inequality flipped is
+    // the native oracle; same one-exchange union+window plan, ts order
+    // reversed
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts", "value")
+      val dim = ev.groupBy(col("user_id"),
+          expr("date_trunc('hour', ts)").as("snap_ts"))
+        .agg(expr("count(1)").as("hr_events"),
+          expr("sum(CAST(round(value * 100) AS LONG))").as("hr_value_cents"))
+      graft.operators.AsOf.asOfJoin(
+        ev.select("event_id", "user_id", "ts"), dim,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "snap_ts",
+        payload = Seq("hr_events", "hr_value_cents"),
+        direction = "forward")
+    }),
     // bucketed interval (range) join: every event lands in exactly its
     // own session's [start, end] window — a plain inequality join in the
     // DuckDB oracle, a hash join on (user, time-bucket) + residual filter
@@ -1245,6 +1261,17 @@ object SparkEntry {
         SELECT e.event_id, e.user_id, e.ts, d.hr_events, d.hr_value_cents
         FROM e ASOF LEFT JOIN d
           ON e.user_id = d.user_id AND e.ts >= d.snap_ts""",
+    "q_asof_fwd" ->
+      """WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        d AS (
+          SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+            count(*) AS hr_events,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hr_value_cents
+          FROM e GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, d.hr_events, d.hr_value_cents
+        FROM e ASOF LEFT JOIN d
+          ON e.user_id = d.user_id AND e.ts <= d.snap_ts""",
     "q_range_join" ->
       """WITH e AS (
           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -82,4 +82,49 @@ object AsOfPropSpec extends Properties("AsOf.asOfJoin") {
           .map(r => (r.getAs[Long]("id"), r.getAs[Long]("iid"))).toSet
       got == expected
     }
+
+  property("forward matches the brute-force earliest-at-or-after reference") =
+    forAll(leftSide, rightSide) { (lrows, rrows) =>
+      import spark.implicits._
+      val expected = lrows.map { case (k, lt, id) =>
+        val m = rrows.filter(r => r._1 == k && r._2 >= lt)
+        id -> (if (m.isEmpty) None else Some(m.minBy(_._2)._3))
+      }.toMap
+      val left = lrows.map { case (k, t, id) => (k, ts(t), id) }
+        .toDF("k", "ts", "id")
+      val right = rrows.map { case (k, t, v) => (k, ts(t), v) }
+        .toDF("k", "ts", "v")
+      val got =
+        if (rrows.isEmpty) lrows.map(l => l._3 -> None).toMap
+        else AsOf.asOfJoin(left, right, on = Seq("k"), direction = "forward")
+          .collect()
+          .map(r => r.getAs[Long]("id") ->
+            Option(r.getAs[java.lang.Long]("v")).map(_.toLong)).toMap
+      got == expected
+    }
+
+  property("nearest matches brute force with backward tie-break") =
+    forAll(leftSide, rightSide) { (lrows, rrows) =>
+      import spark.implicits._
+      val expected = lrows.map { case (k, lt, id) =>
+        val m = rrows.filter(_._1 == k)
+        id -> (if (m.isEmpty) None
+               else {
+                 // min |delta|; ties prefer the backward (<= lt) match
+                 val best = m.minBy(r => (math.abs(r._2 - lt), r._2 > lt))
+                 Some(best._3)
+               })
+      }.toMap
+      val left = lrows.map { case (k, t, id) => (k, ts(t), id) }
+        .toDF("k", "ts", "id")
+      val right = rrows.map { case (k, t, v) => (k, ts(t), v) }
+        .toDF("k", "ts", "v")
+      val got =
+        if (rrows.isEmpty) lrows.map(l => l._3 -> None).toMap
+        else AsOf.asOfJoin(left, right, on = Seq("k"), direction = "nearest")
+          .collect()
+          .map(r => r.getAs[Long]("id") ->
+            Option(r.getAs[java.lang.Long]("v")).map(_.toLong)).toMap
+      got == expected
+    }
 }

@@ -90,6 +90,96 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.head == 41, "points 0..10000s inclusive at 250s spacing")
   }
 
+  test("asOfJoin forward attaches the earliest right row at or after left ts") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("a", ts(100), 1.0), ("a", ts(200), 2.0), ("b", ts(150), 9.0))
+      .toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("a", ts(99), 10L),   // next quote at 100 -> 1.0
+      ("a", ts(100), 11L),  // equal ts -> INCLUSIVE 1.0
+      ("a", ts(101), 12L),  // next at 200 -> 2.0
+      ("a", ts(999), 13L),  // nothing after -> null
+      ("b", ts(150), 14L)).toDF("sym", "ts", "qty")
+    val out = AsOf.asOfJoin(trades, quotes, on = Seq("sym"),
+      direction = "forward")
+      .collect().map(r => r.getAs[Long]("qty") ->
+        Option(r.getAs[java.lang.Double]("px")).map(_.toDouble)).toMap
+    assert(out(10L).contains(1.0))
+    assert(out(11L).contains(1.0), "equal ts matches (inclusive forward)")
+    assert(out(12L).contains(2.0))
+    assert(out(13L).isEmpty, "no right row at or after -> null")
+    assert(out(14L).contains(9.0))
+  }
+
+  test("asOfJoin nearest picks the closer side; ties break backward") {
+    import spark.implicits._
+    val dim = Seq(
+      ("a", ts(100), "early"), ("a", ts(200), "late")).toDF("k", "ts", "v")
+    val fact = Seq(
+      ("a", ts(140), 1L),  // 40 back vs 60 fwd -> early
+      ("a", ts(160), 2L),  // 60 back vs 40 fwd -> late
+      ("a", ts(150), 3L),  // exact tie -> backward (early)
+      ("a", ts(50), 4L),   // only forward exists -> early
+      ("a", ts(900), 5L)). // only backward exists -> late
+      toDF("k", "ts", "id")
+    val out = AsOf.asOfJoin(fact, dim, on = Seq("k"), direction = "nearest")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out(1L) == "early" && out(2L) == "late")
+    assert(out(3L) == "early", "equidistant tie must break backward")
+    assert(out(4L) == "early" && out(5L) == "late")
+    // tolerance applies per direction before the nearest choice
+    val tol = AsOf.asOfJoin(fact, dim, on = Seq("k"), direction = "nearest",
+      toleranceMs = Some(45_000L))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("v"))).toMap
+    assert(tol(1L).contains("early") && tol(2L).contains("late"))
+    assert(tol(5L).isEmpty, "700s-stale backward match nulled by tolerance")
+  }
+
+  test("asOfJoin NULL keys follow SQL semantics: never match, keep null payload") {
+    import spark.implicits._
+    // equal timestamps: inclusive match in ALL three directions
+    val dim = Seq((Some("a"), ts(10), 1L), (None, ts(10), 99L))
+      .toDF("k", "ts", "v")
+    val fact = Seq((Some("a"), ts(10), "ok"), (None, ts(10), "nullkey"))
+      .toDF("k", "ts", "name")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsOf.asOfJoin(fact, dim, on = Seq("k"),
+        direction = dir, leftTs = "ts", rightTs = "ts")
+        .collect().map(r => r.getAs[String]("name") ->
+          Option(r.getAs[java.lang.Long]("v"))).toMap
+      assert(out("ok").contains(1L))
+      assert(out("nullkey").isEmpty,
+        s"direction=$dir: NULL key must not match the NULL-keyed right row")
+    }
+  }
+
+  test("rangeJoin guards the explode factor with a named error") {
+    import spark.implicits._
+    // a year-long interval at 1-second buckets = ~31.5M bucket rows from
+    // ONE input row — the guard must fail loudly before the explode
+    val intervals = Seq(("a", ts(0), ts(365L * 86400L), 1L))
+      .toDF("k", "start", "end", "iid")
+    val points = Seq(("a", ts(10), 1L)).toDF("k", "ts", "id")
+    val e = intercept[Exception] {
+      AsOf.rangeJoin(points, intervals, on = Seq("k"),
+        bucketWidthSec = 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("maxBucketsPerInterval")),
+      s"expected the named guard error, got: $e")
+    // the same data passes with a sane width; a raised budget passes a
+    // day-long interval at 1s buckets (86400 > the tightened 10k budget)
+    assert(AsOf.rangeJoin(points, intervals, on = Seq("k"),
+      bucketWidthSec = 86400L).count() == 1L)
+    val day = Seq(("a", ts(0), ts(86400L), 1L)).toDF("k", "start", "end", "iid")
+    assert(AsOf.rangeJoin(points, day, on = Seq("k"),
+      bucketWidthSec = 1L, maxBucketsPerInterval = 100_000L).count() == 1L)
+  }
+
   test("asOfJoin multi-key + payload prefix keeps left schema intact") {
     import spark.implicits._
     val dim = Seq((1L, "x", ts(10), 7L)).toDF("uid", "seg", "ts", "score")

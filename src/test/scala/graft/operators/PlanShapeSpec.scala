@@ -56,11 +56,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.tokenLengthHistogram(docs, 16)) == 1)
     assert(shuffles(graft.streaming.Events.sessionizeBatch(events)) == 1)
     // as-of join: union is exchange-free, ONE window exchange carries the
-    // match — never a range explosion or per-key quadratic theta join
-    assert(shuffles(AsOf.asOfJoin(
-      events.select("event_id", "user_id", "ts"),
-      events.select(col("user_id"), col("ts"), col("value")),
-      on = Seq("user_id"))) == 1)
+    // match — never a range explosion or per-key quadratic theta join.
+    // forward flips the sort order only; nearest runs BOTH window passes
+    // over the same hash exchange (two sorts, still one shuffle)
+    for (dir <- Seq("backward", "forward", "nearest"))
+      assert(shuffles(AsOf.asOfJoin(
+        events.select("event_id", "user_id", "ts"),
+        events.select(col("user_id"), col("ts"), col("value")),
+        on = Seq("user_id"), direction = dir)) == 1, s"direction=$dir")
   }
 
   test("rangeJoin is a hash join on (keys, bucket) — never a nested loop") {
