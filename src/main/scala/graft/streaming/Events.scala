@@ -191,15 +191,26 @@ object Events {
     * FileStreamSource sees plain data files; `_SUCCESS`/metadata entries
     * are skipped. A single-file fixture (the driver's pyarrow layout)
     * copies through unchanged as `baseName.parquet`.
+    *
+    * FLAT-DIRECTORY CONTRACT: only direct children are listed — a
+    * hive-partitioned layout (`key=value/` subdirectories) is rejected by
+    * the no-parts require below rather than silently staged empty; stage
+    * each partition directory separately if needed.
     */
   def copyParquetInto(src: String, destDir: java.nio.file.Path,
       baseName: String): Unit = {
     val p = java.nio.file.Paths.get(src)
     if (java.nio.file.Files.isDirectory(p)) {
-      val parts = new java.io.File(src).listFiles()
+      // listFiles() returns null on IO errors/unreadable dirs — guard so
+      // the failure names the path instead of surfacing as a bare NPE
+      val listed = Option(new java.io.File(src).listFiles()).getOrElse(
+        sys.error(s"cannot list directory $src (IO error or unreadable)"))
+      val parts = listed
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
         .sortBy(_.getName)
-      require(parts.nonEmpty, s"no parquet part files under $src")
+      require(parts.nonEmpty, s"no parquet part files directly under $src " +
+        "(flat-directory contract: partitioned subdirectory layouts are " +
+        "not staged)")
       parts.zipWithIndex.foreach { case (f, i) =>
         java.nio.file.Files.copy(f.toPath,
           destDir.resolve(f"${baseName}_$i%05d.parquet"))
@@ -271,18 +282,24 @@ object Events {
   }
 
   /** readStream over a parquet file/directory with the events schema.
-    * Same session-conf contract as [[readEvents]]. `maxFilesPerTrigger` is
-    * pinned high explicitly: the close-sentinel staging scheme
-    * ([[stageStreamDir]]) requires the real events file and the sentinel
-    * file to land in ONE AvailableNow micro-batch — a small inherited
-    * maxFilesPerTrigger could order the sentinel first and drop every real
-    * event as late data.
+    * Same session-conf contract as [[readEvents]].
+    *
+    * `maxFilesPerTrigger` defaults high explicitly: the close-sentinel
+    * staging scheme ([[stageStreamDir]]) requires the real events file and
+    * the sentinel file to land in ONE AvailableNow micro-batch — a small
+    * inherited maxFilesPerTrigger could order the sentinel first and drop
+    * every real event as late data. Pass a small value (with
+    * time-ordered, modification-time-sequenced staged files) to force a
+    * MULTI-batch run — the harness for proving stateful operators carry
+    * state across micro-batch boundaries (StreamingSpec does this with
+    * one file per trigger).
     */
-  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+  def readEventsStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1000000): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     normalizeTs(spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1000000")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(path))
   }
 
