@@ -183,7 +183,7 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Array(0xff, 0xd8, 0xff).map(_.toByte)) // SOI only
     assert(m2 == "image/jpeg" && w2 == 0)
     val (_, _, (m3, _, _, f3)) = Multimodal.decodeBytes(
-      "RIFF    WAVE".getBytes("ISO-8859-1"))
+      "RIFF\u0000\u0000\u0000\u0000WAVE".getBytes("ISO-8859-1"))
     assert(m3 == "audio/wav" && f3 == 1)
   }
 
