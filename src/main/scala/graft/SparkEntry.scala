@@ -497,6 +497,22 @@ object SparkEntry {
         payload = Seq("hr_events", "hr_value_cents"),
         direction = "forward")
     }),
+    // nearest as-of: closer of the two directions, equidistant ties break
+    // backward — DuckDB has no native nearest ASOF, but the semantics are
+    // exactly expressible as an argmin over (|delta|, forward-flag), so
+    // the row is fully oracle-gated (not spec-only)
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts", "value")
+      val dim = ev.groupBy(col("user_id"),
+          expr("date_trunc('hour', ts)").as("snap_ts"))
+        .agg(expr("count(1)").as("hr_events"),
+          expr("sum(CAST(round(value * 100) AS LONG))").as("hr_value_cents"))
+      graft.operators.AsOf.asOfJoin(
+        ev.select("event_id", "user_id", "ts"), dim,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "snap_ts",
+        payload = Seq("hr_events", "hr_value_cents"),
+        direction = "nearest")
+    }),
     // bucketed interval (range) join: every event lands in exactly its
     // own session's [start, end] window — a plain inequality join in the
     // DuckDB oracle, a hash join on (user, time-bucket) + residual filter
@@ -1272,6 +1288,22 @@ object SparkEntry {
         SELECT e.event_id, e.user_id, e.ts, d.hr_events, d.hr_value_cents
         FROM e ASOF LEFT JOIN d
           ON e.user_id = d.user_id AND e.ts <= d.snap_ts""",
+    "q_asof_nearest" ->
+      """WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        d AS (
+          SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+            count(*) AS hr_events,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hr_value_cents
+          FROM e GROUP BY 1, 2)
+        SELECT event_id, user_id, ts, hr_events, hr_value_cents
+        FROM (
+          SELECT e.event_id, e.user_id, e.ts, d.hr_events, d.hr_value_cents,
+            row_number() OVER (PARTITION BY e.event_id ORDER BY
+              abs(epoch_us(e.ts) - epoch_us(d.snap_ts)),
+              CASE WHEN d.snap_ts <= e.ts THEN 0 ELSE 1 END) AS rn
+          FROM e JOIN d USING (user_id))
+        WHERE rn = 1""",
     "q_range_join" ->
       """WITH e AS (
           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

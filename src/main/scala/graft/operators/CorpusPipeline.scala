@@ -1,15 +1,16 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The standard pre-training corpus cleaning recipe, composed from the
   * individual operators' expressions: exact dedup → surface-quality floor
-  * → language filter. FUSED into one scan, one projection wave, and one
-  * shuffle (the dedup-hash window) — every feature is per-row over the
-  * same rows, so the r1 form (five scans of the corpus joined back on
-  * doc_id) paid four joins for nothing.
+  * → language filter. FUSED into one projection wave — every feature is
+  * per-row over the same rows, so the r1 form (five scans of the corpus
+  * joined back on doc_id) paid four joins for nothing. Dup-group stats
+  * come from `Dedup.withDupStats` (skew-immune two-phase aggregation +
+  * frequency-routed rejoin), not a hash window — a boilerplate page with
+  * millions of copies must not become one window task's partition.
   *
   * Near-dup removal (MinHash) intentionally stays a separate pass: its
   * candidate verification is a different shuffle shape and is usually run
@@ -23,14 +24,13 @@ object CorpusPipeline {
   def clean(
       docs: DataFrame, textCol: String = "text",
       minQuality: Double = 0.3, minTokens: Int = 8,
-      keepLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")): DataFrame = {
-    val w = Window.partitionBy("__h")
-    TextAnalysis.withLangPred(docs, textCol)
+      keepLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+      headMinDupes: Long = 100000L): DataFrame = {
+    val featured = TextAnalysis.withLangPred(docs, textCol)
       .withColumn("quality", TextAnalysis.qualityExpr(textCol))
       .withColumn("n_tokens", expr(s"size(${TextAnalysis.tokensExpr(textCol)})"))
-      .withColumn("__h", TextAnalysis.normalizedMd5(textCol))
-      .withColumn("canonical_id", min("doc_id").over(w))
-      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("__h", Dedup.dupHash(textCol))
+    Dedup.withDupStats(featured, headMinDupes)
       .filter(col("doc_id") === col("canonical_id") &&
         col("quality") >= minQuality &&
         col("n_tokens") >= minTokens &&

@@ -13,20 +13,64 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: hash-groupBy on normalized text. Emits every doc with its
-    * canonical (minimum) doc_id and the duplicate-group size; `is_canonical
-    * = doc_id = canonical_id`. One shuffle on the 128-bit hash — the plan
-    * that works at any scale.
+  /** Attaches `canonical_id` (minimum doc_id of the exact-dup group) and
+    * `dup_count` to every row of a frame carrying a `__h` content-hash
+    * column — WITHOUT a hash-partitioned window. A window on `__h` buffers
+    * each duplicate group in a single task, and the hot groups are exactly
+    * dedup's reason to exist: a boilerplate page with millions of copies
+    * at 100 TB becomes one unsplittable corpus-scale window partition.
+    * Instead the group stats aggregate two-phase (map-side combine makes
+    * the totals exchange skew-immune) and rejoin frequency-routed:
+    *
+    *   - head (dup_count >= headMinDupes): at most N/headMinDupes groups —
+    *     broadcast, so the duplicate-heavy rows never shuffle at all;
+    *   - tail: a plain join whose probe keys each carry < headMinDupes
+    *     rows. Rows of head groups also pass through this exchange
+    *     (unmatched) — and because it is a JOIN, not a window, AQE's
+    *     skew-join splitting can break any residual oversized partition
+    *     across tasks, which is structurally impossible for a window.
+    *
+    * Routing never changes answers ([[exact]] results are
+    * headMinDupes-invariant, spec'd). NULL-text rows group together under
+    * a non-md5 sentinel key (window semantics preserved; md5 output is
+    * 32 hex chars, so the sentinel cannot collide).
     */
-  def exact(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy("__h")
-    docs
-      .withColumn("__h", TextAnalysis.normalizedMd5(textCol))
-      .withColumn("canonical_id", min("doc_id").over(w))
-      .withColumn("dup_count", count(lit(1)).over(w))
+  private[operators] def withDupStats(
+      withH: DataFrame, headMinDupes: Long): DataFrame = {
+    require(headMinDupes > 0, "headMinDupes must be positive")
+    val totals = withH.groupBy("__h").agg(
+      min("doc_id").as("__can"), count(lit(1)).as("__cnt"))
+    val head = totals.filter(col("__cnt") >= headMinDupes)
+      .select(col("__h"), col("__can").as("__can_h"), col("__cnt").as("__cnt_h"))
+    val tail = totals.filter(col("__cnt") < headMinDupes)
+    withH
+      .join(broadcast(head), Seq("__h"), "left")
+      .join(tail.hint("shuffle_hash"), Seq("__h"), "left")
+      .withColumn("canonical_id", coalesce(col("__can"), col("__can_h")))
+      .withColumn("dup_count", coalesce(col("__cnt"), col("__cnt_h")))
+      .drop("__can", "__cnt", "__can_h", "__cnt_h")
+  }
+
+  /** Content-hash column for exact dedup: normalized md5, with NULL text
+    * mapped to a sentinel group of its own (join keys would otherwise
+    * drop NULLs where the old window form grouped them).
+    */
+  private[operators] def dupHash(textCol: String) =
+    coalesce(TextAnalysis.normalizedMd5(textCol), lit("__NULL_TEXT__"))
+
+  /** Exact dedup: hash-group on normalized text. Emits every doc with its
+    * canonical (minimum) doc_id and the duplicate-group size; `is_canonical
+    * = doc_id = canonical_id`. Two skew-immune exchanges (group-stats
+    * aggregation + frequency-routed rejoin — see [[withDupStats]] for why
+    * this beats the one-window form at 100 TB); `headMinDupes` is the
+    * routing knob and never changes answers.
+    */
+  def exact(docs: DataFrame, textCol: String = "text",
+      headMinDupes: Long = 100000L): DataFrame =
+    withDupStats(
+      docs.withColumn("__h", dupHash(textCol)), headMinDupes)
       .select(col("doc_id"), col("canonical_id"), col("dup_count"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
-  }
 
   /** Word n-gram shingle array (distinct, lower-cased) over an ALREADY
     * STAGED token-array column. The token array must be projected in its

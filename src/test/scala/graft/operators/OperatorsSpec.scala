@@ -143,6 +143,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zz.map(_.getLong(0)).toSeq == Seq(40L))
   }
 
+  test("exact dedup frequency routing is answer-invariant with a hot hash") {
+    // 30 copies of one boilerplate text (the hot exact-dup group that
+    // must not become a single window task) + singleton docs; any
+    // headMinDupes gives identical answers, the knob only moves groups
+    // between the broadcast-head and tail-join paths
+    val corpus = docsDf(
+      (1L to 30L).map(i => (i, "boilerplate page body")) ++
+        (31L to 40L).map(i => (i, s"unique doc $i")))
+    def canon(headMin: Long): Seq[String] =
+      Dedup.exact(corpus, headMinDupes = headMin)
+        .collect().map(_.toString).sorted.toSeq
+    val all = canon(1L); val mix = canon(10L); val tail = canon(Long.MaxValue)
+    assert(all == mix && mix == tail)
+    val hot = Dedup.exact(corpus, headMinDupes = 10L)
+      .filter(col("doc_id") === 17L).head()
+    assert(hot.getAs[Long]("canonical_id") == 1L &&
+      hot.getAs[Long]("dup_count") == 30L && !hot.getAs[Boolean]("is_canonical"))
+  }
+
   test("repetitionStats flags repetitive documents") {
     val r = TextAnalysis.repetitionStats(docsDf(Seq(
       (1L, "spam spam spam spam"), (2L, "all tokens here differ"))))

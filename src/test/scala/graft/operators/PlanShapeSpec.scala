@@ -52,7 +52,6 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("single-shuffle aggregations stay single-shuffle") {
-    assert(shuffles(Dedup.exact(docs)) == 1)
     assert(shuffles(TextAnalysis.tokenLengthHistogram(docs, 16)) == 1)
     assert(shuffles(graft.streaming.Events.sessionizeBatch(events)) == 1)
     // as-of join: union is exchange-free, ONE window exchange carries the
@@ -100,6 +99,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       case other => Seq(other)
     }
     here ++ p.children.flatMap(walk)
+  }
+
+  test("exact dedup: group-stats join, no hash window, totals exchange reused") {
+    // the hash-WINDOW form was one exchange, but its hot-group partition
+    // (a million-copy boilerplate page — dedup's core use case) was one
+    // unsplittable window task. The group-stats-join form runs the
+    // skew-immune two-phase totals aggregation ONCE (head and tail
+    // branches share it via ReusedExchange) plus the probe exchange for
+    // the tail rejoin — whose skewed partitions AQE's skew-join splitting
+    // can break up, structurally impossible for a window.
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // headMinDupes = 2 so BOTH routing paths are live on the fixture
+    // (with an empty head AQE folds the broadcast join into a null
+    // projection — a fine plan, but not the one under test)
+    val df = Dedup.exact(docs, headMinDupes = 2L)
+    df.collect()
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "exact dedup must not window-partition by content hash")
+    // budget is an UPPER bound: totals agg + the tail-probe exchange; at
+    // fixture scale AQE's runtime stats convert the tail join to a
+    // broadcast too and the probe never shuffles at all (at 100 TB the
+    // tail stays a shuffled join — whose skew AQE can split)
+    val ex = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(ex.size <= 2, s"budget: totals agg + tail-probe exchange, got ${ex.size}")
+    assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+      "head and tail branches must share one totals aggregation")
   }
 
   test("token corpus totals never window-partition by token (Zipf skew)") {
