@@ -178,9 +178,16 @@ object Dedup {
     * boilerplate-heavy corpus (thousands of docs sharing a template) puts m
     * docs into one band bucket and the join would emit m²/2 candidate pairs
     * before verification — the one candidate-generation scale hole the
-    * shingle-level cap does not cover. The window partitions on the same
-    * (band, bucket) key the join shuffles on, so capping reuses that
-    * exchange rather than adding one.
+    * shingle-level cap does not cover.
+    *
+    * The cap is a broadcast ANTI-join against the hot-bucket SET, not a
+    * count window: a window partitioned by (band, bucket) buffers the hot
+    * bucket's rows — the very rows the cap exists to suppress — in one
+    * unsplittable task. The hot set aggregates two-phase (skew-immune) and
+    * is bounded at totalBandRows/maxBandFreq entries, broadcastable at any
+    * corpus size; surviving rows then enter the candidate join with every
+    * key at ≤ maxBandFreq rows — balanced by construction. The row set is
+    * identical to the window form's (bf <= cap ≡ NOT IN hot).
     *
     * Recall trade (disclose to callers): docs colliding ONLY inside a
     * hotter-than-cap bucket lose that band's collision; with `bands`
@@ -189,12 +196,13 @@ object Dedup {
     * bands disagree — but a corpus that is one giant duplicate class
     * genuinely needs [[exact]] (hash dedup) first, not pairwise LSH.
     */
-  private def capBandBuckets(bandRows: DataFrame, maxBandFreq: Int): DataFrame =
-    bandRows
-      .withColumn("__bf",
-        count(lit(1)).over(Window.partitionBy("__band", "__bucket")))
-      .filter(col("__bf") <= maxBandFreq)
-      .drop("__bf")
+  private def capBandBuckets(bandRows: DataFrame, maxBandFreq: Int): DataFrame = {
+    val hot = bandRows.groupBy("__band", "__bucket")
+      .agg(count(lit(1)).as("__bf"))
+      .filter(col("__bf") > maxBandFreq)
+      .select("__band", "__bucket")
+    bandRows.join(broadcast(hot), Seq("__band", "__bucket"), "left_anti")
+  }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs: rejoins
     * the FULL shingle arrays carried by the signature frames and keeps
@@ -530,9 +538,19 @@ object Dedup {
         expr(TextAnalysis.tokensExpr(textCol)).as("__tk"))
       .select(col(idAs),
         explode(expr(shingleOverTokensExpr("__tk", n))).as("shingle"))
-    val corpusIdx = index(docs, "doc_id")
-      .withColumn("__f", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("__f") <= maxShingleFreq)
+    // hot-shingle cap as a broadcast ANTI-join, not a count window: a
+    // shingle-partitioned window buffers the hot shingle's (corpus-scale)
+    // row group in one task; the hot SET is bounded at totalRows/cap and
+    // broadcasts, and the surviving index rows never shuffle at all —
+    // decontamination is a scale-path operator (full-corpus sweeps), so
+    // the Zipf-head discipline of joinTokenTotals applies here too
+    val corpusIdxAll = index(docs, "doc_id")
+    val hotShingles = corpusIdxAll.groupBy("shingle")
+      .agg(count(lit(1)).as("__f"))
+      .filter(col("__f") > maxShingleFreq)
+      .select("shingle")
+    val corpusIdx = corpusIdxAll
+      .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
       .select("doc_id", "shingle")
     // the probe set is a benchmark suite — small by definition: broadcast
     // it so the corpus index never shuffles for the join (the cap window
