@@ -240,6 +240,20 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // line-level boilerplate dedup (RefinedWeb/CCNet pass): the fixture
+    // has no newlines, so both engines plant the same deterministic
+    // footer lines (every doc gets one of 3 shared footers; every 250th
+    // doc an extra low-frequency pair line) — same planted-input
+    // discipline as q_pii_scrub/q_domain_stats. headMinDf=10 routes the
+    // shared footers via the broadcast head and the pair line via the
+    // mid-range join, so BOTH paths are oracle-exercised.
+    "q_line_dedup" -> ((s, dir) =>
+      Dedup.lineDedup(
+        docs(s, dir).withColumn("text", expr(
+          "concat(text, chr(10), 'SHARED FOOTER ', CAST(doc_id % 3 AS STRING)," +
+            " CASE WHEN doc_id % 250 = 0 THEN concat(chr(10), 'PAIR LINE')" +
+            " ELSE '' END)")),
+        minDocFreq = 2, headMinDf = 10L)),
     // token-length histogram (sequence-length planning input)
     "q_token_histogram" -> ((s, dir) =>
       TextAnalysis.tokenLengthHistogram(docs(s, dir), bucketSize = 16)),
@@ -979,6 +993,23 @@ object SparkEntry {
           doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical
         FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
               FROM documents)""",
+    "q_line_dedup" ->
+      """WITH d AS (
+          SELECT doc_id, text || chr(10) || 'SHARED FOOTER ' || CAST(doc_id % 3 AS VARCHAR)
+              || CASE WHEN doc_id % 250 = 0 THEN chr(10) || 'PAIR LINE' ELSE '' END AS text
+          FROM documents),
+        p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+        l AS (SELECT doc_id, i AS idx, parts[i + 1] AS line
+              FROM p, LATERAL (SELECT unnest(range(len(parts))) AS i) g),
+        f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1),
+        m AS (SELECT l.doc_id, l.idx, l.line, f.df >= 2 AS hot
+              FROM l JOIN f USING (line))
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(CASE WHEN NOT hot THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+          coalesce(string_agg(CASE WHEN NOT hot THEN line END, chr(10) ORDER BY idx), '')
+            AS text_deduped
+        FROM m GROUP BY 1""",
     "q_clean_corpus" ->
       """WITH tk AS (
           SELECT doc_id, text,

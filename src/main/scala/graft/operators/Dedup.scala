@@ -562,6 +562,68 @@ object Dedup {
       .filter(col("overlap_ngrams") >= minOverlap)
   }
 
+  /** Exact LINE-level deduplication (the RefinedWeb/CCNet boilerplate-line
+    * pass): a line occurring in at least `minDocFreq` DISTINCT documents
+    * is corpus boilerplate (navigation, footers, cookie banners) and is
+    * stripped from every document; surviving lines reassemble in their
+    * original order. Emits one row per input document — `n_lines`,
+    * `n_lines_kept`, and the reassembled `text_deduped` (empty string
+    * when every line was boilerplate).
+    *
+    * Scale shape (the same frequency-routing discipline as
+    * [[withDupStats]] / `TextAnalysis.joinTokenTotals`):
+    *  1. line doc-frequencies via DISTINCT (line, doc) + a two-phase
+    *     line aggregation — both skew-immune (map-side combine);
+    *  2. boilerplate lines split at `headMinDf`: the head set
+    *     (df >= headMinDf, at most pairs/headMinDf entries) broadcasts,
+    *     so a cookie banner in a billion documents never shuffles its
+    *     occurrences; the mid-range set (minDocFreq <= df < headMinDf)
+    *     anti-marks through a join whose keys each carry < headMinDf
+    *     probe rows — balanced, and as a JOIN any residual skew is
+    *     AQE-splittable (a window/hot-key group-by here would buffer the
+    *     banner's corpus-scale row group in one task);
+    *  3. per-document reassembly: one bounded-partition aggregation
+    *     (array_sort on the (idx, line) structs restores order —
+    *     collect_list order is partitioning-dependent, the sort makes the
+    *     result deterministic).
+    * Routing never changes answers (headMinDf moves sets between
+    * broadcast and shuffle only; spec'd).
+    */
+  def lineDedup(
+      docs: DataFrame, textCol: String = "text",
+      minDocFreq: Int = 2, headMinDf: Long = 100000L,
+      sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would strip every line")
+    require(headMinDf > 0, "headMinDf must be positive")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__line")))
+    val dfs = lines.select("__line", "doc_id").distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+    val hot = dfs.filter(col("__df") >= minDocFreq)
+    val headHot = hot.filter(col("__df") >= headMinDf)
+      .select(col("__line"), lit(1).as("__hot_h"))
+    val tailHot = hot.filter(col("__df") < headMinDf)
+      .select(col("__line"), lit(1).as("__hot_t"))
+    lines
+      .join(broadcast(headHot), Seq("__line"), "left")
+      .join(tailHot, Seq("__line"), "left")
+      .withColumn("__keep", col("__hot_h").isNull && col("__hot_t").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(
+                col("__idx").as("i"), col("__line").as("l"),
+                col("__keep").as("k")))),
+              s => s.getField("k")),
+            s => s.getField("l")),
+          sep).as("text_deduped"))
+  }
+
   /** Connected components over a near-duplicate pair relation: every id is
     * labeled with the MINIMUM id reachable through the pairs — the
     * transitive closure that turns pairwise dedup output into duplicate

@@ -340,6 +340,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lineDedup strips corpus-frequent lines, preserves order, keeps empty docs") {
+    val corpus = docsDf(Seq(
+      (1L, "unique alpha\nSHARED FOOTER\nunique beta"),
+      (2L, "other body\nSHARED FOOTER"),
+      (3L, "SHARED FOOTER"),             // all lines boilerplate -> ''
+      (4L, "solo body only")))
+    val out = Dedup.lineDedup(corpus, minDocFreq = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_lines_kept"),
+          r.getAs[String]("text_deduped"))).toMap
+    assert(out(1L) == ((3L, 2L, "unique alpha\nunique beta")),
+      "order must be preserved around the stripped line")
+    assert(out(2L) == ((2L, 1L, "other body")))
+    assert(out(3L) == ((1L, 0L, "")), "fully-boilerplate doc stays, empty")
+    assert(out(4L) == ((1L, 1L, "solo body only")))
+    // frequency routing is answer-invariant (head vs mid-range vs all-tail)
+    def canon(h: Long) = Dedup.lineDedup(corpus, minDocFreq = 2, headMinDf = h)
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(1L) == canon(2L) && canon(2L) == canon(Long.MaxValue))
+  }
+
   test("exact dedup groups identical normalized docs") {
     val r = Dedup.exact(docsDf(dupDocs)).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("canonical_id") == 1L && r(0).getAs[Boolean]("is_canonical"))
