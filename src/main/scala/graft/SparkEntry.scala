@@ -374,6 +374,32 @@ object SparkEntry {
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 16), k = 5)
         .select("query_id", "match_id", "cosine", "rank")
     }),
+    // int8-quantized brute force: maxabs quantization + exact integer
+    // cosine are BOTH mirrored in DuckDB arithmetic-for-arithmetic, so
+    // unlike the LSH/IVF approximations this row is fully hash-gated —
+    // the custom codegen Expressions (vec_quantize_q8 / vec_cosine_i8)
+    // are proven value-identical to an independent engine end-to-end
+    "q_similarity_topk_q8" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      Similarity.cosineTopKQ8(e, e.filter(col("vec_id") < 16), k = 5)
+        .select("query_id", "match_id", "cosine", "rank")
+    }),
+    // quantization-error envelope: recall@5 of the q8 ranking vs full
+    // precision, floor 0.9 (oracle states the floor as a literal — a
+    // violated floor breaks the hash match)
+    "q_q8_recall_bounds" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 16)
+      val brute = Similarity.cosineTopK(e, q, k = 5)
+        .select("query_id", "match_id")
+      val q8 = Similarity.cosineTopKQ8(e, q, k = 5)
+        .select("query_id", "match_id").withColumn("__hit", lit(true))
+      brute.join(q8, Seq("query_id", "match_id"), "left")
+        .agg(expr("count(1)").as("n_brute_rows"),
+          expr("sum(CASE WHEN __hit THEN 1 ELSE 0 END)").as("__nhit"))
+        .select(col("n_brute_rows"),
+          (col("__nhit") >= col("n_brute_rows") * 0.9).as("recall_ok"))
+    }),
     // FAISS discipline: the IVF index is fitted ONCE per dataset (memoized
     // below — coarse quantizer on a half sample, cell-assigned corpus
     // persisted) and every invocation runs the PROBE path only; the bench's
@@ -1214,6 +1240,39 @@ object SparkEntry {
           FROM q, embeddings c
           WHERE q.vec_id != c.vec_id)
         SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, match_id) AS rn FROM sc)
+        WHERE rn <= 5""",
+    "q_similarity_topk_q8" ->
+      """WITH z AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+            list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+          FROM embeddings),
+        qz AS (
+          SELECT vec_id,
+            CASE WHEN mx > 0 THEN list_transform(e, x -> round(x * 127.0 / mx))
+                 ELSE list_transform(e, x -> CAST(0 AS DOUBLE)) END AS q
+          FROM z),
+        sc AS (
+          SELECT a.vec_id AS query_id, c.vec_id AS match_id,
+            round(list_dot_product(a.q, c.q)
+              / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(c.q, c.q))), 6) AS cosine
+          FROM (SELECT * FROM qz WHERE vec_id < 16) a, qz c
+          WHERE a.vec_id != c.vec_id)
+        SELECT query_id, match_id, cosine, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, match_id) AS rn FROM sc)
+        WHERE rn <= 5""",
+    "q_q8_recall_bounds" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
+        sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+            round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+          FROM q, embeddings c
+          WHERE q.vec_id != c.vec_id)
+        SELECT count(*) AS n_brute_rows, TRUE AS recall_ok
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, match_id) AS rn FROM sc)
         WHERE rn <= 5""",

@@ -70,6 +70,52 @@ class VecFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val _ = hofPlan // informational; no assertion — Spark may improve
   }
 
+  test("vec_quantize_q8: maxabs grid, half-away rounding, zero vector") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(2.0f, -2.0f, 1.0f, 0.0f)),   // ±maxabs → ±127; 1.0 → 64 (63.5 rounds away)
+      (2L, Array(0.0f, 0.0f)),                // zero vector → all zeros
+      (3L, Array(-1.0f)))                     // single negative → -127
+      .toDF("id", "v")
+    val out = df.select(col("id"), expr("vec_quantize_q8(v)").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(out(1L) == Seq[Byte](127, -127, 64, 0),
+      "63.5 must round half AWAY from zero (DuckDB/Spark SQL round parity)")
+    assert(out(2L) == Seq[Byte](0, 0))
+    assert(out(3L) == Seq[Byte](-127))
+  }
+
+  test("vec_cosine_i8: exact integer accumulation, scale-invariance vs float cosine") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(100.0f, 200.0f, 300.0f)), // parallel, scales differ
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)))                    // orthogonal
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      expr("vec_cosine_i8(vec_quantize_q8(a), vec_quantize_q8(b))").as("ci8"),
+      expr("vec_cosine(a, b)").as("cf")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+    val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(m(1L)._1 - 1.0) < 1e-12,
+      "per-vector scale must drop out of the quantized cosine")
+    assert(m(2L)._1 == 0.0)
+    // quantization error vs full precision stays small on these grids
+    rows.foreach { case (_, ci8, cf) => assert(math.abs(ci8 - cf) < 0.02) }
+  }
+
+  test("q8 expressions stay inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // local Seq data constant-folds into LocalTableScan — use a real scan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(
+      expr("vec_cosine_i8(vec_quantize_q8(embedding), vec_quantize_q8(embedding))"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*") && l.contains("Project") &&
+      l.contains("vec_cosine_i8")), s"expected codegen'd projection:\n$plan")
+  }
+
   test("wrong argument types fail analysis with the function named") {
     GraftFunctions.register(spark)
     import spark.implicits._
