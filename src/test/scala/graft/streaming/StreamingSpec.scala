@@ -88,31 +88,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed sessions must equal batch sessions exactly")
   }
 
-  test("sessionize state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
-    // VERDICT r6 Next-round #2: the sentinel scheme pins everything into
-    // ONE AvailableNow batch, so flatMapGroupsWithState's state handoff
-    // across batches was never exercised. Here the fixture is split into
-    // 4 contiguous TIME-ordered chunks + the per-user close sentinel,
-    // each staged with increasing modification times and streamed one
-    // file per trigger: sessions spanning chunk boundaries must be carried
-    // in state (and mid-stream event-time timeouts may fire — the
-    // hasTimedOut branch only ever runs in a multi-batch stream), yet the
-    // emitted set must equal the batch oracle EXACTLY.
+  /** Stages the fixture into `nChunks` contiguous TIME-ordered part files
+    * (plus optionally the per-user close sentinel, last) with sequenced
+    * modification times, so `maxFilesPerTrigger = 1` yields one
+    * micro-batch per file in chunk order — the multi-batch state-handoff
+    * harness.
+    */
+  private def stageChunkedDir(nChunks: Int, withSentinel: Boolean): String = {
     import org.apache.spark.sql.expressions.Window
     val dir = Files.createTempDirectory("graftmultibatch")
     val raw = events // ts normalized to TIMESTAMP
     val chunked = raw.withColumn("__c",
-      ntile(4).over(Window.orderBy("ts")))
-    val maxTs = raw.agg(max("ts")).head().getTimestamp(0)
-    val sentinel = raw.select("user_id").distinct().select(
-      lit(-1L).as("event_id"),
-      lit(new java.sql.Timestamp(maxTs.getTime + 10L * 86400 * 1000)).as("ts"),
-      col("user_id"),
-      lit("__close").as("event_type"),
-      lit(0.0).as("value"),
-      lit(null).cast("string").as("props"))
-    val pieces = (1 to 4).map(i =>
-      i -> chunked.filter(col("__c") === i).drop("__c")) :+ (5 -> sentinel)
+      ntile(nChunks).over(Window.orderBy("ts")))
+    val chunks = (1 to nChunks).map(i =>
+      i -> chunked.filter(col("__c") === i).drop("__c"))
+    val pieces =
+      if (!withSentinel) chunks
+      else {
+        val maxTs = raw.agg(max("ts")).head().getTimestamp(0)
+        chunks :+ (nChunks + 1 -> raw.select("user_id").distinct().select(
+          lit(-1L).as("event_id"),
+          lit(new java.sql.Timestamp(maxTs.getTime + 10L * 86400 * 1000)).as("ts"),
+          col("user_id"),
+          lit("__close").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props")))
+      }
     val base = System.currentTimeMillis()
     pieces.foreach { case (i, df) =>
       val tmp = Files.createTempDirectory(s"graftchunk$i").resolve("out")
@@ -125,6 +126,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // makes the chunk order (and the sentinel-last requirement) explicit
       assert(dest.toFile.setLastModified(base + i * 2000L))
     }
+    dir.toString
+  }
+
+  test("sessionize state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
+    // VERDICT r6 Next-round #2: the sentinel scheme pins everything into
+    // ONE AvailableNow batch, so flatMapGroupsWithState's state handoff
+    // across batches was never exercised. Here the fixture is split into
+    // 4 contiguous TIME-ordered chunks + the per-user close sentinel,
+    // each staged with increasing modification times and streamed one
+    // file per trigger: sessions spanning chunk boundaries must be carried
+    // in state (and mid-stream event-time timeouts may fire — the
+    // hasTimedOut branch only ever runs in a multi-batch stream), yet the
+    // emitted set must equal the batch oracle EXACTLY.
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = true)
     val ck = Files.createTempDirectory("graftmultibatch_ck")
     val stream = Events.readEventsStream(spark, dir.toString, maxFilesPerTrigger = 1)
     val q = Events.sessionizeStream(spark, stream).writeStream
@@ -146,6 +161,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
       "multi-batch sessions must equal the batch oracle exactly")
     spark.catalog.dropTempView("multibatch_sessions")
+  }
+
+  test("windowed aggregation state survives micro-batch boundaries (complete mode)") {
+    // the sessionize multi-batch test exercises flatMapGroupsWithState's
+    // user state; this one exercises Spark-managed streaming-aggregation
+    // state: hour windows receiving events across several micro-batches
+    // must accumulate, and the complete-mode final emit must equal the
+    // batch aggregation exactly
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = false)
+    val ck = Files.createTempDirectory("graftmbagg_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.hourlyStatsStreamBounded(stream).writeStream
+      .format("memory").queryName("multibatch_hourly")
+      .outputMode("complete")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      "expected one micro-batch per staged chunk")
+    val got = spark.table("multibatch_hourly")
+      .select("hour_start", "event_type", "n_events", "value_cents")
+    val expected = Events.hourlyStatsBatch(events)
+      .select("hour_start", "event_type", "n_events", "value_cents")
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "multi-batch windowed aggregation must equal the batch result exactly")
+    spark.catalog.dropTempView("multibatch_hourly")
   }
 
   test("stageStreamDir stages a DIRECTORY-shaped parquet source (Spark-written tables)") {
