@@ -537,6 +537,22 @@ object SparkEntry {
         payload = Seq("hr_events", "hr_value_cents"),
         direction = "forward")
     }),
+    // as-of with tolerance: stale matches (latest snapshot older than 30
+    // minutes) null out — the kdb wj / pandas merge_asof tolerance
+    // contract, previously spec-only; the oracle is the plain-SQL argmin
+    // with the same staleness filter
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts", "value")
+      val dim = ev.groupBy(col("user_id"),
+          expr("date_trunc('hour', ts)").as("snap_ts"))
+        .agg(expr("count(1)").as("hr_events"),
+          expr("sum(CAST(round(value * 100) AS LONG))").as("hr_value_cents"))
+      graft.operators.AsOf.asOfJoin(
+        ev.select("event_id", "user_id", "ts"), dim,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "snap_ts",
+        payload = Seq("hr_events", "hr_value_cents"),
+        toleranceMs = Some(30L * 60 * 1000))
+    }),
     // nearest as-of: closer of the two directions, equidistant ties break
     // backward — DuckDB has no native nearest ASOF, but the semantics are
     // exactly expressible as an argmin over (|delta|, forward-flag), so
@@ -1378,6 +1394,24 @@ object SparkEntry {
         SELECT e.event_id, e.user_id, e.ts, d.hr_events, d.hr_value_cents
         FROM e ASOF LEFT JOIN d
           ON e.user_id = d.user_id AND e.ts <= d.snap_ts""",
+    "q_asof_tolerance" ->
+      """WITH e AS (
+          SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        d AS (
+          SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+            count(*) AS hr_events,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hr_value_cents
+          FROM e GROUP BY 1, 2),
+        best AS (
+          SELECT e.event_id, b.hr_events, b.hr_value_cents
+          FROM e JOIN LATERAL (
+            SELECT d.hr_events, d.hr_value_cents
+            FROM d
+            WHERE d.user_id = e.user_id AND d.snap_ts <= e.ts
+              AND epoch_us(e.ts) - epoch_us(d.snap_ts) <= 1800000000
+            ORDER BY d.snap_ts DESC LIMIT 1) b ON TRUE)
+        SELECT e.event_id, e.user_id, e.ts, best.hr_events, best.hr_value_cents
+        FROM e LEFT JOIN best USING (event_id)""",
     "q_asof_nearest" ->
       """WITH e AS (
           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
