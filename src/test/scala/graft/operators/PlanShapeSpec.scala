@@ -206,6 +206,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("ANN probes: one top-k window exchange, corpus never self-joins") {
     assert(shuffles(Similarity.cosineTopK(embeds,
       embeds.filter(col("vec_id") < 16), k = 5)) == 1)
+    // int8-quantized brute force: same broadcast-queries plan — the
+    // quantization is a codegen'd projection, not an extra stage
+    assert(shuffles(Similarity.cosineTopKQ8(embeds,
+      embeds.filter(col("vec_id") < 16), k = 5)) == 1)
     val idx = Similarity.ivfFit(embeds, nLists = 4, seed = 42L)
     assert(shuffles(Similarity.cosineTopKIvfProbe(idx,
       embeds.filter(col("vec_id") < 16), k = 5, nProbe = 2)) <= 2)
