@@ -257,6 +257,28 @@ object SparkEntry {
     // token-length histogram (sequence-length planning input)
     "q_token_histogram" -> ((s, dir) =>
       TextAnalysis.tokenLengthHistogram(docs(s, dir), bucketSize = 16)),
+    // BM25 keyword retrieval: per-term tf/df/dl feed the Okapi formula
+    // with rational idf (ln banned from compared values) and integer-
+    // micro-unit per-term quantization before the cross-term sum — the
+    // oracle runs the identical arithmetic. Terms from the fixture
+    // vocabulary so tf and length normalization actually discriminate.
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Rank(docs(s, dir), Seq("vector", "hash", "spark"),
+        k = 100)),
+    // bigram surprise: mean inverse conditional bigram probability,
+    // micro-quantized like q_surprise; headMin=10 splits the sf0.01
+    // bigram/prefix frequency ranges so BOTH frequency-routed paths of
+    // BOTH total joins are oracle-exercised
+    "q_bigram_surprise" -> ((s, dir) =>
+      TextAnalysis.bigramSurprise(docs(s, dir), headMin = 10L)),
+    // target-mix resampling: per-stratum keep thresholds derived in-plan
+    // from corpus counts + target weights (bottleneck stratum keeps all
+    // rows); row selection is the deterministic md5-bucket filter, so
+    // the kept SET is the oracle. zh is deliberately untargeted (dropped).
+    "q_mix_resample" -> ((s, dir) =>
+      TextAnalysis.mixResample(docs(s, dir), "lang",
+        Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+        .select("doc_id", "lang")),
     // engine-portable packing invariants (bin IDS are partition-local by
     // design — the conserved aggregates + FFD guarantees are the
     // oracle-able face; row-level packing is spec-covered)
@@ -1566,6 +1588,118 @@ object SparkEntry {
         WHERE bucket < CASE lang
           WHEN 'de' THEN 16384 WHEN 'en' THEN 32768 WHEN 'es' THEN 16384
           WHEN 'fr' THEN 16384 WHEN 'zh' THEN 6554 ELSE 0 END""",
+    // BM25: the identical arithmetic chain (rational idf, every literal
+    // CAST to DOUBLE to stay out of decimal-literal typing, per-term
+    // micro-units summed as exact integers). Same k1=1.2 / b=0.75.
+    "q_bm25" ->
+      """WITH base AS (
+          SELECT doc_id, len(tk) AS dl,
+            len(list_filter(tk, t -> t = 'vector')) AS tf0,
+            len(list_filter(tk, t -> t = 'hash')) AS tf1,
+            len(list_filter(tk, t -> t = 'spark')) AS tf2
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+                FROM documents)),
+        stats AS (
+          SELECT count(*) AS n,
+            CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+            sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+            sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+            sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM base),
+        sc AS (
+          SELECT doc_id,
+            (CASE WHEN tf0 > 0 THEN CAST(round(
+                1e6 * ((CAST(n AS DOUBLE) - CAST(df0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(df0 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                    * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(tf0 AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+              ) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END
+             + CASE WHEN tf1 > 0 THEN CAST(round(
+                1e6 * ((CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(df1 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                    * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(tf1 AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+              ) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END
+             + CASE WHEN tf2 > 0 THEN CAST(round(
+                1e6 * ((CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(df2 AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+                    * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+                    / (CAST(tf2 AS DOUBLE)
+                       + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                         + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+              ) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS micro
+          FROM base CROSS JOIN stats)
+        SELECT doc_id, round(CAST(micro AS DOUBLE) / 1e6, 6) AS score
+        FROM sc WHERE micro > 0
+        ORDER BY score DESC, doc_id LIMIT 100""",
+    // Bigram surprise: plain-join form of the frequency-routed plan
+    // (routing never changes answers); same micro-unit quantization as
+    // q_surprise, conditional probability = prefix count / bigram count.
+    "q_bigram_surprise" ->
+      """WITH tl AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(tk)),
+              i -> tk[i] || ' ' || tk[i + 1])) AS token
+          FROM tl WHERE len(tk) >= 2),
+        pd AS (SELECT doc_id, token, count(*) AS tf_doc FROM bg GROUP BY 1, 2),
+        tot AS (SELECT token, CAST(sum(tf_doc) AS BIGINT) AS tf_big FROM pd GROUP BY 1),
+        pref AS (
+          SELECT split_part(token, ' ', 1) AS w1,
+            CAST(sum(tf_doc) AS BIGINT) AS tf_prefix
+          FROM pd GROUP BY 1),
+        q AS (
+          SELECT pd.doc_id, pd.tf_doc,
+            CAST(round(1e6 * CAST(pref.tf_prefix AS DOUBLE)
+              / CAST(tot.tf_big AS DOUBLE)) AS DECIMAL(38,0)) AS ip_micro
+          FROM pd
+          JOIN tot USING (token)
+          JOIN pref ON split_part(pd.token, ' ', 1) = pref.w1)
+        SELECT doc_id, CAST(sum(tf_doc) AS BIGINT) AS n_bigrams,
+          round(CAST(sum(tf_doc * ip_micro) AS DOUBLE)
+            / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6) AS surprise2
+        FROM q GROUP BY 1""",
+    // Target-mix resample: thresholds derived from counts + the same
+    // DOUBLE-cast weight literals, selection via the q_split md5-bucket
+    // arithmetic over 'doc_id|lang'.
+    "q_mix_resample" ->
+      """WITH c AS (
+          SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        w AS (
+          SELECT lang, c,
+            CASE lang
+              WHEN 'en' THEN CAST(0.4 AS DOUBLE) / (CAST(0.4 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+              WHEN 'de' THEN CAST(0.2 AS DOUBLE) / (CAST(0.4 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+              WHEN 'fr' THEN CAST(0.2 AS DOUBLE) / (CAST(0.4 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+              WHEN 'es' THEN CAST(0.2 AS DOUBLE) / (CAST(0.4 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE) + CAST(0.2 AS DOUBLE))
+            END AS w
+          FROM c),
+        t AS (
+          SELECT lang,
+            CAST(round(min(CAST(c AS DOUBLE) / w) OVER () * w
+              / CAST(c AS DOUBLE) * 65536) AS INTEGER) AS thresh
+          FROM w WHERE w IS NOT NULL),
+        h AS (
+          SELECT doc_id, lang,
+            md5(CAST(doc_id AS VARCHAR) || '|' || lang) AS m
+          FROM documents),
+        b AS (
+          SELECT doc_id, lang,
+            (((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+          FROM h)
+        SELECT b.doc_id, b.lang FROM b JOIN t USING (lang)
+        WHERE b.bucket < t.thresh""",
     // Conservation + FFD invariants: n_docs/n_tokens computed directly
     // over the corpus; the boolean invariants must hold by construction.
     "q_pack_invariants" ->

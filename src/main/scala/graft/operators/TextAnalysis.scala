@@ -179,16 +179,39 @@ object TextAnalysis {
     */
   private[operators] def joinTokenTotals(
       perDoc: DataFrame, totalAgg: Column, totalName: String,
-      headMin: Long): DataFrame = {
+      headMin: Long, keyCol: String = "token"): DataFrame =
+    routedJoin(perDoc, perDoc.groupBy(keyCol).agg(totalAgg.as(totalName)),
+      keyCol, totalName, headMin)
+
+  /** The frequency-routed join itself, for an EXTERNAL key-level table
+    * (e.g. one carrying several per-key statistics): `keyTable` rows with
+    * `freqCol >= headMin` join via broadcast (the Zipf head — bounded
+    * count, no per-row shuffle), the rest via hash join whose partitions
+    * are under `headMin` rows per key by construction. `freqCol` must be
+    * non-null and must be (an upper bound on) the probe-side row count
+    * per key for the skew argument to hold. Routing never changes
+    * answers — every probe row matches exactly one side.
+    *
+    * Composition note: routing OUTPUT is a two-branch union, and each
+    * branch re-instantiates the probe subtree (deduped at exchange
+    * boundaries by ReusedExchange, so no extra scans/shuffles — but extra
+    * plan surface). Do NOT chain routed joins one after another: a second
+    * routing over the first's union multiplies branches 2×2. Compute all
+    * per-key statistics into ONE key-level table first (key-level aggs
+    * are small — type counts, not row counts) and route ONCE; see
+    * [[bigramSurprise]].
+    */
+  private[operators] def routedJoin(
+      probe: DataFrame, keyTable: DataFrame, keyCol: String,
+      freqCol: String, headMin: Long): DataFrame = {
     require(headMin > 0, "headMin must be positive")
-    val totals = perDoc.groupBy("token").agg(totalAgg.as(totalName))
-    val head = totals.filter(col(totalName) >= headMin)
-    val tail = totals.filter(col(totalName) < headMin)
-    val withHead = perDoc.join(broadcast(head), Seq("token"), "left")
-    val viaHead = withHead.filter(col(totalName).isNotNull)
-    val viaTail = withHead.filter(col(totalName).isNull)
-      .drop(totalName)
-      .join(tail, Seq("token"))
+    val head = keyTable.filter(col(freqCol) >= headMin)
+    val tail = keyTable.filter(col(freqCol) < headMin)
+    val withHead = probe.join(broadcast(head), Seq(keyCol), "left")
+    val viaHead = withHead.filter(col(freqCol).isNotNull)
+    val attached = keyTable.columns.filterNot(_ == keyCol)
+    val viaTail = attached.foldLeft(withHead.filter(col(freqCol).isNull))(_.drop(_))
+      .join(tail, Seq(keyCol))
     viaHead.unionByName(viaTail)
   }
 
@@ -400,6 +423,204 @@ object TextAnalysis {
       .withColumn("__bucket", expr(md5Bucket16Expr))
       .filter(expr(s"__bucket < CASE $byCol $cases ELSE 0 END"))
       .drop("__h", "__bucket")
+  }
+
+  /** BM25 keyword relevance ranking: score every document against a fixed
+    * set of query terms and return the global top-k — the retrieval pass a
+    * curation pipeline runs to seed quality classifiers or pull targeted
+    * subsets out of a crawl.
+    *
+    * The whole score is a per-row projection: per-term `tf` comes from
+    * `size(filter(tokens, …))` on the row's own token list, and document
+    * length likewise, so the corpus is scanned ONCE with zero data
+    * shuffles. Corpus statistics (N, avgdl, per-term df) are a single
+    * 1-row aggregate cross-joined in as a broadcast scalar — the same
+    * no-driver-action discipline as [[topTerms]]. The final top-k is a
+    * `TakeOrderedAndProject` (per-partition heap + driver merge of k
+    * rows), not a global sort.
+    *
+    * Scoring is the classic Okapi BM25 form with the rational idf
+    * argument `(N - df + 0.5) / (df + 0.5)` used directly — `ln` is
+    * banned from compared values (libm last-ulp divergence breaks
+    * cross-engine hash parity; see [[topTerms]]) and the rational form
+    * preserves the rank ordering BM25 needs. Per-term contributions are
+    * quantized to integer micro-units BEFORE the cross-term sum, so the
+    * aggregation is exact fixed-point arithmetic — engine/order
+    * independent (the [[unigramSurprise]] determinism discipline).
+    * DECIMAL(38,0), not BIGINT: a rare term's idf is O(N), so micro-units
+    * reach 1e6·N·(k1+1) — past a signed long inside the 100 TB posture.
+    */
+  def bm25Rank(
+      docs: DataFrame, terms: Seq[String], k: Int = 100,
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    val toks = tokensExpr(textCol)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"size(filter($toks, t -> t = ${lit(t)})) AS __tf$i"
+    }
+    val base = docs.selectExpr(
+      Seq("doc_id", s"size($toks) AS __dl") ++ tfCols: _*)
+    val statAggs =
+      Seq("count(1) AS __n",
+        "CAST(sum(__dl) AS DOUBLE) / CAST(count(1) AS DOUBLE) AS __avgdl") ++
+      terms.indices.map(i =>
+        s"sum(CASE WHEN __tf$i > 0 THEN 1 ELSE 0 END) AS __df$i")
+    val stats = base.selectExpr(statAggs: _*)
+    // every numeric literal is CAST to DOUBLE: bare `0.5` parses as a
+    // DECIMAL literal in both Spark and DuckDB, and decimal-typed
+    // intermediate arithmetic has engine-specific scale rules — forcing
+    // doubles keeps both engines in bit-identical IEEE arithmetic
+    val k1E = s"CAST($k1 AS DOUBLE)"
+    val bE = s"CAST($b AS DOUBLE)"
+    val termMicro = terms.indices.map { i =>
+      s"""CASE WHEN __tf$i > 0 THEN CAST(round(
+         |  1e6 * ((CAST(__n AS DOUBLE) - CAST(__df$i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |           / (CAST(__df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         |      * (CAST(__tf$i AS DOUBLE) * ($k1E + CAST(1.0 AS DOUBLE)))
+         |      / (CAST(__tf$i AS DOUBLE)
+         |         + $k1E * (CAST(1.0 AS DOUBLE) - $bE + $bE * CAST(__dl AS DOUBLE) / __avgdl))
+         |) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END""".stripMargin
+    }
+    base.crossJoin(broadcast(stats))
+      .withColumn("__micro", expr(termMicro.mkString("(", " + ", ")")))
+      .filter(col("__micro") > 0)
+      .select(col("doc_id"),
+        expr("round(CAST(__micro AS DOUBLE) / 1e6, 6)").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Exploded (doc_id, bigram) pairs, `"w1 w2"` strings. LAMBDA-FREE by
+    * design, like [[tokenPairs]]: higher-order-function lambdas carry
+    * `NamedLambdaVariable` ids that defeat plan canonicalization, so a
+    * HOF-built subtree consumed from several branches re-shuffles per
+    * branch instead of planning `ReusedExchange`. `trim` before split
+    * makes the empty-token filter unnecessary (the `' +'` regex leaves no
+    * interior empties, trim kills the edge ones — same token list as
+    * [[tokensExpr]]), and adjacent pairing is `arrays_zip` of the two
+    * shifted `slice`s (the `greatest(…, 0)` guard keeps 0/1-token
+    * documents at zero bigrams instead of a negative slice length).
+    */
+  def bigramPairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = split(lower(trim(col(textCol))), " +")
+    val flit = org.apache.spark.sql.functions.lit _
+    val n1 = greatest(size(c) - 1, flit(0))
+    docs.select(col("doc_id"),
+        explode(arrays_zip(slice(c, flit(1), n1), slice(c, flit(2), n1))).as("__bg"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__bg.0"), col("__bg.1")).as("token"))
+  }
+
+  /** Per-document adjacent-bigram frequencies — [[docTokenFreq]] over
+    * bigrams (`token` holds the `"w1 w2"` string so the frequency-routed
+    * total machinery applies unchanged).
+    */
+  def docBigramFreq(docs: DataFrame, textCol: String = "text"): DataFrame =
+    bigramPairs(docs, textCol)
+      .groupBy("doc_id", "token")
+      .agg(expr("count(1)").as("tf_doc"))
+
+  /** Bigram surprise scoring — the conditional-probability step past
+    * [[unigramSurprise]] toward the CCNet/KenLM perplexity filter: per
+    * document, the frequency-weighted mean INVERSE conditional bigram
+    * probability `sum(tf · cnt(w1 ·) / cnt(w1 w2)) / n_bigrams`.
+    * Formulaic boilerplate (high-probability continuations) scores low;
+    * disfluent or shuffled text scores high. ln-free and integer-
+    * micro-unit quantized before summation, exactly like
+    * [[unigramSurprise]] (DECIMAL(38,0) — a singleton bigram under a
+    * stopword prefix reaches 1e6·cnt(prefix)).
+    *
+    * Plan: one (doc, bigram) aggregation, then TWO frequency-routed
+    * total joins through [[joinTokenTotals]] — corpus bigram counts
+    * keyed by the bigram, then prefix counts keyed by `w1` (a Zipf-head
+    * stopword prefix is exactly the skew the routing exists for; both
+    * `headMin` knobs route, never change answers) — and the final
+    * per-document aggregation.
+    */
+  def bigramSurprise(
+      docs: DataFrame, textCol: String = "text",
+      headMin: Long = 100000L): DataFrame = {
+    val perDoc = docBigramFreq(docs, textCol)
+    // both statistics are functions of the bigram TYPE, so they are
+    // assembled into one type-level table BEFORE the (single) routed join
+    // back to per-document rows — chaining two routed joins instead
+    // multiplies the union branches 2×2 (see [[routedJoin]]). The
+    // prefix-total join runs at type level: per-prefix rows are bounded
+    // by distinct continuations (≤ vocabulary), never by corpus size.
+    // substring_index, not split_part: split_part's element_at is a
+    // NULLABLE expression, so the left join below infers a vacuous
+    // isnotnull(__w1) on its right side, pushes it under the (doc,
+    // token) aggregate, and the de-canonicalized subtree re-scans the
+    // corpus instead of reusing the shared exchange. substring_index is
+    // non-nullable over the non-null concat_ws token — nothing to infer.
+    val totals = perDoc.groupBy("token").agg(sum("tf_doc").as("tf_big"))
+      .withColumn("__w1", expr("substring_index(token, ' ', 1)"))
+    val prefix = totals.groupBy("__w1").agg(sum("tf_big").as("tf_prefix"))
+    // LEFT join, though every key matches (prefix derives from totals):
+    // an inner join lets Catalyst infer isnotnull(split_part(token, …))
+    // and push it into the totals branch — a filter the probe branch
+    // lacks, which de-canonicalizes the shared (doc, token) exchange and
+    // forces a second corpus scan. The left join infers nothing, and in
+    // the pruned probe-side instantiation (where only tf_big survives)
+    // it is ELIMINATED outright because prefix aggregates on the join
+    // key (duplicate-free) — no phantom distinct-prefix corpus scan.
+    val typeTable = totals.join(prefix, Seq("__w1"), "left")
+      .withColumn("__ip_micro", expr(
+        "CAST(round(1e6 * CAST(tf_prefix AS DOUBLE) / CAST(tf_big AS DOUBLE)) AS DECIMAL(38,0))"))
+      .select("token", "tf_big", "__ip_micro")
+    routedJoin(perDoc, typeTable, "token", "tf_big", headMin)
+      .groupBy("doc_id")
+      .agg(
+        sum("tf_doc").as("n_bigrams"),
+        expr("round(CAST(sum(CAST(tf_doc AS DECIMAL(38,0)) * __ip_micro) AS DOUBLE)" +
+          " / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6)").as("surprise2"))
+  }
+
+  /** Resample a corpus to target mixture proportions — the rebalancing
+    * pass multilingual / multi-source pipelines run ("make the kept set
+    * 40% en / 20% de / …"). Strata absent from `targets` are dropped.
+    *
+    * The largest subset achieving the target mix keeps `K · w_v` rows
+    * from stratum v, where `K = min_u(c_u / w_u)` is set by the
+    * bottleneck stratum (which keeps 100% of its rows). Per-stratum keep
+    * fractions derive from the counts IN-PLAN: one aggregation over the
+    * grouping key (group-cardinality rows), a `min(…) OVER ()` window
+    * over that tiny relation — never over data rows — and a broadcast
+    * join back; no driver-side action. Row selection is the
+    * content-derived md5-bucket threshold of [[stratifiedSampleHash]]:
+    * deterministic across engines, runs, partitionings, and corpus
+    * growth, and shuffle-free on the data side. Realized fractions are
+    * exact in expectation (deviation O(1/√n) per stratum, the Bernoulli
+    * contract).
+    */
+  def mixResample(
+      docs: DataFrame, byCol: String, targets: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0), "positive target weights required")
+    // normalization happens in EXPRESSION text (literal weight sum), not in
+    // Scala: a Scala-side w/sum double may not round-trip through its
+    // string form identically to what a hand-written oracle embeds, and
+    // hash parity needs both engines computing literally the same
+    // arithmetic on literally the same literals
+    val wSumExpr = targets.map(w => s"CAST(${w._2} AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    val cases = targets.map { case (v, w) =>
+      s"WHEN '${v.replace("'", "''")}' THEN CAST($w AS DOUBLE) / $wSumExpr"
+    }.mkString(" ")
+    val thresh = docs.groupBy(byCol)
+      .agg(expr("count(1)").as("__c"))
+      .withColumn("__w", expr(s"CASE $byCol $cases END"))
+      .filter(col("__w").isNotNull)
+      .withColumn("__k", expr(
+        "min(CAST(__c AS DOUBLE) / __w) OVER ()"))
+      .withColumn("__thresh", expr(
+        "CAST(round(__k * __w / CAST(__c AS DOUBLE) * 65536) AS INTEGER)"))
+      .select(col(byCol), col("__thresh"))
+    docs.join(broadcast(thresh), Seq(byCol))
+      .withColumn("__h", expr(s"md5(concat(CAST($idCol AS STRING), '|', $byCol))"))
+      .withColumn("__bucket", expr(md5Bucket16Expr))
+      .filter(col("__bucket") < col("__thresh"))
+      .drop("__h", "__bucket", "__thresh")
   }
 
   /** PII redaction patterns: (name, regex, replacement token). The shapes

@@ -540,6 +540,99 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, s"IVF recall $recall too low on tight clusters")
   }
 
+  test("bm25Rank matches the hand-computed Okapi scores and ranking") {
+    // corpus crafted so tf, df, AND length normalization all
+    // discriminate: doc 1 repeats 'alpha' in a short doc, doc 2 has one
+    // 'alpha' in a longer doc, doc 3 holds the rare term, doc 4 matches
+    // nothing and must be absent
+    val corpus = docsDf(Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha beta beta gamma"),
+      (3L, "delta delta"),
+      (4L, "beta")))
+    val (k1, b) = (1.2, 0.75)
+    val n = 4L; val avgdl = (3 + 4 + 2 + 1).toDouble / 4L.toDouble
+    def contrib(tf: Long, df: Long, dl: Long): BigInt =
+      if (tf == 0) BigInt(0)
+      else BigInt(math.round(
+        1e6 * ((n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) *
+          (tf.toDouble * (k1 + 1.0)) /
+          (tf.toDouble + k1 * (1.0 - b + b * dl.toDouble / avgdl))))
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // terms = (alpha: df 2, delta: df 1); per-doc (tf_alpha, tf_delta, dl)
+    val expected = Map(
+      1L -> (contrib(2, 2, 3) + contrib(0, 1, 3)),
+      2L -> (contrib(1, 2, 4) + contrib(0, 1, 4)),
+      3L -> (contrib(0, 2, 2) + contrib(2, 1, 2)))
+      .map { case (id, micro) => id -> round6(micro.toDouble / 1e6) }
+    val got = TextAnalysis.bm25Rank(corpus, Seq("alpha", "delta"), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score"))
+    assert(got.toMap == expected)
+    // returned in rank order: score desc, doc_id asc tiebreak
+    assert(got.map(_._1).toSeq ==
+      expected.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    // k truncates
+    assert(TextAnalysis.bm25Rank(corpus, Seq("alpha", "delta"), k = 2).count() == 2)
+  }
+
+  test("bigramSurprise scores inverse conditional probability, routing-invariant") {
+    // bigram counts: 'the cat'×2, 'the dog'×1, 'x the'×1; prefix counts:
+    // 'the'→3, 'x'→1. ip_micro: the cat → 1.5e6, the dog → 3e6,
+    // x the → 1e6. Single-token doc 5 emits no bigrams.
+    val corpus = docsDf(Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the cat"),
+      (4L, "x the"), (5L, "lonely")))
+    val expected = Map(
+      1L -> (1L, 1.5), 2L -> (1L, 3.0), 3L -> (1L, 1.5), 4L -> (1L, 1.0))
+    def run(headMin: Long): Map[Long, (Long, Double)] =
+      TextAnalysis.bigramSurprise(corpus, headMin = headMin)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("surprise2"))).toMap
+    assert(run(10L) == expected)
+    // the routing knob moves bigrams between broadcast-head and tail
+    // paths, never changes answers (2 splits this corpus's range)
+    assert(run(1L) == expected && run(2L) == expected &&
+      run(Long.MaxValue) == expected)
+    // whitespace-edge parity with tokensExpr: leading/trailing/multiple
+    // spaces produce the same bigrams as the filtered token list
+    val messy = docsDf(Seq((9L, "  the   cat "), (10L, "the cat")))
+    val m = TextAnalysis.bigramSurprise(messy, headMin = 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams")).toMap
+    assert(m == Map(9L -> 1L, 10L -> 1L))
+  }
+
+  test("mixResample hits target mixture: bottleneck keeps all, rest downsample") {
+    import spark.implicits._
+    val corpus = spark.createDataset(
+      (1L to 200L).map(i => (i, "a")) ++ (201L to 300L).map(i => (i, "b")) ++
+        (301L to 400L).map(i => (i, "c")) ++ (401L to 450L).map(i => (i, "d")))
+      .toDF("doc_id", "lang")
+    // K = min(200/0.25, 100/0.5, 100/0.25) = 200 → stratum b is the
+    // bottleneck and keeps ALL rows; a keeps ~200·0.25=50, c ~50;
+    // untargeted d is dropped entirely
+    val kept = TextAnalysis.mixResample(corpus, "lang",
+      Seq("a" -> 0.25, "b" -> 0.5, "c" -> 0.25))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 100L, "bottleneck stratum must keep every row")
+    assert(!kept.contains("d"), "untargeted strata are dropped")
+    assert(kept("a") >= 30L && kept("a") <= 70L, s"a kept ${kept("a")}, want ~50")
+    assert(kept("c") >= 30L && kept("c") <= 70L, s"c kept ${kept("c")}, want ~50")
+    // deterministic: the kept SET is content-derived, not RNG-derived
+    val ids1 = TextAnalysis.mixResample(corpus, "lang",
+      Seq("a" -> 0.25, "b" -> 0.5, "c" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.mixResample(corpus.repartition(7), "lang",
+      Seq("a" -> 0.25, "b" -> 0.5, "c" -> 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "selection must survive repartitioning")
+    // degenerate: targets proportional to counts → everything kept
+    val all = TextAnalysis.mixResample(corpus, "lang",
+      Seq("a" -> 2.0, "b" -> 1.0, "c" -> 1.0)).count()
+    assert(all == 400L)
+  }
+
   test("multi-table LSH topk recovers most brute-force neighbors on clustered data") {
     val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
     val df = vecDf(vecs)

@@ -177,6 +177,57 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bm25Rank: one corpus scan, stats broadcast scalar, heap top-k") {
+    // the whole score is a per-row projection; corpus statistics arrive
+    // as a 1-row broadcast aggregate (its SinglePartition exchange is the
+    // ONLY shuffle), and the global top-k is TakeOrderedAndProject (per-
+    // partition heaps + driver merge of k rows), never a full sort
+    val df = TextAnalysis.bm25Rank(docs, Seq("vector", "hash"), k = 10)
+    assert(shuffles(df) == 1, "only the 1-row stats aggregate may shuffle")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be heap-based")
+    assert(!plan.contains("Sort "), "no global sort of scored documents")
+  }
+
+  test("mixResample: thresholds on group-cardinality rows, data broadcast-joined") {
+    // the min(c/w) OVER () window runs over per-stratum COUNTS (group
+    // cardinality), never data rows — its SinglePartition exchange plus
+    // the counts aggregate are the only shuffles; documents themselves
+    // join the threshold table via broadcast and are filtered in place
+    val df = TextAnalysis.mixResample(docs, "lang",
+      Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
+    assert(shuffles(df) == 2, "counts agg + tiny window; data rows never shuffle")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("bigramSurprise: ONE corpus scan, four exchanges, no token windows") {
+    // both per-type statistics (bigram total, prefix total) are folded
+    // into one type-level table before the single frequency-routed join
+    // back to per-document rows — composing two routed joins instead
+    // multiplies union branches 2×2 (the r7 lesson encoded in
+    // routedJoin's scaladoc). Executed-plan budget: (doc, bigram) agg +
+    // bigram totals + prefix totals + final doc_id agg; every other
+    // consumer must hit ReusedExchange, and the corpus is scanned ONCE
+    // (lambda-free bigramPairs + left-join prefix attach + non-nullable
+    // substring_index __w1 are each load-bearing for that; see the
+    // operator's comments).
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = TextAnalysis.bigramSurprise(docs, headMin = 10L)
+    df.collect() // materialize so AQE settles the final stage graph
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "corpus totals must never window on a token-like key")
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size == 4,
+      "budget: (doc,bigram) agg + bigram totals + prefix totals + doc_id agg")
+    assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+      "probe/totals branches must reuse the (doc,bigram) exchange")
+    assert(nodes.count(_.nodeName.contains("Scan")) == 1,
+      "one corpus scan feeds every branch")
+  }
+
   test("exact ngram pairs: cap window + pair agg, nothing else") {
     // 1: exchange on shingle for the frequency window; the per-shingle
     //    doc-list groupBy reuses that partitioning (same key, same

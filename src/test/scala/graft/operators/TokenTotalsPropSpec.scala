@@ -82,4 +82,33 @@ object TokenTotalsPropSpec extends Properties("TextAnalysis.tokenTotals") {
           r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
       got == expected
     }
+
+  property("bigramSurprise matches brute force at every routing threshold") =
+    forAll(corpusGen, Gen.oneOf(1L, 2L, 4L, Long.MaxValue)) { (docs, headMin) =>
+      import spark.implicits._
+      val bigramsOf = (ts: List[String]) => ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+      val tfBig = docs.flatMap(d => bigramsOf(d._2)).groupBy(identity)
+        .map { case (g, xs) => g -> xs.size.toLong }
+      val tfPrefix = tfBig.groupBy(_._1.split(' ').head)
+        .map { case (w1, gs) => w1 -> gs.values.sum }
+      val expected = docs.flatMap { case (id, ts) =>
+        val bgs = bigramsOf(ts)
+        if (bgs.isEmpty) None
+        else {
+          val perBg = bgs.groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+          val s = perBg.map { case (g, c) =>
+            BigInt(c) * BigInt(math.round(
+              1e6 * tfPrefix(g.split(' ').head).toDouble / tfBig(g).toDouble))
+          }.sum
+          Some(id -> (bgs.size.toLong,
+            round6(s.toDouble / (1e6 * bgs.size.toDouble))))
+        }
+      }.toMap
+      val in = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextAnalysis.bigramSurprise(in, headMin = headMin)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("surprise2"))).toMap
+      got == expected
+    }
 }
