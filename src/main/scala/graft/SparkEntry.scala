@@ -271,6 +271,11 @@ object SparkEntry {
     // BOTH total joins are oracle-exercised
     "q_bigram_surprise" -> ((s, dir) =>
       TextAnalysis.bigramSurprise(docs(s, dir), headMin = 10L)),
+    // trigram repetition (Gopher/RefinedWeb duplicate-n-gram filter):
+    // n=3 exercises the generalized lambda-free n-gram build, not just
+    // the bigram case the surprise query covers
+    "q_trigram_repetition" -> ((s, dir) =>
+      TextAnalysis.ngramRepetition(docs(s, dir), n = 3)),
     // target-mix resampling: per-stratum keep thresholds derived in-plan
     // from corpus counts + target weights (bottleneck stratum keeps all
     // rows); row selection is the deterministic md5-bucket filter, so
@@ -1667,6 +1672,26 @@ object SparkEntry {
           round(CAST(sum(tf_doc * ip_micro) AS DOUBLE)
             / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6) AS surprise2
         FROM q GROUP BY 1""",
+    // Trigram repetition: same rollup as q_repetition, one n-gram level
+    // up; docs under 3 tokens emit no row (no trigrams exist).
+    "q_trigram_repetition" ->
+      """WITH tl AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        ng AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(tk) - 1),
+              i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+          FROM tl WHERE len(tk) >= 3),
+        pd AS (SELECT doc_id, g, count(*) AS tf FROM ng GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ngrams,
+          count(*) AS n_distinct,
+          round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+            AS dup_ngram_ratio,
+          round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
+            AS top_ngram_share
+        FROM pd GROUP BY 1""",
     // Target-mix resample: thresholds derived from counts + the same
     // DOUBLE-cast weight literals, selection via the q_split md5-bucket
     // arithmetic over 'doc_id|lang'.

@@ -501,14 +501,23 @@ object TextAnalysis {
     * shifted `slice`s (the `greatest(…, 0)` guard keeps 0/1-token
     * documents at zero bigrams instead of a negative slice length).
     */
-  def bigramPairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def bigramPairs(docs: DataFrame, textCol: String = "text"): DataFrame =
+    ngramPairs(docs, 2, textCol)
+
+  /** Exploded (doc_id, n-gram) pairs for any n ≥ 2 — [[bigramPairs]]
+    * generalized: `arrays_zip` of the n shifted `slice`s of the trimmed
+    * token split, still lambda-free.
+    */
+  def ngramPairs(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    require(n >= 2, "ngramPairs needs n >= 2 (unigrams are tokenPairs)")
     val c = split(lower(trim(col(textCol))), " +")
     val flit = org.apache.spark.sql.functions.lit _
-    val n1 = greatest(size(c) - 1, flit(0))
+    val len = greatest(size(c) - (n - 1), flit(0))
+    val shifted = (1 to n).map(i => slice(c, flit(i), len))
     docs.select(col("doc_id"),
-        explode(arrays_zip(slice(c, flit(1), n1), slice(c, flit(2), n1))).as("__bg"))
+        explode(arrays_zip(shifted: _*)).as("__bg"))
       .select(col("doc_id"),
-        concat_ws(" ", col("__bg.0"), col("__bg.1")).as("token"))
+        concat_ws(" ", (0 until n).map(i => col(s"__bg.$i")): _*).as("token"))
   }
 
   /** Per-document adjacent-bigram frequencies — [[docTokenFreq]] over
@@ -519,6 +528,31 @@ object TextAnalysis {
     bigramPairs(docs, textCol)
       .groupBy("doc_id", "token")
       .agg(expr("count(1)").as("tf_doc"))
+
+  /** N-gram repetition signals (Gopher/RefinedWeb duplicate-n-gram
+    * filters): per document, total and distinct n-gram counts, the
+    * duplicate-n-gram ratio `1 - distinct/total`, and the share of the
+    * single most frequent n-gram. The 2-/3-gram duplicate fractions are
+    * the standard looping-text cutoffs one step past token-level
+    * [[repetitionStats]]. Plan: one (doc, n-gram) aggregation + the
+    * per-document rollup — both partial-aggregated; no corpus-level
+    * state at all, so skew is bounded by document length.
+    */
+  def ngramRepetition(
+      docs: DataFrame, n: Int = 2, textCol: String = "text"): DataFrame =
+    ngramPairs(docs, n, textCol).groupBy("doc_id", "token")
+      .agg(expr("count(1)").as("tf"))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_ngrams"),
+        expr("count(1)").as("n_distinct"),
+        max("tf").as("__max_tf"))
+      .select(
+        col("doc_id"), col("n_ngrams"), col("n_distinct"),
+        expr("round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6)")
+          .as("dup_ngram_ratio"),
+        expr("round(CAST(__max_tf AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6)")
+          .as("top_ngram_share"))
 
   /** Bigram surprise scoring — the conditional-probability step past
     * [[unigramSurprise]] toward the CCNet/KenLM perplexity filter: per

@@ -602,6 +602,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map(9L -> 1L, 10L -> 1L))
   }
 
+  test("ngramRepetition computes duplicate-n-gram fractions per document") {
+    // doc 1 trigrams: 'a b a'×2, 'b a b'×1 → dup 1-2/3, top 2/3;
+    // doc 2 has one trigram; doc 3 is too short to emit any row
+    val df = TextAnalysis.ngramRepetition(docsDf(Seq(
+      (1L, "a b a b a"), (2L, "x y z"), (3L, "p q"))), n = 3)
+    val m = df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_distinct"),
+        r.getAs[Double]("dup_ngram_ratio"), r.getAs[Double]("top_ngram_share"))).toMap
+    assert(m == Map(
+      1L -> (3L, 2L, 0.333333, 0.666667),
+      2L -> (1L, 1L, 0.0, 1.0)))
+    // n=2 agrees with the bigram machinery: 'a b'×2 'b a'×2 of 4
+    val b = TextAnalysis.ngramRepetition(docsDf(Seq((1L, "a b a b a"))), n = 2)
+      .collect().head
+    assert(b.getAs[Long]("n_ngrams") == 4L && b.getAs[Long]("n_distinct") == 2L)
+  }
+
   test("mixResample hits target mixture: bottleneck keeps all, rest downsample") {
     import spark.implicits._
     val corpus = spark.createDataset(

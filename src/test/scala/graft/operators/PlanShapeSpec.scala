@@ -87,6 +87,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.domainStats(docs)) == 2)
     // distinct-agg expand: (hour,type,user) partial + (hour,type) final
     assert(shuffles(graft.streaming.Events.hourlyStatsBatch(events)) == 2)
+    // (doc, n-gram) agg + per-doc rollup — no corpus-level state at all
+    assert(shuffles(TextAnalysis.ngramRepetition(docs, n = 3)) == 2)
   }
 
   /** Expands AdaptiveSparkPlan + query stages into the real executed tree. */
