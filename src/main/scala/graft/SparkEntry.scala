@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Json, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Json, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 
@@ -271,6 +271,21 @@ object SparkEntry {
     // BOTH total joins are oracle-exercised
     "q_bigram_surprise" -> ((s, dir) =>
       TextAnalysis.bigramSurprise(docs(s, dir), headMin = 10L)),
+    // winnowing (MOSS) fingerprints: codegen rolling-hash Expression,
+    // integer arithmetic mirrored exactly in the DuckDB oracle
+    // (k=20 chars, w=16 — fixture-sparse, see winnowPairs density)
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), k = 20, w = 16)),
+    // substring-overlap pairs over those fingerprints (hot-fp anti-join
+    // cap at 100 docs; >= 3 shared fingerprints)
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(docs(s, dir), k = 20, w = 16, minShared = 3,
+        maxFpFreq = 100)),
+    // document chunking: fixed 32-token windows with 4-token overlap
+    // (stride 28) — chunk boundaries, coverage, and rejoined chunk text
+    // are all deterministic token arithmetic both engines share
+    "q_chunk" -> ((s, dir) =>
+      Packing.chunkDocuments(docs(s, dir), maxTokens = 32, overlap = 4)),
     // trigram repetition (Gopher/RefinedWeb duplicate-n-gram filter):
     // n=3 exercises the generalized lambda-free n-gram build, not just
     // the bigram case the surprise query covers
@@ -1672,6 +1687,64 @@ object SparkEntry {
           round(CAST(sum(tf_doc * ip_micro) AS DOUBLE)
             / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6) AS surprise2
         FROM q GROUP BY 1""",
+    // Winnowing: identical rolling-hash fold ((acc*257 + c) mod 2^31-1,
+    // seeded with the first codepoint — list_reduce semantics), w-window
+    // minima, sorted distinct. All integer arithmetic — exact.
+    "q_winnow" ->
+      """WITH cs AS (
+          SELECT doc_id,
+            list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cp
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_transform(range(1, len(cp) - 20 + 2),
+              i -> list_reduce(cp[i:i+19], (acc, c) -> (acc * 257 + c) % 2147483647)) AS hs
+          FROM cs WHERE len(cp) >= 20),
+        wn AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(1, len(hs) - 16 + 1) + 1),
+              j -> list_min(hs[j:j+15]))) AS fps
+          FROM h)
+        SELECT doc_id, unnest(fps) AS fp FROM wn""",
+    "q_winnow_pairs" ->
+      """WITH cs AS (
+          SELECT doc_id,
+            list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS cp
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            list_transform(range(1, len(cp) - 20 + 2),
+              i -> list_reduce(cp[i:i+19], (acc, c) -> (acc * 257 + c) % 2147483647)) AS hs
+          FROM cs WHERE len(cp) >= 20),
+        wn AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(1, len(hs) - 16 + 1) + 1),
+              j -> list_min(hs[j:j+15]))) AS fps
+          FROM h),
+        f AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+        hot AS (SELECT fp FROM f GROUP BY fp HAVING count(*) > 100),
+        cool AS (SELECT * FROM f WHERE fp NOT IN (SELECT fp FROM hot))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // Chunking: same integer window arithmetic (stride 28 = 32 - 4;
+    // nChunks = max(1, ceil((n - overlap)/stride)); 1-based clamped
+    // slices rejoined with single spaces).
+    "q_chunk" ->
+      """WITH tl AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        n AS (
+          SELECT doc_id, tk, greatest(1, (len(tk) - 4 + 27) // 28) AS nc
+          FROM tl WHERE len(tk) >= 1),
+        c AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_id FROM n)
+        SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+          array_to_string(list_slice(tk, chunk_id * 28 + 1, chunk_id * 28 + 32), ' ')
+            AS chunk_text,
+          CAST(len(list_slice(tk, chunk_id * 28 + 1, chunk_id * 28 + 32)) AS INTEGER)
+            AS n_tokens
+        FROM c""",
     // Trigram repetition: same rollup as q_repetition, one n-gram level
     // up; docs under 3 tokens emit no row (no trigrams exist).
     "q_trigram_repetition" ->

@@ -250,7 +250,19 @@ object GraftFunctions {
       "vec_quantize_q8(v) - symmetric int8 maxabs quantization of an ARRAY<FLOAT> vector"),
     ("vec_cosine_i8",
       (es: Seq[Expression]) => I8VecCosine(es(0), es(1)),
-      "vec_cosine_i8(a, b) - cosine of two int8-quantized ARRAY<TINYINT> vectors"))
+      "vec_cosine_i8(a, b) - cosine of two int8-quantized ARRAY<TINYINT> vectors"),
+    ("text_winnow",
+      (es: Seq[Expression]) => TextWinnow(es(0), litInt(es(1)), litInt(es(2))),
+      "text_winnow(text, k, w) - winnowed k-gram fingerprint minima (MOSS)"))
+
+  /** k/w are structural parameters of the fingerprint (part of its
+    * identity, like a hash seed), not data — they must be literals.
+    */
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"text_winnow k/w must be integer literals, got $other")
+  }
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {

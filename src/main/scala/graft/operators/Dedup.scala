@@ -727,6 +727,50 @@ object Dedup {
       .select(col(idCol), col("__dup").isNull.as("is_kept"))
   }
 
+  /** Per-document winnowing fingerprints (MOSS, Schleimer/Wilkerson/
+    * Aiken 2003) — SUBSTRING-level dedup keys: the sorted distinct
+    * minima of a `w`-window slid over rolling hashes of every `k`-gram
+    * of characters (see `graft.functions.TextWinnow` for the exact
+    * arithmetic contract, mirrored integer-for-integer by the DuckDB
+    * oracle). Any shared substring of length ≥ k + w − 1 yields a shared
+    * fingerprint, catching boilerplate that token-shingle MinHash misses
+    * when re-wrapping splits tokens. Pure codegen'd projection + explode:
+    * zero shuffles, scan-bound.
+    */
+  def winnowFingerprints(
+      docs: DataFrame, k: Int = 20, w: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(expr(s"text_winnow(`$textCol`, $k, $w)")).as("fp"))
+  }
+
+  /** Substring-overlap near-dup candidates: document pairs sharing at
+    * least `minShared` winnowed fingerprints. Inverted-index self-join
+    * on the fingerprint with the family's standard hot-key discipline:
+    * fingerprints present in more than `maxFpFreq` documents (ubiquitous
+    * boilerplate — exactly the keys that would quadratically explode the
+    * self-join) are REMOVED via a broadcast anti-join against the
+    * two-phase-aggregated hot set, so every surviving join key carries
+    * ≤ maxFpFreq rows — balanced by construction, ids only on the wire.
+    */
+  def winnowPairs(
+      docs: DataFrame, k: Int = 20, w: Int = 16, minShared: Int = 3,
+      maxFpFreq: Int = 100, textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxFpFreq >= 1, "positive minShared/maxFpFreq required")
+    // (doc, fp) rows are already unique: the expression emits sorted
+    // DISTINCT minima per document — no distinct shuffle needed
+    val fps = winnowFingerprints(docs, k, w, textCol)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxFpFreq).select("fp")
+    val cool = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    cool.as("a").join(cool.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Embedding cosine near-dup pairs via sign-LSH: `nBits` deterministic
     * hyperplanes (seeded client-side, inlined as literals) bucket the
     * vectors; same-bucket pairs are verified with exact cosine ≥ threshold.

@@ -19,6 +19,47 @@ import org.apache.spark.sql.types._
   */
 object Packing {
 
+  /** Split long documents into fixed-size token windows with overlap —
+    * the chunking pass run BEFORE [[packSequences]] (whose contract
+    * deliberately leaves oversized documents whole) and before
+    * embedding/indexing jobs with a context limit. Chunk i covers tokens
+    * `[i·stride, i·stride + maxTokens)` (stride = maxTokens − overlap);
+    * consecutive chunks share `overlap` tokens, and a final window is
+    * emitted only if it contributes at least one new token, so chunks
+    * cover every token exactly and no chunk is contained in another.
+    * Documents with zero tokens emit no rows.
+    *
+    * Pure per-row projection + explode: zero shuffles, scan-bound at any
+    * corpus size, deterministic. Case and inner whitespace of the
+    * original text are NOT preserved in `chunk_text` (tokens rejoin with
+    * single spaces) — chunking operates on the token stream, like the
+    * tokenizer it stands in for.
+    */
+  def chunkDocuments(
+      docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val tk = s"filter(split(trim($textCol), ' +'), t -> t != '')"
+    // integer ceil((n - overlap) / stride), clamped to >= 1 for any
+    // non-empty doc (a doc shorter than the overlap is still one chunk)
+    val nChunks =
+      s"greatest(1, (size(__tk) - $overlap + ${stride - 1}) div $stride)"
+    docs
+      .withColumn("__tk", expr(tk))
+      .filter(expr("size(__tk) >= 1"))
+      .withColumn("chunk_id", explode(expr(
+        // div yields BIGINT; chunk ids are INT by contract
+        s"sequence(0, CAST($nChunks AS INT) - 1)")))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        expr(s"concat_ws(' ', slice(__tk, chunk_id * $stride + 1, $maxTokens))")
+          .as("chunk_text"),
+        expr(s"size(slice(__tk, chunk_id * $stride + 1, $maxTokens))")
+          .as("n_tokens"))
+  }
+
   /** Pack by whitespace-token count. Emits one row per document:
     * (doc_id, n_tokens, bin_id, bin_fill) where bin_fill is the bin's
     * total token count after packing.

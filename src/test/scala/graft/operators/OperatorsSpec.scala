@@ -602,6 +602,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m == Map(9L -> 1L, 10L -> 1L))
   }
 
+  test("winnowPairs finds planted substring-level near-dups, cap drops boilerplate") {
+    // docs 1/2 share a long verbatim span (re-wrapped mid-token relative
+    // to whitespace so token-shingle approaches see different shingles);
+    // doc 3 is unrelated; docs 4..20 all carry the SAME ubiquitous
+    // footer, whose fingerprints the maxFpFreq cap must drop
+    val span = "shared verbatim boilerplate span carried across documents unchanged"
+    val footer = "every document of this crawl carries this exact footer text"
+    val corpus = docsDf(Seq(
+      (1L, s"alpha begins here $span and then ends"),
+      (2L, s"totally other intro$span trailing bits")) ++
+      (3L to 3L).map(i => (i, "nothing in common with anyone at all zzz qq")) ++
+      (4L to 20L).map(i => (i, s"doc $i body $footer")))
+    val pairs = Dedup.winnowPairs(corpus, k = 20, w = 16, minShared = 1,
+        maxFpFreq = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "planted substring pair must surface")
+    assert(!pairs.exists { case (a, b) => a >= 4L || b >= 4L },
+      "capped boilerplate fingerprints must not generate pairs")
+    // without the cap the footer family explodes into all-pairs — the
+    // cap is the difference between 1 pair and 17-choose-2
+    val uncapped = Dedup.winnowPairs(corpus, k = 20, w = 16, minShared = 1,
+        maxFpFreq = 1000).count()
+    assert(uncapped > 100L)
+  }
+
+  test("chunkDocuments tiles tokens into overlapping windows exactly once") {
+    // 10 tokens, maxTokens=4, overlap=1 (stride 3): [t1-t4][t4-t7][t7-t10]
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = Packing.chunkDocuments(
+      docsDf(Seq((1L, ten), (2L, "a b"), (3L, "   "))), maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[String]("chunk_text"), r.getAs[Int]("n_tokens")))
+    assert(rows.filter(_._1 == 1L).sortBy(_._2).toSeq == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t4 t5 t6 t7", 4), (1L, 2, "t7 t8 t9 t10", 4)))
+    // short doc = one chunk; whitespace-only doc = no rows
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(!rows.exists(_._1 == 3L))
+    // coverage invariant on a non-aligned length: every token appears in
+    // some chunk, consecutive chunks share exactly `overlap` tokens, and
+    // the final window still contributes new tokens
+    val eleven = (1 to 11).map(i => s"u$i").mkString(" ")
+    val ch = Packing.chunkDocuments(docsDf(Seq((9L, eleven))), maxTokens = 4, overlap = 2)
+      .collect().sortBy(_.getAs[Int]("chunk_id"))
+      .map(_.getAs[String]("chunk_text").split(" ").toSeq)
+    assert(ch.flatten.distinct.size == 11)
+    assert(ch.sliding(2).forall {
+      case Array(a, b) => a.takeRight(2) == b.take(2); case _ => true
+    })
+    assert(ch.last.exists(t => !ch.init.flatten.contains(t)))
+  }
+
   test("ngramRepetition computes duplicate-n-gram fractions per document") {
     // doc 1 trigrams: 'a b a'×2, 'b a b'×1 → dup 1-2/3, top 2/3;
     // doc 2 has one trigram; doc 3 is too short to emit any row

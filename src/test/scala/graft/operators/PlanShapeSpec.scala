@@ -44,6 +44,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.stratifiedSampleHash(docs, "lang",
       Map("en" -> 0.5))) == 0)
     assert(shuffles(Packing.packSequences(docs, 256)) == 0)
+    assert(shuffles(Packing.chunkDocuments(docs, 32, 4)) == 0)
+    assert(shuffles(Dedup.winnowFingerprints(docs)) == 0)
     assert(shuffles(TextAnalysis.piiScrub(docs)) == 0)
     // pixel decode: mapPartitions (ImageIO needs objects) but still a
     // single scan-shaped stage — binary never crosses an exchange
@@ -129,6 +131,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.size <= 2, s"budget: totals agg + tail-probe exchange, got ${ex.size}")
     assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
       "head and tail branches must share one totals aggregation")
+  }
+
+  test("winnowPairs: self-join sides share ONE fingerprint subtree at scale") {
+    // at fixture scale AQE broadcasts the b-side and prunes the empty hot
+    // set, hiding the 100 TB topology. Forcing the shuffled join exposes
+    // it: both sides of the fp self-join must hash-exchange the SAME
+    // (scan → winnow → anti-join) subtree, so ReusedExchange collapses
+    // them to ONE corpus scan + winnow computation — the hot-df agg scan
+    // is the only other scan. Without reuse the expensive rolling-hash
+    // projection runs twice over the corpus.
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Dedup.winnowPairs(docs, minShared = 1, maxFpFreq = 5)
+      df.collect()
+      val nodes = walk(df.queryExecution.executedPlan)
+      assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        "self-join sides must reuse one fingerprint exchange")
+      assert(nodes.count(_.nodeName.contains("Scan")) <= 2,
+        "one corpus scan for the shared cool subtree + one for hot-df")
+      assert(nodes.collect { case w: WindowExec => w }.isEmpty)
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("lineDedup: frequency-routed marking, bounded budget, no windows") {
