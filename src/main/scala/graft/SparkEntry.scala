@@ -125,6 +125,39 @@ object SparkEntry {
         .select(col("c_custkey"), col("order_cnt"),
           expr("abs(approx_orders - order_cnt) <= " +
             "greatest(4.0, CAST(order_cnt AS DOUBLE) * 0.3)").as("approx_ok"))),
+    // Quantile sketch (Greenwald-Khanna via percentile_approx): the
+    // mergeable distributed-percentile primitive — exact percentile over
+    // 100 TB needs a global sort; the sketch merges per-partition state
+    // in one two-phase agg. Raw sketch values are engine-specific
+    // (rows-only), so the envelope sibling below carries the gate.
+    "q_quantile_sketch" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("price_cents",
+          expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+        .groupBy("l_returnflag")
+        .agg(expr("percentile_approx(price_cents, " +
+          "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("approx_cents"))),
+    // Sketch accuracy envelope, oracle-backed: the per-group row count is
+    // value-matched against DuckDB, and each sketch quantile must land
+    // between the EXACT percentiles at p ± 0.01 (the sketch's rank-error
+    // bound is 1/accuracy = 1e-4, two orders inside the gate; monotone
+    // rank→value makes the exact ±0.01 values a sound envelope)
+    "q_quantile_bounds" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("price_cents",
+          expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count(1)").as("n_rows"),
+          expr("percentile_approx(price_cents, " +
+            "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("__ap"),
+          expr("percentile(price_cents, array(0.24D, 0.26D, 0.49D, 0.51D, " +
+            "0.74D, 0.76D, 0.94D, 0.96D))").as("__ex"))
+        .select(col("l_returnflag"), col("n_rows"),
+          expr("__ap[0] >= __ex[0] AND __ap[0] <= __ex[1]").as("p25_ok"),
+          expr("__ap[1] >= __ex[2] AND __ap[1] <= __ex[3]").as("p50_ok"),
+          expr("__ap[2] >= __ex[4] AND __ap[2] <= __ex[5]").as("p75_ok"),
+          expr("__ap[3] >= __ex[6] AND __ap[3] <= __ex[7]").as("p95_ok"))),
     // W1: window rule pass-through
     "q_orders_window" -> ((_, dir) =>
       runner(dir).hubSelect("tpch_orders",
@@ -544,6 +577,20 @@ object SparkEntry {
       val e = graft.streaming.Events
       e.runAvailableNow(s,
         e.sessionizeStream(s, e.readEventsStream(s, stagedDir(s, dir, sentinel = true))),
+        complete = false)
+    }),
+    // click→purchase attribution: batch form through the guarded bucketed
+    // range join (hash join on (user, bucket), never per-key quadratic)
+    "q_attribution" -> ((s, dir) =>
+      graft.streaming.Events.attributionJoinBatch(events(s, dir))),
+    // the same join as a real STREAM-STREAM inner self-join (watermarks
+    // both sides + time-range condition bounding the join state); on the
+    // bounded AvailableNow run the emitted set is exactly the batch join,
+    // so the same oracle pins the cross-stream join state machinery
+    "q_attribution_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      e.runAvailableNow(s,
+        e.attributionJoinStream(e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
         complete = false)
     }),
 
@@ -1819,6 +1866,33 @@ object SparkEntry {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
           CAST(round(value * 100) AS BIGINT) AS value_cents
         FROM events""",
+    // Quantile-sketch envelope: exact group counts + TRUE gates (the
+    // sketch must land inside the exact p ± 0.01 value envelope).
+    "q_quantile_bounds" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+          TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+        FROM lineitem GROUP BY 1""",
+    // Attribution: both the batch (bucketed range join) and the
+    // stream-stream (watermarked inner self-join) forms equal this plain
+    // inequality join — inclusive window ends on both engines.
+    "q_attribution" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+          CAST(c.ts AS TIMESTAMP) AS click_ts,
+          CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+          CAST(round(p.value * 100) AS BIGINT) AS value_cents
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "q_attribution_stream" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+          CAST(c.ts AS TIMESTAMP) AS click_ts,
+          CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+          CAST(round(p.value * 100) AS BIGINT) AS value_cents
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     "q_sessionize_stream" ->
       """WITH e AS (
           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -72,6 +72,61 @@ object Events {
         expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
   }
 
+  /** Click→purchase attribution, batch form: every purchase joins each
+    * click by the SAME user in the `attrMinutes` window ending at the
+    * purchase (inclusive both ends). Routed through the guarded bucketed
+    * [[graft.operators.AsOf.rangeJoin]] — hash join on (user_id, bucket),
+    * never a per-key quadratic theta join — with clicks as the intervals
+    * `[click_ts, click_ts + attrMinutes]` and purchases as the points.
+    */
+  def attributionJoinBatch(events: DataFrame, attrMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"),
+        col("ts").as("w_start"),
+        (col("ts") + expr(s"INTERVAL $attrMinutes MINUTES")).as("w_end"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        expr("CAST(round(value * 100) AS LONG)").as("value_cents"))
+    graft.operators.AsOf.rangeJoin(
+      purchases, clicks, on = Seq("user_id"), pointTs = "purchase_ts",
+      startCol = "w_start", endCol = "w_end",
+      payload = Seq("click_id", "click_ts"))
+      .select("click_id", "purchase_id", "user_id", "click_ts",
+        "purchase_ts", "value_cents")
+  }
+
+  /** Streaming form of [[attributionJoinBatch]]: a real STREAM-STREAM
+    * inner self-join — the one Structured Streaming join shape with
+    * cross-stream state. Both branches of the same event stream carry a
+    * watermark, and the join condition bounds purchase_ts to the
+    * attribution window after click_ts, so Spark can expire click state
+    * `attrMinutes` past the watermark instead of buffering both streams
+    * forever (the watermark + time-range constraint is what makes the
+    * state store bounded at 100 TB/day event volume). Inner-join matches
+    * emit as soon as both sides arrive (append mode); on a bounded
+    * AvailableNow run the emitted set is exactly the batch join, so the
+    * batch DuckDB oracle applies to the streaming engine path.
+    */
+  def attributionJoinStream(events: DataFrame, attrMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"),
+        expr("CAST(round(value * 100) AS LONG)").as("value_cents"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+        col("user_id") === col("c_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attrMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"), col("value_cents"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: emits a session
     * row when the inactivity gap times out. State per user is O(1).
     */

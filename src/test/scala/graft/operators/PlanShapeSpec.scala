@@ -67,6 +67,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         on = Seq("user_id"), direction = dir)) == 1, s"direction=$dir")
   }
 
+  test("attribution batch join inherits the bucketed hash-join shape") {
+    val plan = graft.streaming.Events.attributionJoinBatch(events.select(
+        col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "attribution must route through the bucketed range join")
+  }
+
+  test("quantile sketch aggregates in two phases — one shuffle, no sort") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val df = li
+      .withColumn("price_cents",
+        expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_approx(price_cents, array(0.25D, 0.5D), 10000)")
+        .as("approx_cents"))
+    assert(shuffles(df) == 1,
+      "sketch must merge per-partition state through one exchange")
+    assert(!df.queryExecution.executedPlan.toString.contains("Sort "),
+      "the sketch path must not global-sort the data")
+  }
+
   test("rangeJoin is a hash join on (keys, bucket) — never a nested loop") {
     val sessions = graft.streaming.Events.sessionizeBatch(events)
     val plan = AsOf.rangeJoin(

@@ -259,6 +259,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup dropped non-duplicate rows")
   }
 
+  test("stream-stream attribution join equals the batch range join") {
+    // widen the window so the tiny fixture yields a meaningful match set
+    val staged = Events.stageStreamDir(spark, s"$sfDir/events.parquet")
+    val got = Events.runAvailableNow(spark,
+      Events.attributionJoinStream(
+        Events.readEventsStream(spark, staged), attrMinutes = 480),
+      complete = false)
+    val batch = Events.attributionJoinBatch(events, attrMinutes = 480)
+    assert(got.count() > 0, "fixture must yield attribution matches")
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "stream-stream join must equal the batch bucketed range join")
+  }
+
+  test("stream-stream join state carries clicks across micro-batch boundaries") {
+    // the defining property of a stream-stream join: a click arriving in
+    // batch N must be held in join state and matched against a purchase
+    // arriving in batch N+k. Three single-file micro-batches: clicks
+    // first, then two purchase waves — every expected pair straddles a
+    // batch boundary, so a join that only matches within one micro-batch
+    // emits nothing.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 10:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val chunks = Seq(
+      // batch 1: clicks for users 1, 2, 3
+      Seq((1L, ts(0), 1L, "click", 0.0), (2L, ts(0), 2L, "click", 0.0),
+        (3L, ts(0), 3L, "click", 0.0)),
+      // batch 2: purchase for user 1 inside the window, user 9 no click
+      Seq((11L, ts(10), 1L, "purchase", 5.0), (19L, ts(10), 9L, "purchase", 9.0)),
+      // batch 3: purchase for user 2 inside, user 3 OUTSIDE the window
+      Seq((12L, ts(25), 2L, "purchase", 7.0), (13L, ts(40), 3L, "purchase", 8.0)))
+    val dir = Files.createTempDirectory("graftattr")
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory(s"graftattrc$i").resolve("out")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit(null).cast("string"))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(f"chunk_$i%02d.parquet")
+      Files.copy(part.toPath, dest)
+      assert(dest.toFile.setLastModified(base + i * 2000L))
+    }
+    val ck = Files.createTempDirectory("graftattr_ck")
+    val q = Events.attributionJoinStream(
+        Events.readEventsStream(spark, dir.toString, maxFilesPerTrigger = 1))
+      .writeStream.format("memory").queryName("attr_multibatch")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 3,
+      "expected one micro-batch per staged file")
+    val got = spark.table("attr_multibatch")
+      .select("click_id", "purchase_id", "user_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 11L, 1L), (2L, 12L, 2L)),
+      "cross-batch pairs must match; out-of-window and clickless must not")
+    spark.catalog.dropTempView("attr_multibatch")
+  }
+
   test("streaming cleaning gate composes with windowed aggregation") {
     val tmp = Files.createTempDirectory("graftclean").toString
     val stream = Events.readEventsStream(spark, stagedEventsDir)
