@@ -319,6 +319,10 @@ object SparkEntry {
     // are all deterministic token arithmetic both engines share
     "q_chunk" -> ((s, dir) =>
       Packing.chunkDocuments(docs(s, dir), maxTokens = 32, overlap = 4)),
+    // true BPE token counting: rank-ordered merge table applied per word,
+    // both expression chains generated from TextAnalysis.defaultBpeMerges
+    "q_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(docs(s, dir))),
     // trigram repetition (Gopher/RefinedWeb duplicate-n-gram filter):
     // n=3 exercises the generalized lambda-free n-gram build, not just
     // the bigram case the surprise query covers
@@ -579,6 +583,14 @@ object SparkEntry {
         e.sessionizeStream(s, e.readEventsStream(s, stagedDir(s, dir, sentinel = true))),
         complete = false)
     }),
+    // hopping windows: 1-hour windows sliding every 15 min (each event in
+    // exactly 4), epoch-aligned starts reproduced by integer arithmetic
+    "q_hop_window" -> ((s, dir) =>
+      graft.streaming.Events.hourlyHopStats(events(s, dir))),
+    // native session_window (strict-< merge, end = last + gap) vs a
+    // gaps-and-islands oracle with the matching >= break convention
+    "q_session_window" -> ((s, dir) =>
+      graft.streaming.Events.sessionWindowStats(events(s, dir))),
     // click→purchase attribution: batch form through the guarded bucketed
     // range join (hash join on (user, bucket), never per-key quadratic)
     "q_attribution" -> ((s, dir) =>
@@ -1872,6 +1884,47 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
         FROM lineitem GROUP BY 1""",
+    // BPE token counting: oracle chain generated from the SAME merge
+    // table as the Spark expression (TextAnalysis.bpeOracleSql).
+    "q_bpe_tokens" -> TextAnalysis.bpeOracleSql(),
+    // Hopping windows: each event contributes to the 4 windows whose
+    // epoch-aligned starts are bucket15(ts) - k*15min, k = 0..3.
+    "q_hop_window" ->
+      """WITH e AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        w AS (
+          SELECT make_timestamp(
+              (CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900 * 1000000)
+              AS win_start,
+            event_type, cents
+          FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t)
+        SELECT win_start, event_type, count(*) AS n_events,
+          CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM w GROUP BY 1, 2""",
+    // session_window semantics: windows that overlap OR touch merge, so
+    // only a gap STRICTLY greater than the window size breaks (> in the
+    // oracle — spec-pinned against Spark), and session_end is last event
+    // + gap. Microsecond-exact integer gap comparison.
+    "q_session_window" ->
+      """WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        t AS (
+          SELECT user_id, ts, cents,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM t)
+        SELECT user_id, min(ts) AS session_start,
+          max(ts) + INTERVAL 30 MINUTE AS session_end,
+          count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sid""",
     // Attribution: both the batch (bucketed range join) and the
     // stream-stream (watermarked inner self-join) forms equal this plain
     // inequality join — inclusive window ends on both engines.

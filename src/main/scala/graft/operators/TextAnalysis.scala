@@ -713,4 +713,79 @@ object TextAnalysis {
       .withColumn("text_scrubbed", scrubbed)
       .withColumn("has_pii", col(textCol) =!= col("text_scrubbed"))
   }
+
+  /** Rank-ordered BPE merge table (the trained-tokenizer artifact: pair →
+    * merged symbol, applied greedily rule-by-rule). Common English merges;
+    * a real deployment ships its tokenizer's full table the same way —
+    * the table is configuration, the APPLY is the engine's job. Shared by
+    * [[bpeTokenCounts]] and the DuckDB oracle (both expression chains are
+    * GENERATED from this one Seq, so they cannot drift).
+    */
+  val defaultBpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+    "an d" -> "and", "e r" -> "er", "o n" -> "on", "r e" -> "re",
+    "o u" -> "ou", "e d" -> "ed", "i s" -> "is", "o r" -> "or",
+    "s t" -> "st", "a t" -> "at", "e n" -> "en", "o f" -> "of")
+
+  /** True token counting under a BPE tokenizer: each lowercase alphabetic
+    * word is spelled into space-separated symbols, the merge table is
+    * applied in rank order (each merge = one string replace of the
+    * adjacent pair), and the document's token count is the total symbol
+    * count — the number an LLM data pipeline actually budgets by, vs the
+    * whitespace proxy [[textStats]] reports. Non-alphabetic words are
+    * excluded (they'd need byte-fallback rules; the alpha restriction
+    * also keeps the char split codepoint-exact cross-engine).
+    *
+    * The symbol string is space-padded and every rule matches the
+    * SPACE-DELIMITED pair `' x y '` — a pair only merges complete
+    * adjacent symbols, never characters inside an already-merged symbol
+    * (naive unpadded replace would corrupt `o|the|r` into `o|ther` via
+    * the `e r` rule). One left-to-right replace pass per rule: in a run
+    * of repeated pairs (`t t t t`) the pass merges alternate pairs only
+    * (the shared delimiter space is consumed) — a deterministic,
+    * cross-engine-identical artifact of replace-chain BPE, documented
+    * here rather than patched with extra passes.
+    *
+    * Pure per-row projection — zero shuffles, scan-bound; the nested
+    * replace chain is whole-stage-codegen'd string work, fan-out bounded
+    * by document length.
+    */
+  def bpeTokenCounts(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = defaultBpeMerges,
+      textCol: String = "text"): DataFrame = {
+    require(merges.forall { case (f, t) =>
+      !f.contains("'") && !t.contains("'") }, "merge symbols must not quote")
+    val applied = merges.foldLeft(
+      "concat(' ', concat_ws(' ', split(w, '')), ' ')") {
+      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+    }
+    docs
+      .withColumn("__w", expr(
+        s"filter(split(lower(trim(`$textCol`)), ' +'), w -> w rlike '^[a-z]+$$')"))
+      .select(col("doc_id"),
+        expr("CAST(size(__w) AS BIGINT)").as("n_alpha_words"),
+        expr(s"CAST(aggregate(transform(__w, w -> size(split(trim($applied), ' '))), " +
+          "0, (a, x) -> a + x) AS BIGINT)").as("n_bpe_tokens"))
+  }
+
+  /** DuckDB equivalent of [[bpeTokenCounts]], generated from the SAME
+    * merge table so the two expression chains cannot diverge.
+    */
+  def bpeOracleSql(merges: Seq[(String, String)] = defaultBpeMerges): String = {
+    val applied = merges.foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+    }
+    s"""WITH ws AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), ' +'),
+            w -> regexp_full_match(w, '[a-z]+')) AS w
+        FROM documents)
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_alpha_words,
+        CAST(coalesce(list_sum(list_transform(w,
+          w -> len(string_split(trim($applied), ' ')))), 0) AS BIGINT)
+          AS n_bpe_tokens
+      FROM ws"""
+  }
 }

@@ -52,6 +52,45 @@ object Events {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("n_users_approx"), col("value_cents"))
 
+  /** Hopping (sliding) window aggregate: 1-hour windows every 15 minutes,
+    * so each event lands in exactly 4 overlapping windows. Spark's
+    * `window(ts, size, slide)` explodes the 4 window assignments as a
+    * per-row projection BEFORE the aggregation — one shuffle on
+    * (window, event_type), fan-out a constant size/slide factor, never
+    * corpus state. Epoch-aligned starts (the oracle reproduces them with
+    * integer epoch arithmetic).
+    */
+  def hourlyHopStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  /** Native `session_window` sessionization: Spark merges per-row windows
+    * `[ts, ts + gap)` that overlap OR touch, so a gap of exactly
+    * `gapMinutes` stays in the SAME session (inclusive merge, spec-pinned)
+    * — the same break convention as [[sessionizeBatch]]'s `>` lag
+    * comparison; the observable difference is `session_end = last + gap`
+    * instead of the last event time. Both forms are one shuffle on
+    * user_id; this one exercises Spark's built-in session-window
+    * machinery (also valid under streaming with a watermark) against a
+    * gaps-and-islands oracle.
+    */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_cents"))
+
   /** Sessionization, batch form: a session breaks after `gapMinutes` of
     * user inactivity. Pure window functions — one shuffle on user_id.
     */

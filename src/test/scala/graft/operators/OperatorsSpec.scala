@@ -653,6 +653,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ch.last.exists(t => !ch.init.flatten.contains(t)))
   }
 
+  test("bpeTokenCounts applies merges in rank order, counts real tokens") {
+    // "the" spells t-h-e; merge 't h'→'th' then 'th e'→'the' → 1 token.
+    // "other": o t h e r → (t h) o th e r → (th e) o the r → (e r)… er
+    // already consumed by 'the'; remaining merges leave o|the|r = 3.
+    // "and": a n → an; an d → and → 1. "xyz" has no merges → 3 symbols.
+    // "42" and "Mixed" (uppercase survives lower()? no — lowered) are
+    // alpha after lower(); "a-b" is not.
+    val rows = TextAnalysis.bpeTokenCounts(docsDf(Seq(
+        (1L, "the other and xyz"),
+        (2L, "a-b 42 !!"),
+        (3L, ""))))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_alpha_words"), r.getAs[Long]("n_bpe_tokens"))).toSet
+    assert(rows == Set((1L, 4L, 1L + 3L + 1L + 3L), (2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
   test("ngramRepetition computes duplicate-n-gram fractions per document") {
     // doc 1 trigrams: 'a b a'×2, 'b a b'×1 → dup 1-2/3, top 2/3;
     // doc 2 has one trigram; doc 3 is too short to emit any row

@@ -46,6 +46,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Packing.packSequences(docs, 256)) == 0)
     assert(shuffles(Packing.chunkDocuments(docs, 32, 4)) == 0)
     assert(shuffles(Dedup.winnowFingerprints(docs)) == 0)
+    assert(shuffles(TextAnalysis.bpeTokenCounts(docs)) == 0)
     assert(shuffles(TextAnalysis.piiScrub(docs)) == 0)
     // pixel decode: mapPartitions (ImageIO needs objects) but still a
     // single scan-shaped stage — binary never crosses an exchange
@@ -56,6 +57,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("single-shuffle aggregations stay single-shuffle") {
     assert(shuffles(TextAnalysis.tokenLengthHistogram(docs, 16)) == 1)
     assert(shuffles(graft.streaming.Events.sessionizeBatch(events)) == 1)
+    // hopping windows: the 4× window explode happens BEFORE the exchange
+    // (a per-row projection), so the slide factor costs no extra shuffle
+    assert(shuffles(graft.streaming.Events.hourlyHopStats(events)) == 1)
+    assert(shuffles(graft.streaming.Events.sessionWindowStats(events)) == 1)
     // as-of join: union is exchange-free, ONE window exchange carries the
     // match — never a range explosion or per-key quadratic theta join.
     // forward flips the sort order only; nearest runs BOTH window passes

@@ -259,6 +259,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup dropped non-duplicate rows")
   }
 
+  test("hopping windows assign each event to exactly 4 hour windows") {
+    import spark.implicits._
+    val e = Seq((1L, java.sql.Timestamp.valueOf("2025-06-01 10:07:00"),
+        1L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = Events.hourlyHopStats(e)
+      .collect().map(r => r.getAs[java.sql.Timestamp]("win_start").toString)
+      .sorted
+    // windows of size 1h sliding 15m containing 10:07: starts 09:15..10:00
+    assert(rows.toSeq == Seq("2025-06-01 09:15:00.0", "2025-06-01 09:30:00.0",
+      "2025-06-01 09:45:00.0", "2025-06-01 10:00:00.0"))
+  }
+
+  test("session_window: exact-gap event MERGES (inclusive), 1801s breaks") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 10:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(t0.getTime + sec * 1000L)
+    // gaps: 10 s (merge), exactly 1800 s (touching windows — MERGE),
+    // 1801 s (break) — pins the inclusive-merge convention the oracle's
+    // strict-> break mirrors
+    val e = Seq(
+      (1L, ts(0), 1L, "click", 1.0), (2L, ts(10), 1L, "click", 1.0),
+      (3L, ts(10 + 1800), 1L, "click", 1.0),
+      (4L, ts(10 + 1800 + 1801), 1L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val sw = Events.sessionWindowStats(e)
+      .collect().map(r => (r.getAs[Long]("n_events"),
+        r.getAs[java.sql.Timestamp]("session_end").getTime
+          - r.getAs[java.sql.Timestamp]("session_start").getTime))
+    assert(sw.map(_._1).sorted.toSeq == Seq(1L, 3L),
+      "exactly-1800s gap must merge; 1801s must break")
+    // end = last event in session + gap
+    assert(sw.toSet == Set((3L, 1810000L + 1800000L), (1L, 1800000L)))
+    // same break convention as the lag-based form
+    val sb = Events.sessionizeBatch(e).collect().map(_.getAs[Long]("n_events"))
+    assert(sb.sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("stream-stream attribution join equals the batch range join") {
     // widen the window so the tiny fixture yields a meaningful match set
     val staged = Events.stageStreamDir(spark, s"$sfDir/events.parquet")
