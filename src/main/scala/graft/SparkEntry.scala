@@ -129,14 +129,19 @@ object SparkEntry {
     // mergeable distributed-percentile primitive — exact percentile over
     // 100 TB needs a global sort; the sketch merges per-partition state
     // in one two-phase agg. Raw sketch values are engine-specific
-    // (rows-only), so the envelope sibling below carries the gate.
+    // (rows-only), so the envelope sibling below carries the gate. The
+    // four quantiles are projected to scalar columns (not an ARRAY) so
+    // the driver's pandas-based rows-only check can sort the output.
     "q_quantile_sketch" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .withColumn("price_cents",
           expr("CAST(round(l_extendedprice * 100) AS LONG)"))
         .groupBy("l_returnflag")
         .agg(expr("percentile_approx(price_cents, " +
-          "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("approx_cents"))),
+          "array(0.25D, 0.5D, 0.75D, 0.95D), 10000)").as("__ap"))
+        .select(col("l_returnflag"),
+          expr("__ap[0]").as("p25_cents"), expr("__ap[1]").as("p50_cents"),
+          expr("__ap[2]").as("p75_cents"), expr("__ap[3]").as("p95_cents"))),
     // Sketch accuracy envelope, oracle-backed: the per-group row count is
     // value-matched against DuckDB, and each sketch quantile must land
     // between the EXACT percentiles at p ± 0.01 (the sketch's rank-error
@@ -496,8 +501,10 @@ object SparkEntry {
     // rows-only with measured recall
     "q_similarity_topk_ivf_full" -> ((s, dir) => {
       val e = embeds(s, dir)
+      val idx = ivfIndex(s, dir)
       Similarity.cosineTopKIvfProbe(
-        ivfIndex(s, dir), e.filter(col("vec_id") < 16), k = 5, nProbe = 16)
+        idx, e.filter(col("vec_id") < 16), k = 5,
+        nProbe = idx.centroids.length) // nProbe = nLists at ANY list count
         .select("query_id", "match_id", "cosine", "rank")
     }),
     "q_similarity_topk_lsh" -> ((s, dir) => {
@@ -587,8 +594,9 @@ object SparkEntry {
     // exactly 4), epoch-aligned starts reproduced by integer arithmetic
     "q_hop_window" -> ((s, dir) =>
       graft.streaming.Events.hourlyHopStats(events(s, dir))),
-    // native session_window (strict-< merge, end = last + gap) vs a
-    // gaps-and-islands oracle with the matching >= break convention
+    // native session_window (inclusive merge: an exactly-gap-sized gap
+    // still merges, only a strictly-greater gap breaks; end = last + gap)
+    // vs a gaps-and-islands oracle with the matching strict-> break
     "q_session_window" -> ((s, dir) =>
       graft.streaming.Events.sessionWindowStats(events(s, dir))),
     // click→purchase attribution: batch form through the guarded bucketed
@@ -746,8 +754,10 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Similarity.IvfIndex]()
   private def ivfIndex(s: SparkSession, dir: String): graft.operators.Similarity.IvfIndex =
     ivfIndexes.computeIfAbsent(dir, d => {
+      // nLists = 0: corpus-size-derived (autoNLists) — 16 at the driver
+      // SFs (< 4096 vectors), scaling with occupancy bounded beyond
       val idx = Similarity.ivfFit(embeds(s, d),
-        nLists = 16, seed = 42L, fitSampleFraction = 0.5)
+        nLists = 0, seed = 42L, fitSampleFraction = 0.5)
       idx.copy(assigned = idx.assigned.persist())
     })
 

@@ -19,10 +19,11 @@ import org.apache.spark.sql.types._
   * generated stage: the join that produces candidate pairs, the cosine,
   * and the threshold filter compile into ONE Java loop.
   *
-  * Numerics: one interleaved left-to-right pass (dot over the common
-  * prefix, norms over each full array) — the same accumulation order as
-  * the SQL higher-order formulation and the DuckDB oracle, so results are
-  * bit-identical across all three.
+  * Numerics: one interleaved left-to-right pass — the same accumulation
+  * order as the SQL higher-order formulation and the DuckDB oracle, so
+  * results are bit-identical across all three. Vectors of different
+  * lengths throw (a dimension-mismatch bug upstream must fail loudly,
+  * not surface as a truncated dot product; DuckDB errors too).
   */
 case class FloatVecCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,18 +44,21 @@ case class FloatVecCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    // loud failure, not a truncated dot product: an upstream dimension
+    // bug must not surface as a slightly-off cosine (DuckDB's
+    // list_dot_product errors on mismatch too, so silent truncation
+    // would also silently break oracle parity)
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_cosine: vector length mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
-    val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
       val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    var j = n
-    while (j < x.numElements()) { val v = x.getFloat(j).toDouble; na += v * v; j += 1 }
-    j = n
-    while (j < y.numElements()) { val v = y.getFloat(j).toDouble; nb += v * v; j += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -68,19 +72,16 @@ case class FloatVecCosine(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_cosine: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |int $i = 0;
-         |for (; $i < $n; $i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |for (int j = $n; j < $a.numElements(); j++) {
-         |  double v = (double) $a.getFloat(j); $na += v * v;
-         |}
-         |for (int j = $n; j < $b.numElements(); j++) {
-         |  double v = (double) $b.getFloat(j); $nb += v * v;
          |}
          |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
@@ -187,18 +188,18 @@ case class I8VecCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    // same loud-mismatch contract as [[FloatVecCosine]]
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_cosine_i8: vector length mismatch ($n vs ${y.numElements()})")
     var dot = 0L; var na = 0L; var nb = 0L
-    val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
       val xv = x.getByte(i).toLong; val yv = y.getByte(i).toLong
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    var j = n
-    while (j < x.numElements()) { val v = x.getByte(j).toLong; na += v * v; j += 1 }
-    j = n
-    while (j < y.numElements()) { val v = y.getByte(j).toLong; nb += v * v; j += 1 }
     dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
@@ -212,19 +213,16 @@ case class I8VecCosine(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_cosine_i8: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $dot = 0L, $na = 0L, $nb = 0L;
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |int $i = 0;
-         |for (; $i < $n; $i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  long $x = (long) $a.getByte($i);
          |  long $y = (long) $b.getByte($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |}
-         |for (int j = $n; j < $a.numElements(); j++) {
-         |  long v = (long) $a.getByte(j); $na += v * v;
-         |}
-         |for (int j = $n; j < $b.numElements(); j++) {
-         |  long v = (long) $b.getByte(j); $nb += v * v;
          |}
          |${ev.value} = ((double) $dot) / (Math.sqrt((double) $na) * Math.sqrt((double) $nb));
        """.stripMargin

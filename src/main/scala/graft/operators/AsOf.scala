@@ -36,7 +36,11 @@ import org.apache.spark.sql.functions._
   * matches anything (it is dropped from the match pass), and a
   * NULL-keyed left row comes back with null payload like any other
   * unmatched left row — matching NULL to NULL would diverge from
-  * DuckDB ASOF / ANSI equality.
+  * DuckDB ASOF / ANSI equality. NULL timestamps get the same
+  * treatment in all three directions: a null-`rightTs` right row is
+  * dropped (it has no position on the time axis to match at), and a
+  * null-`leftTs` left row comes back with null payload — DuckDB ASOF
+  * likewise never matches through a NULL comparison.
   *
   * Left rows with no matching right row keep null payload (left-join
   * semantics). With `toleranceMs` set, a match farther from `leftTs`
@@ -74,12 +78,13 @@ object AsOf {
         struct((pay.map(col) :+
           col(rightTs).cast("timestamp").as("__rts")): _*).as("__r")): _*)
     val l = l0.withColumn("__r", lit(null).cast(r0.schema("__r").dataType))
-    // NULL-keyed right rows can never be a SQL-semantics match; dropping
-    // them here keeps them out of the NULL key group's window, so a
-    // NULL-keyed left row yields null payload instead of a NULL-to-NULL
-    // "match"
+    // NULL-keyed or NULL-timestamp right rows can never be a
+    // SQL-semantics match; dropping them here keeps them out of the
+    // window passes entirely (a null __ts would otherwise sort first
+    // under asc and be attached as a bogus "match" with null __rts)
     val r = r0.withColumn("__l", lit(null).cast(l0.schema("__l").dataType))
-      .filter(on.map(col(_).isNotNull).reduce(_ && _))
+      .filter((on.map(col(_).isNotNull) :+ col("__ts").isNotNull)
+        .reduce(_ && _))
 
     def pass(descending: Boolean): org.apache.spark.sql.expressions.WindowSpec = {
       val ord = if (descending) col("__ts").desc else col("__ts").asc
@@ -120,9 +125,14 @@ object AsOf {
             .when(fwdDeltaUs < backDeltaUs, col("__mf"))
             .otherwise(col("__mb"))) // tie → backward
     }
-    matched.select(
-      leftCols.map(c => col(s"__l.`$c`").as(c)) ++
-        pay.map(c => col(s"__m.`$c`").as(prefix + c)): _*)
+    matched
+      // null-leftTs left rows are unmatched by contract in every
+      // direction (under forward's desc order a null __ts sorts last
+      // and would otherwise pick up the earliest right row)
+      .withColumn("__m", when(col("__ts").isNotNull, col("__m")))
+      .select(
+        leftCols.map(c => col(s"__l.`$c`").as(c)) ++
+          pay.map(c => col(s"__m.`$c`").as(prefix + c)): _*)
   }
 
   /** Interval (range) join: INNER-join point rows to every interval

@@ -578,10 +578,13 @@ object Dedup {
     *     (df >= headMinDf, at most pairs/headMinDf entries) broadcasts,
     *     so a cookie banner in a billion documents never shuffles its
     *     occurrences; the mid-range set (minDocFreq <= df < headMinDf)
-    *     anti-marks through a join whose keys each carry < headMinDf
-    *     probe rows — balanced, and as a JOIN any residual skew is
-    *     AQE-splittable (a window/hot-key group-by here would buffer the
-    *     banner's corpus-scale row group in one task);
+    *     anti-marks through a join whose keys each touch < headMinDf
+    *     DISTINCT documents — `__df` bounds distinct docs, not total
+    *     occurrences, so a line repeated many times WITHIN documents
+    *     can exceed the per-key probe budget; that residual
+    *     intra-document skew is AQE-splittable because this is a JOIN
+    *     (a window/hot-key group-by here would buffer the banner's
+    *     corpus-scale row group in one task);
     *  3. per-document reassembly: one bounded-partition aggregation
     *     (array_sort on the (idx, line) structs restores order —
     *     collect_list order is partitioning-dependent, the sort makes the
@@ -679,8 +682,21 @@ object Dedup {
     * space (coarse quantizer fit on a sample — the 100 TB posture), form
     * candidate pairs WITHIN clusters only, verify with exact cosine, and
     * drop every vector that has a smaller-id near-duplicate in its
-    * cluster. Pair volume is bounded by cluster occupancy² (tune
-    * `nClusters` with corpus size), never corpus².
+    * cluster. Pair volume is bounded by cluster occupancy² per cell,
+    * never corpus².
+    *
+    * `nClusters <= 0` (the default) derives the cluster count from the
+    * corpus row count via [[Similarity.autoNLists]] — expected occupancy
+    * stays bounded, so total verification work grows LINEARLY with the
+    * corpus instead of quadratically as it would with any fixed k; pass
+    * an explicit positive k to override. Clustering coarseness only
+    * affects RECALL, monotonically and one-sidedly: the within-cell
+    * candidate relation is a subset of the all-pairs relation, so a
+    * clustered run never drops a vector the exact all-pairs run keeps
+    * (measured on the sf1 fixture: exact finds 61 dups, k=16 finds 45,
+    * k=64 finds 41 — and every clustered drop set is a subset of the
+    * exact one). That one-sided recall loss within same-cluster
+    * neighborhoods is the SemDeDup contract at any k.
     *
     * Single-round canonicalization (a vector is dropped iff a smaller-id
     * neighbor exists) rather than full transitive closure — the standard
@@ -688,16 +704,19 @@ object Dedup {
     */
   def semanticDedup(
       embeddings: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
-      nClusters: Int = 16, threshold: Double = 0.95, seed: Long = 42L,
+      nClusters: Int = 0, threshold: Double = 0.95, seed: Long = 42L,
       fitSampleFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val k =
+      if (nClusters > 0) nClusters
+      else Similarity.autoNLists(embeddings.count())
     val featured = embeddings.select(col(idCol), col(vecCol))
       .withColumn("__v", array_to_vector(col(vecCol)))
     val fitInput =
       if (fitSampleFraction >= 1.0) featured
       else featured.sample(withReplacement = false, fitSampleFraction, seed)
-    val model = new KMeans().setK(nClusters).setSeed(seed)
+    val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(featured)
       .select(col(idCol), col(vecCol), col("__cell"))

@@ -191,12 +191,39 @@ object Similarity {
     def close(): Unit = { assigned.unpersist(false); () }
   }
 
+  /** Corpus-size-derived list/cluster count for the coarse quantizers
+    * ([[ivfFit]] nLists, `Dedup.semanticDedup` nClusters): the smallest
+    * k that keeps expected cell occupancy at or under
+    * `targetOccupancy`, floored at 16 (a toy corpus gains nothing from
+    * fewer) and capped at 65536 (a Spark KMeans with more centroids
+    * than that is the wrong tool — past the cap, occupancy grows again
+    * and a two-level / hierarchical coarse quantizer is the real
+    * answer, which is out of scope here and documented instead).
+    *
+    * Why occupancy is the control variable: within-cell verification
+    * work is occupancy² per cell ⇒ n·occupancy/2 total — LINEAR in
+    * corpus size when occupancy is pinned, vs the quadratic n²/k of a
+    * fixed k. 256 keeps a cell's pair block at ~32k cosines (a small
+    * task) while keeping k = n/256 low enough that the sampled KMeans
+    * fit (FAISS trains on ~30–256 vectors per centroid) stays
+    * tractable until the cap.
+    */
+  def autoNLists(n: Long, targetOccupancy: Int = 256): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val k = (n + targetOccupancy - 1) / targetOccupancy
+    math.min(65536L, math.max(16L, k)).toInt
+  }
+
   /** Fits the IVF coarse quantizer and assigns every corpus row to its
     * cell. Run ONCE per corpus; reuse the returned index across query
     * batches (r2 re-ran this inside every query invocation — the
     * scale-killer this split removes). `assigned` comes back UNPERSISTED;
     * a caller that persists it for probe reuse owns the matching
     * `unpersist` — see [[IvfIndex.close]].
+    *
+    * `nLists <= 0` derives the list count from the corpus row count via
+    * [[autoNLists]] (one count() against the corpus — metadata-cheap on
+    * parquet sources).
     */
   def ivfFit(
       corpus: DataFrame,
@@ -209,13 +236,14 @@ object Similarity {
       "fitSampleFraction must be in (0, 1]")
     val featured = corpus.select(col(idCol), col(vecCol))
       .withColumn("__v", array_to_vector(col(vecCol)))
+    val k = if (nLists > 0) nLists else autoNLists(corpus.count())
     // At 100 TB the KMeans fit must run on a sample — centroid quality
     // converges long before the full corpus is seen (FAISS trains IVF on
     // ~{30-256}×nLists vectors); assignment still covers every row.
     val fitInput =
       if (fitSampleFraction >= 1.0) featured
       else featured.sample(withReplacement = false, fitSampleFraction, seed)
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val model = new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol("__v").setPredictionCol("__cell").fit(fitInput)
     val assigned = model.transform(featured)
       .select(col(idCol), col(vecCol), col("__cell"))

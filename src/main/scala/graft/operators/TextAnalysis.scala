@@ -21,7 +21,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "je"),
     "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "ser", "se", "no"))
 
-  private def lit(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** SQL single-quoted string literal with '' escaping — shadows
+    * functions.lit on String args by design (use `flit` for a Column
+    * literal). Quote-safe in both Spark SQL and DuckDB, so query terms
+    * containing a single quote cannot break or alter the expression.
+    */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Whitespace tokens of a text column (lower-cased). */
   def tokensExpr(text: String): String =
@@ -73,7 +78,7 @@ object TextAnalysis {
   private[operators] def withLangPred(docs: DataFrame, textCol: String): DataFrame = {
     val toks = tokensExpr(textCol)
     val scores = profiles.map { case (l, words) =>
-      s"size(filter($toks, t -> t IN (${words.map(lit).mkString(", ")})))" -> l
+      s"size(filter($toks, t -> t IN (${words.map(sqlStr).mkString(", ")})))" -> l
     }
     val g = s"greatest(${scores.map(_._1).mkString(", ")})"
     val cases = scores.map { case (s, l) => s"WHEN $s = __g THEN '$l'" }.mkString(" ")
@@ -456,7 +461,7 @@ object TextAnalysis {
     require(terms.nonEmpty, "at least one query term required")
     val toks = tokensExpr(textCol)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"size(filter($toks, t -> t = ${lit(t)})) AS __tf$i"
+      s"size(filter($toks, t -> t = ${sqlStr(t)})) AS __tf$i"
     }
     val base = docs.selectExpr(
       Seq("doc_id", s"size($toks) AS __dl") ++ tfCols: _*)
@@ -686,8 +691,6 @@ object TextAnalysis {
     * shuffle as a two-phase partial agg.
     */
   def domainStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    // fully-qualified lit: this object's private string-quoting lit(…)
-    // shadows org.apache.spark.sql.functions.lit
     val flit = org.apache.spark.sql.functions.lit _
     docs
       .select(col("doc_id"),

@@ -41,6 +41,31 @@ class VecFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rows.find(_.getLong(0) == 1L).get.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("length mismatch throws loudly in codegen AND interpreted paths") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val bad = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    for (wsc <- Seq("true", "false")) {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", wsc)
+      try {
+        val eF = intercept[Exception] {
+          bad.select(expr("vec_cosine(a, b)")).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(eF).exists(_.contains("length mismatch")),
+          s"wholeStage=$wsc: expected named mismatch error, got $eF")
+        val eI = intercept[Exception] {
+          bad.select(expr("vec_cosine_i8(vec_quantize_q8(a), vec_quantize_q8(b))"))
+            .collect()
+        }
+        assert(msgs(eI).exists(_.contains("length mismatch")),
+          s"wholeStage=$wsc: expected named i8 mismatch error, got $eI")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     GraftFunctions.register(spark)
     val withCodegen = vecs.select(expr("vec_cosine(a, b)")).collect().map(_.getDouble(0))

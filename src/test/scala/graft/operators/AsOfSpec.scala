@@ -155,6 +155,29 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asOfJoin NULL timestamps never match in any direction") {
+    import spark.implicits._
+    // a null-rightTs row would sort first under asc (backward pass) and
+    // a null-leftTs row would sort last under desc (forward pass) — both
+    // must be unmatched, like DuckDB ASOF's NULL comparison
+    val dim = Seq((Some("a"), Option(ts(10)), 1L),
+      (Some("a"), Option.empty[java.sql.Timestamp], 99L))
+      .toDF("k", "ts", "v")
+    val fact = Seq((Some("a"), Option(ts(10)), "ok"),
+      (Some("a"), Option.empty[java.sql.Timestamp], "nullts"))
+      .toDF("k", "ts", "name")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = AsOf.asOfJoin(fact, dim, on = Seq("k"),
+        direction = dir)
+        .collect().map(r => r.getAs[String]("name") ->
+          Option(r.getAs[java.lang.Long]("v"))).toMap
+      assert(out("ok").contains(1L),
+        s"direction=$dir: the valid row must still match the valid right row")
+      assert(out("nullts").isEmpty,
+        s"direction=$dir: a null-leftTs row must come back unmatched")
+    }
+  }
+
   test("rangeJoin guards the explode factor with a named error") {
     import spark.implicits._
     // a year-long interval at 1-second buckets = ~31.5M bucket rows from

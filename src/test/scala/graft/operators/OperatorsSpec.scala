@@ -340,6 +340,47 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("autoNLists pins occupancy at/under target between floor and cap") {
+    import graft.operators.Similarity.autoNLists
+    for (n <- Seq(0L, 1L, 500L, 2000L, 4096L, 20000L, 1000000L, 100000000L)) {
+      val k = autoNLists(n)
+      assert(k >= 16 && k <= 65536, s"n=$n: k=$k outside [16, 65536]")
+      // occupancy bound holds whenever the cap is not binding
+      if (k < 65536)
+        assert(n.toDouble / k <= 256.0, s"n=$n: occupancy ${n.toDouble / k} > 256")
+      // never over-shard: k is the SMALLEST such k (above the floor)
+      if (k > 16) assert(n.toDouble / (k - 1) > 256.0,
+        s"n=$n: k=$k is not minimal")
+    }
+    // driver fixtures stay at the floor => the oracle-gated driver row's
+    // clustering is unchanged by the adaptive default
+    assert(autoNLists(500L) == 16 && autoNLists(2000L) == 16)
+    assert(autoNLists(20000L) == 79)
+    assert(autoNLists(100000000L) == 65536, "cap binds at 1e8 vectors")
+  }
+
+  test("semanticDedup clustered drop set is a SUBSET of the exact all-pairs drop set") {
+    // coarse-quantizer recall loss must be one-sided: clustering can only
+    // MISS dups (within-cell candidates ⊆ all pairs), never mint new ones
+    val vecs = clusteredVecs(60, 64, 6, noise = 0.05, seed = 11)
+    def droppedOf(out: org.apache.spark.sql.DataFrame): Set[Long] =
+      out.collect().filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
+    def droppedAt(k: Int): Set[Long] =
+      droppedOf(Dedup.semanticDedup(vecDf(vecs), nClusters = k, threshold = 0.9))
+    // exact = all pairs in ONE cell
+    val exact = droppedOf(Dedup.semanticDedupFromCells(
+      vecDf(vecs).withColumn("__cell", org.apache.spark.sql.functions.lit(0)),
+      threshold = 0.9))
+    assert(exact.nonEmpty, "fixture must plant at least one semantic dup")
+    for (k <- Seq(4, 8, 16))
+      assert(droppedAt(k).subsetOf(exact),
+        s"k=$k dropped ids outside the exact drop set")
+    // the adaptive default (nClusters <= 0) routes through autoNLists
+    val auto = Dedup.semanticDedup(vecDf(vecs), threshold = 0.9)
+      .collect().filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(auto.subsetOf(exact))
+  }
+
   test("lineDedup strips corpus-frequent lines, preserves order, keeps empty docs") {
     val corpus = docsDf(Seq(
       (1L, "unique alpha\nSHARED FOOTER\nunique beta"),
