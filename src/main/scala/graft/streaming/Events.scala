@@ -318,19 +318,25 @@ object Events {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
     copyParquetInto(eventsParquet, dir, "events")
     if (closeSentinel) withNanosAsLong(spark) {
-      val raw = spark.read.parquet(eventsParquet) // ts: LONG nanoseconds
-      require(raw.schema("ts").dataType == org.apache.spark.sql.types.LongType,
-        s"sentinel staging expects nanosecond-LONG ts (nanosAsLong), got " +
-          raw.schema("ts").dataType)
+      // ts arrives as LONG nanos (TIMESTAMP(NANOS) source under
+      // nanosAsLong — the driver fixtures) or as TimestampType (a
+      // micros-written source like the regenerated sf1 fixture, which
+      // nanosAsLong does not affect); the sentinel must carry the SAME
+      // representation so the staged directory reads under one schema
+      val raw = spark.read.parquet(eventsParquet)
       val maxRow = raw.agg(max("ts")).head()
       require(!maxRow.isNullAt(0), s"cannot stage a close sentinel for an " +
         s"empty events source: $eventsParquet")
-      val maxTs = maxRow.getLong(0)
-      val tenDaysNs = 10L * 24 * 3600 * 1000 * 1000 * 1000
+      val tenDaysMs = 10L * 24 * 3600 * 1000
+      val sentinelTs =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          lit(maxRow.getLong(0) + tenDaysMs * 1000000L) // nanos
+        else lit(new java.sql.Timestamp(
+          maxRow.getTimestamp(0).getTime + tenDaysMs))
       val sentinels = raw.select("user_id").distinct()
         .select(
           lit(-1L).as("event_id"),
-          lit(maxTs + tenDaysNs).as("ts"),
+          sentinelTs.as("ts"),
           col("user_id"),
           lit("__close").as("event_type"),
           lit(0.0).as("value"),

@@ -191,6 +191,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("multibatch_hourly")
   }
 
+  test("stream-stream attribution join state EXPIRES as the watermark advances") {
+    // The scale claim behind attributionJoinStream is that the watermark +
+    // time-range condition keep click state BOUNDED — but on a bounded
+    // single-batch run, unbounded state would look identical. Here the
+    // 30-day fixture streams as 8 time-ordered micro-batches; each batch's
+    // watermark (max event time - 1h) is ~3.7 days past the previous
+    // one, so clicks older than watermark + 30min must leave the state
+    // store: numRowsRemoved > 0 and numRowsTotal must DROP from its
+    // running peak — while the emitted inner-join rows still equal the
+    // batch oracle exactly.
+    val dir = stageChunkedDir(nChunks = 8, withSentinel = false)
+    val ck = Files.createTempDirectory("graftattr_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.attributionJoinStream(stream).writeStream
+      .format("memory").queryName("attr_expiry")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val progress = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .sortBy(_.batchId)
+    assert(progress.map(_.batchId).distinct.length >= 3,
+      s"need >= 3 stateful micro-batches, saw ${progress.map(_.batchId).distinct}")
+    val totals = progress.map(p => p.batchId ->
+      p.stateOperators.map(_.numRowsTotal).sum)
+    val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    assert(removed > 0,
+      s"watermark never removed any join state rows: $totals")
+    // state must come DOWN from its peak, not monotonically accumulate
+    val peakIdx = totals.indexWhere(_._2 == totals.map(_._2).max)
+    val afterPeak = totals.drop(peakIdx + 1).map(_._2)
+    assert(afterPeak.nonEmpty && afterPeak.min < totals(peakIdx)._2,
+      s"state never dropped after its peak: $totals")
+    info(s"state rows per batch (total): ${totals.mkString(", ")}; removed=$removed")
+    // and the answer is still exactly the batch join
+    val got = spark.table("attr_expiry")
+    val batch = Events.attributionJoinBatch(events)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "multi-batch stream-stream join must equal the batch join exactly")
+    spark.catalog.dropTempView("attr_expiry")
+  }
+
   test("stageStreamDir stages a DIRECTORY-shaped parquet source (Spark-written tables)") {
     // the driver fixture is a single pyarrow file, but real tables are
     // Spark-written DIRECTORIES of part files — a plain Files.copy stages

@@ -42,6 +42,9 @@ object GenScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/root/repo/testdata/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset for surgical re-gen
+    val tableFilter: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder().master("local[16]")
       .appName("graft-genscale")
       .config("spark.sql.shuffle.partitions", "16")
@@ -85,7 +88,8 @@ object GenScale {
     val vecSpan = span(embeddings, "vec_id")
 
     def write(df: DataFrame, t: String, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      if (tableFilter.forall(_.contains(t)))
+        df.repartition(files).write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     // fixed dimensions: copied once (TPC-H does not scale these)
     write(read("region"), "region", 1)
@@ -99,8 +103,14 @@ object GenScale {
     write(replicate(lineitem, Map(
       "l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
       "l_suppkey" -> suppSpan)), "lineitem", 16)
+    // ts comes in as LONG nanos (nanosAsLong read of the TIMESTAMP(NANOS)
+    // source); write it back as TIMESTAMP micros so the sf1 fixture binds
+    // against TIMESTAMP-typed DuckDB oracles the same way the driver SFs
+    // do (integer DIV — ns values exceed double's 2^53 mantissa)
     write(replicate(events, Map(
-      "event_id" -> eventSpan, "user_id" -> userSpan)), "events", 8)
+      "event_id" -> eventSpan, "user_id" -> userSpan))
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")),
+      "events", 8)
 
     // documents: per-replica token suffix ⇒ intra-replica dup structure
     // preserved, cross-replica jaccard 0; n_chars recomputed to match
