@@ -250,6 +250,29 @@ object SparkEntry {
     // corpus-level curation ops: vocabulary, salient terms, repetition
     // quality signals, data-mix report, stratified mixing
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
+    // heavy-hitter tokens: the emitted relation is the EXACT set (integer
+    // threshold arithmetic, fully hash-gated); `covered` gates the
+    // bounded-state freqItems sketch's no-false-negatives guarantee
+    // in-plan (the q_approx_bounds envelope pattern). invSupport=60 puts
+    // the sf fixtures' threshold inside the token-count range.
+    "q_heavy_hitters" -> ((s, dir) =>
+      Stats.heavyHitters(TextAnalysis.tokenPairs(docs(s, dir)), "token", 60L)),
+    // per-dimension embedding stats in exact fixed point: micro-unit
+    // sums/sums-of-squares in DECIMAL(38,0) (a double sum over 1e11
+    // floats is partitioning-dependent; these are not), mean derived by
+    // identical double arithmetic in both engines
+    "q_embed_dim_stats" -> ((s, dir) =>
+      Stats.embeddingDimStats(embeds(s, dir))),
+    // grouped Pearson correlation from exact DECIMAL moments — corr()
+    // built-ins sum doubles in partition order and are not reproducible;
+    // the five integer moments are, and r derives from them in lockstep
+    // double arithmetic (see Stats.groupedCorrelation)
+    "q_grouped_corr" -> ((s, dir) =>
+      Stats.groupedCorrelation(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag"),
+        "CAST(round(l_quantity * 100) AS LONG)",
+        "CAST(round(l_extendedprice * 100) AS LONG)")),
     // headMinDf/headMinTf below are joinTokenTotals' frequency-routing
     // knob (broadcast head vs shuffled tail) — it never changes answers.
     // 10 splits the sf0.01 fixture vocabulary, so the oracle exercises

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators built on EXACT fixed-point aggregation:
+  * every compared value is either an integer (micro-/cent-quantized
+  * before summation, aggregated in DECIMAL(38,0)) or a double derived
+  * from those exact integers by an identical expression in both engines —
+  * the [[TextAnalysis.unigramSurprise]] determinism discipline, extended
+  * to second moments. Floating-point SUMS never happen, so results are
+  * partitioning-, order-, and engine-independent.
+  */
+object Stats {
+
+  /** Heavy hitters over a key column, cross-checked in-plan against
+    * Spark's bounded-state frequent-items sketch.
+    *
+    * The EXACT side is the emitted relation: every key whose occurrence
+    * count exceeds total/invSupport — the threshold comparison is
+    * `cnt * invSupport > total` in 64-bit integers, so there is no
+    * floating-point boundary for engines to disagree on. Two-phase
+    * aggregation (map-side combine) + a 1-row broadcast total, the
+    * [[TextAnalysis.bm25Rank]] corpus-stats shape: one data shuffle
+    * bounded by the distinct-key space, never a global sort.
+    *
+    * The SKETCH side is `DataFrame.stat.freqItems` (the Karp et al.
+    * one-pass majority generalization): per-partition candidate maps of
+    * at most invSupport entries, merged associatively — state is bounded
+    * by the knob, not the key space, which is what a 100 TB single-pass
+    * profile runs. Its guarantee is one-sided — every key with
+    * cnt * invSupport > total IS returned (false positives possible,
+    * false negatives impossible) — so each emitted exact row carries
+    * `covered` = sketch membership, and the guarantee forces TRUE: the
+    * oracle-gated envelope (q_heavy_hitters), same pattern as
+    * q_approx_bounds / q_quantile_bounds.
+    *
+    * The driver materializes the sketch set (≤ invSupport strings) — the
+    * same bounded, intentional driver-side footprint as the IVF
+    * centroids.
+    */
+  def heavyHitters(
+      pairs: DataFrame, keyCol: String, invSupport: Long = 200L): DataFrame = {
+    require(invSupport >= 2, "invSupport must be >= 2 (support <= 0.5)")
+    val sketch: Seq[String] =
+      pairs.stat.freqItems(Seq(keyCol), 1.0 / invSupport.toDouble)
+        .head().getSeq[String](0)
+    val counts = pairs.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val covered =
+      if (sketch.isEmpty) lit(false) else col(keyCol).isInCollection(sketch)
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(invSupport) > col("__total"))
+      .select(col(keyCol), col("cnt"), covered.as("covered"))
+  }
+
+  /** Per-dimension statistics of an embedding column (`ARRAY<FLOAT>`) —
+    * the normalization / whitening precursor every embedding pipeline
+    * computes before centering or scaling vectors.
+    *
+    * Each component is quantized to integer micro-units
+    * (round(v * 1e6), the cents discipline) BEFORE aggregation; sums and
+    * sums-of-squares aggregate in DECIMAL — exact, so the result is
+    * independent of partitioning and engine (a double sum over 1e11
+    * floats is neither). The DECIMAL(38,0) output columns are the
+    * scale-stable values; `mean` is derived from them by identical
+    * double arithmetic in both engines. Inputs quantize at DECIMAL(19,0)
+    * so the square stays inside both engines' 38-digit multiply rule.
+    *
+    * Plan: posexplode (fan-out = dim, a constant per row) → ONE
+    * two-phase aggregation on a key space of exactly `dim` groups —
+    * map-side combine reduces each task to dim partial rows, so the
+    * shuffle is O(partitions × dim) regardless of corpus size.
+    */
+  def embeddingDimStats(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"),
+        expr("CAST(round(CAST(__v AS DOUBLE) * 1000000) AS DECIMAL(19,0))").as("__u"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(sum(__u) AS DECIMAL(38,0))").as("sum_micro"),
+        expr("CAST(sum(__u * __u) AS DECIMAL(38,0))").as("sumsq_micro"),
+        expr("CAST(min(__u) AS BIGINT)").as("min_micro"),
+        expr("CAST(max(__u) AS BIGINT)").as("max_micro"))
+      .withColumn("mean",
+        expr("round(CAST(sum_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)"))
+
+  /** Grouped Pearson correlation from exact fixed-point moments — the
+    * feature-correlation profile (does quantity predict price?) computed
+    * the way it must be at 100 TB: `corr()` built-ins accumulate doubles
+    * in partition order, so two runs of the same query can disagree in
+    * the last ulps; here the five moments (Σx, Σy, Σx², Σy², Σxy)
+    * aggregate as exact DECIMAL(38,0) integers in ONE two-phase pass,
+    * and r is derived from them by an identical double expression in
+    * both engines — bit-reproducible, hash-gated (q_grouped_corr).
+    *
+    * `xCol`/`yCol` must be integer-valued expressions (quantize to cents
+    * first — same contract as every `*_cents` column in the suite); they
+    * stage at DECIMAL(19,0) so cross-products stay inside the 38-digit
+    * multiply rule. One shuffle, bounded by the group-key space.
+    */
+  def groupedCorrelation(
+      df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val staged = df.select(
+      groupCols.map(col) ++ Seq(
+        expr(s"CAST($xCol AS DECIMAL(19,0))").as("__x"),
+        expr(s"CAST($yCol AS DECIMAL(19,0))").as("__y")): _*)
+    staged.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(sum(__x) AS DECIMAL(38,0))").as("sum_x"),
+        expr("CAST(sum(__y) AS DECIMAL(38,0))").as("sum_y"),
+        expr("CAST(sum(__x * __x) AS DECIMAL(38,0))").as("sum_xx"),
+        expr("CAST(sum(__y * __y) AS DECIMAL(38,0))").as("sum_yy"),
+        expr("CAST(sum(__x * __y) AS DECIMAL(38,0))").as("sum_xy"))
+      // identical association order on both engines: each exact DECIMAL
+      // casts to the same nearest double, then the same IEEE ops in the
+      // same order give the same bits — keep this expression in lockstep
+      // with the oracle SQL (SparkEntry.q_grouped_corr)
+      .withColumn("corr",
+        expr("""round(
+            (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+              - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)), 6)"""))
+  }
+}
