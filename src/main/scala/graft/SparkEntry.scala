@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Json, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Json, Multimodal, Packing, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 
