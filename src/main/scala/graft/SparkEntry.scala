@@ -261,18 +261,35 @@ object SparkEntry {
     // sums/sums-of-squares in DECIMAL(38,0) (a double sum over 1e11
     // floats is partitioning-dependent; these are not), mean derived by
     // identical double arithmetic in both engines
+    // DECIMAL(38,0) moments render as VARCHAR for the harness (the
+    // q_part_decimal *_str discipline): sumsq exceeds BIGINT past ~1e11
+    // vectors, so the exact value crosses the gate as digits, not as a
+    // lossy double.
     "q_embed_dim_stats" -> ((s, dir) =>
-      Stats.embeddingDimStats(embeds(s, dir))),
+      Stats.embeddingDimStats(embeds(s, dir)).selectExpr(
+        "dim", "n",
+        "CAST(sum_micro AS STRING) AS sum_micro_str",
+        "CAST(sumsq_micro AS STRING) AS sumsq_micro_str",
+        "min_micro", "max_micro", "mean")),
     // grouped Pearson correlation from exact DECIMAL moments — corr()
     // built-ins sum doubles in partition order and are not reproducible;
     // the five integer moments are, and r derives from them in lockstep
     // double arithmetic (see Stats.groupedCorrelation)
+    // The five exact moments cross the gate as VARCHAR digits (sum_yy
+    // overflows BIGINT past ~sf0.1); r stays a lockstep-derived double.
     "q_grouped_corr" -> ((s, dir) =>
       Stats.groupedCorrelation(
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_returnflag"),
         "CAST(round(l_quantity * 100) AS LONG)",
-        "CAST(round(l_extendedprice * 100) AS LONG)")),
+        "CAST(round(l_extendedprice * 100) AS LONG)").selectExpr(
+        "l_returnflag", "n",
+        "CAST(sum_x AS STRING) AS sum_x_str",
+        "CAST(sum_y AS STRING) AS sum_y_str",
+        "CAST(sum_xx AS STRING) AS sum_xx_str",
+        "CAST(sum_yy AS STRING) AS sum_yy_str",
+        "CAST(sum_xy AS STRING) AS sum_xy_str",
+        "corr")),
     // headMinDf/headMinTf below are joinTokenTotals' frequency-routing
     // knob (broadcast head vs shuffled tail) — it never changes answers.
     // 10 splits the sf0.01 fixture vocabulary, so the oracle exercises
@@ -1997,5 +2014,68 @@ object SparkEntry {
           min(ts) AS session_start, max(ts) AS session_end,
           count(*) AS n_events,
           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-        FROM s GROUP BY user_id, session_seq""")
+        FROM s GROUP BY user_id, session_seq""",
+    // Stats family. q_heavy_hitters is FULLY hash-gated even though it
+    // consults a sketch: the emitted relation is the exact integer-
+    // threshold set, and freqItems' no-false-negative guarantee forces
+    // `covered` to TRUE for every exact hitter — so the oracle asserts
+    // the constant (the q_approx_bounds envelope pattern, folded into
+    // one row).
+    "q_heavy_hitters" ->
+      """WITH tk AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+                        t -> t != '')) AS token
+          FROM documents),
+        c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM c)
+        SELECT token, CAST(cnt AS BIGINT) AS cnt, TRUE AS covered
+        FROM c, t WHERE cnt * 60 > total""",
+    // Exact fixed-point moments (micro-units in DECIMAL) — identical
+    // quantize-then-sum arithmetic on both engines; `mean` derived from
+    // the exact sums by the same double expression.
+    "q_embed_dim_stats" ->
+      """WITH ex AS (
+          SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS DECIMAL(19,0)) AS um
+          FROM embeddings)
+        SELECT dim, count(*) AS n,
+          CAST(CAST(sum(um) AS DECIMAL(38,0)) AS VARCHAR) AS sum_micro_str,
+          CAST(CAST(sum(um * um) AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_micro_str,
+          CAST(min(um) AS BIGINT) AS min_micro,
+          CAST(max(um) AS BIGINT) AS max_micro,
+          round(CAST(CAST(sum(um) AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS mean
+        FROM ex GROUP BY 1""",
+    // Pearson r from the five exact DECIMAL moments; the corr expression
+    // is kept in LOCKSTEP with Stats.groupedCorrelation — same casts,
+    // same association order, same rounding.
+    "q_grouped_corr" ->
+      """WITH st AS (
+          SELECT l_returnflag,
+            CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(19,0)) AS x,
+            CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0)) AS y
+          FROM lineitem),
+        m AS (
+          SELECT l_returnflag, count(*) AS n,
+            CAST(sum(x) AS DECIMAL(38,0)) AS sum_x,
+            CAST(sum(y) AS DECIMAL(38,0)) AS sum_y,
+            CAST(sum(x * x) AS DECIMAL(38,0)) AS sum_xx,
+            CAST(sum(y * y) AS DECIMAL(38,0)) AS sum_yy,
+            CAST(sum(x * y) AS DECIMAL(38,0)) AS sum_xy
+          FROM st GROUP BY 1)
+        SELECT l_returnflag, n,
+          CAST(sum_x AS VARCHAR) AS sum_x_str,
+          CAST(sum_y AS VARCHAR) AS sum_y_str,
+          CAST(sum_xx AS VARCHAR) AS sum_xx_str,
+          CAST(sum_yy AS VARCHAR) AS sum_yy_str,
+          CAST(sum_xy AS VARCHAR) AS sum_xy_str,
+          round(
+            (CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)
+              - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+            / sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
+              - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)), 6) AS corr
+        FROM m""")
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.math.{BigDecimal => JBigDecimal}
+
+/** Stats family: heavy hitters (exact set + sketch coverage), exact
+  * fixed-point embedding moments, grouped Pearson from DECIMAL moments.
+  */
+class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stats-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pairsDf(rows: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rows).toDF("k")
+  }
+
+  // ---------------------------------------------------------- heavyHitters
+
+  test("heavyHitters emits exactly the above-threshold keys, all covered") {
+    // 100 rows: "a"×40, "b"×25, "c"×20, 15 singletons. invSupport=5
+    // (support 20%) → threshold cnt*5 > 100 ⇒ cnt > 20: a and b qualify,
+    // c (exactly 20% — strict inequality) does not.
+    val rows = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(20)("c") ++
+      (1 to 15).map(i => s"s$i")
+    val out = Stats.heavyHitters(pairsDf(rows), "k", invSupport = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("a", 40L), ("b", 25L)))
+    // freqItems' no-false-negative guarantee: every exact hitter is covered
+    assert(out.forall(_._3))
+  }
+
+  test("heavyHitters threshold is integer-exact (no float boundary)") {
+    // 6 rows, invSupport=3: threshold cnt*3 > 6 ⇒ cnt >= 3. "x"×3 is
+    // above (9 > 6); "y"×2 (6 > 6 false) is not.
+    val out = Stats.heavyHitters(
+      pairsDf(Seq("x", "x", "x", "y", "y", "z")), "k", invSupport = 3L)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("x"))
+  }
+
+  test("heavyHitters rejects invSupport < 2") {
+    intercept[IllegalArgumentException] {
+      Stats.heavyHitters(pairsDf(Seq("a")), "k", invSupport = 1L)
+    }
+  }
+
+  // ------------------------------------------------------ embeddingDimStats
+
+  test("embeddingDimStats computes exact micro-unit moments per dim") {
+    import spark.implicits._
+    val emb = spark.createDataset(Seq(
+      (1L, Seq(1.0f, -0.5f)),
+      (2L, Seq(3.0f, 0.25f)),
+      (3L, Seq(-2.0f, 0.75f)))).toDF("id", "embedding")
+    val r = Stats.embeddingDimStats(emb).orderBy("dim").collect()
+    assert(r.length == 2)
+    // dim 0: micro units 1e6, 3e6, -2e6 → sum 2e6, sumsq 14e12
+    assert(r(0).getAs[Long]("n") == 3L)
+    assert(r(0).getAs[JBigDecimal]("sum_micro").longValueExact == 2000000L)
+    assert(r(0).getAs[JBigDecimal]("sumsq_micro").longValueExact == 14000000000000L)
+    assert(r(0).getAs[Long]("min_micro") == -2000000L)
+    assert(r(0).getAs[Long]("max_micro") == 3000000L)
+    assert(math.abs(r(0).getAs[Double]("mean") - 0.666667) < 1e-9)
+    // dim 1: -0.5, 0.25, 0.75 → sum 0.5e6
+    assert(r(1).getAs[JBigDecimal]("sum_micro").longValueExact == 500000L)
+  }
+
+  test("embeddingDimStats moments are partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, Seq(i * 0.001f, -i * 0.002f)))
+    val emb1 = spark.createDataset(rows).toDF("id", "embedding").repartition(1)
+    val emb7 = spark.createDataset(rows).toDF("id", "embedding").repartition(7)
+    val a = Stats.embeddingDimStats(emb1).orderBy("dim")
+      .collect().map(_.toString).toSeq
+    val b = Stats.embeddingDimStats(emb7).orderBy("dim")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------ groupedCorrelation
+
+  test("groupedCorrelation matches closed-form r on exact integers") {
+    import spark.implicits._
+    // group g: y = 2x exactly → r = 1; group h: y = -x → r = -1
+    val df = spark.createDataset(Seq(
+      ("g", 1L, 2L), ("g", 2L, 4L), ("g", 3L, 6L),
+      ("h", 1L, -1L), ("h", 2L, -2L), ("h", 5L, -5L))).toDF("grp", "x", "y")
+    val r = Stats.groupedCorrelation(df, Seq("grp"), "x", "y")
+      .orderBy("grp").collect()
+    assert(r(0).getAs[Double]("corr") == 1.0)
+    assert(r(1).getAs[Double]("corr") == -1.0)
+    // exact moments for g: Σx=6, Σy=12, Σxx=14, Σyy=56, Σxy=28
+    assert(r(0).getAs[JBigDecimal]("sum_xy").longValueExact == 28L)
+    assert(r(0).getAs[JBigDecimal]("sum_yy").longValueExact == 56L)
+  }
+
+  test("groupedCorrelation agrees with Spark's corr() to float tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { i =>
+      val x = rnd.nextInt(1000).toLong
+      ("g", x, x * 3 + rnd.nextInt(200).toLong)
+    }
+    val df = spark.createDataset(rows).toDF("grp", "x", "y")
+    val exact = Stats.groupedCorrelation(df, Seq("grp"), "x", "y")
+      .collect()(0).getAs[Double]("corr")
+    val builtin = df.agg(corr(col("x").cast("double"), col("y").cast("double")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(exact - builtin) < 1e-6)
+  }
+}
