@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Json, Multimodal, Packing, Similarity, Stats, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Features, Json, Multimodal, Packing, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 
@@ -290,6 +290,29 @@ object SparkEntry {
         "CAST(sum_yy AS STRING) AS sum_yy_str",
         "CAST(sum_xy AS STRING) AS sum_xy_str",
         "corr")),
+    // per-user rolling event-time features: trailing-hour count/sum in
+    // exact cents, previous-value lag, inter-event gap in micros — the
+    // RANGE frame orders by ts alone (peers included ⇒ tie-deterministic),
+    // the lag window by (ts, event_id) (total order); both share one
+    // user-key shuffle (see Features.rollingEventFeatures)
+    "q_rolling_features" -> ((s, dir) =>
+      Features.rollingEventFeatures(events(s, dir), windowSecs = 3600L)),
+    // categorical drift between the even/odd doc_id halves over `source`:
+    // exact per-key counts + a lockstep-derived chi-square contribution
+    // (the two halves of one fixture are a null-hypothesis pair — the
+    // oracle gates the arithmetic, not a planted drift)
+    "q_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Stats.categoricalDrift(
+        d.filter(expr("doc_id % 2 = 0")),
+        d.filter(expr("doc_id % 2 = 1")), "source")
+    }),
+    // quality-threshold filter: keep the top 20% of documents by n_chars,
+    // ties included — cutoff selected on the score histogram, the corpus
+    // itself never sorted or windowed (see Stats.topFraction)
+    "q_top_fraction" -> ((s, dir) =>
+      Stats.topFraction(docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "n_chars", 0.2).select("doc_id", "n_chars")),
     // headMinDf/headMinTf below are joinTokenTotals' frequency-routing
     // knob (broadcast head vs shuffled tail) — it never changes answers.
     // 10 splits the sf0.01 fixture vocabulary, so the oracle exercises
@@ -2077,5 +2100,67 @@ object SparkEntry {
               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
             / sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
               - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)), 6) AS corr
-        FROM m""")
+        FROM m""",
+    // RANGE frame ordered by the bare micros (peers included — SQL RANGE
+    // CURRENT ROW means "last peer", identical in both engines); the lag
+    // window totally ordered by (us, event_id). DuckDB's sum(BIGINT) is
+    // HUGEINT — cast back so both sides render as int64.
+    "q_rolling_features" ->
+      """WITH e AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events)
+        SELECT event_id, user_id, value_cents,
+          count(*) OVER w_range AS roll_n,
+          CAST(sum(value_cents) OVER w_range AS BIGINT) AS roll_cents,
+          lag(value_cents) OVER w_row AS prev_cents,
+          us - lag(us) OVER w_row AS gap_us
+        FROM e
+        WINDOW
+          w_range AS (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+          w_row AS (PARTITION BY user_id ORDER BY us, event_id)""",
+    // chi-square contribution kept in LOCKSTEP with
+    // Stats.categoricalDrift — same casts, association order, rounding
+    "q_drift" ->
+      """WITH a AS (
+          SELECT source, count(*) AS n_a FROM documents
+          WHERE doc_id % 2 = 0 GROUP BY 1),
+        b AS (
+          SELECT source, count(*) AS n_b FROM documents
+          WHERE doc_id % 2 = 1 GROUP BY 1),
+        j AS (
+          SELECT COALESCE(a.source, b.source) AS source,
+            COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM a FULL OUTER JOIN b ON a.source = b.source),
+        t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j)
+        SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          round(
+            pow(CAST(n_a AS DOUBLE) - (CAST(n_a + n_b AS DOUBLE)
+              * CAST(tot_a AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE)), 2)
+            / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE))
+            + pow(CAST(n_b AS DOUBLE) - (CAST(n_a + n_b AS DOUBLE)
+              * CAST(tot_b AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE)), 2)
+            / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE)), 6) AS chi2_term
+        FROM j, t""",
+    // histogram-threshold top-fraction: cutoff = highest score whose
+    // from-the-top cumulative count reaches ceil(frac*n); ties kept
+    "q_top_fraction" ->
+      """WITH h AS (
+          SELECT CAST(n_chars AS BIGINT) AS score, count(*) AS cnt
+          FROM documents GROUP BY 1),
+        c AS (
+          SELECT score, sum(cnt) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM h),
+        n AS (SELECT sum(cnt) AS total FROM h),
+        k AS (
+          SELECT max(score) AS cutoff FROM c, n
+          WHERE cum >= CAST(ceil(0.2 * CAST(total AS DOUBLE)) AS BIGINT))
+        SELECT doc_id, n_chars FROM documents, k
+        WHERE CAST(n_chars AS BIGINT) >= cutoff""")
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time feature engineering over per-entity event streams — the
+  * rolling/lag primitives a feature store computes before training
+  * (trailing-window activity counts, inter-event gaps, previous-value
+  * lags).
+  */
+object Features {
+
+  /** Per-user rolling event-time features: trailing-window count/sum,
+    * previous-event lag, and inter-event gap.
+    *
+    * All compared values are exact integers: `value` quantizes to cents
+    * BEFORE any aggregation (the suite-wide `*_cents` discipline),
+    * timestamps compare as epoch micros — so the result is engine- and
+    * partitioning-independent and fully hash-gated (q_rolling_features).
+    *
+    * Two windows with DIFFERENT orderings, deliberately:
+    *  - the RANGE frame orders by the timestamp alone — SQL RANGE frames
+    *    include all peers of the current row, so tied timestamps get
+    *    identical (deterministic) rolling values regardless of their
+    *    physical order, in Spark and DuckDB alike;
+    *  - the lag/gap ROWS window orders by (ts, event_id) — a total
+    *    order, because `lag` over a tie-ambiguous ordering is
+    *    partitioning-dependent (round-2's nondeterminism lesson).
+    *
+    * Scale: both windows partition by the user key — per-partition state
+    * is one user's history, bounded by per-entity activity, the shape
+    * every feature store assumes (a pathological single-entity firehose
+    * needs the streaming path's watermarked state instead, or
+    * pre-bucketing by time; a window cannot AQE-split). One shuffle on
+    * the user key serves both windows — same partitioning, no second
+    * exchange.
+    */
+  def rollingEventFeatures(
+      events: DataFrame, windowSecs: Long = 3600L,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    require(windowSecs > 0, "windowSecs must be positive")
+    val staged = events.select(
+      col(idCol), col(userCol),
+      expr(s"unix_micros($tsCol)").as("__us"),
+      expr(s"CAST(round($valCol * 100) AS BIGINT)").as("value_cents"))
+    val wRange = Window.partitionBy(userCol).orderBy("__us")
+      .rangeBetween(-windowSecs * 1000000L, 0L)
+    val wRow = Window.partitionBy(userCol).orderBy("__us", idCol)
+    staged.select(
+      col(idCol), col(userCol), col("value_cents"),
+      count(lit(1)).over(wRange).as("roll_n"),
+      sum("value_cents").over(wRange).as("roll_cents"),
+      lag("value_cents", 1).over(wRow).as("prev_cents"),
+      (col("__us") - lag("__us", 1).over(wRow)).as("gap_us"))
+  }
+}

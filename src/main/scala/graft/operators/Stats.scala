@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators built on EXACT fixed-point aggregation:
@@ -127,5 +128,89 @@ object Stats {
               - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
             / sqrt(CAST(n AS DOUBLE) * CAST(sum_yy AS DOUBLE)
               - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)), 6)"""))
+  }
+
+  /** Categorical distribution drift between two corpus slices — the
+    * 2×K chi-square contingency decomposition a curation pipeline runs
+    * to detect mix shift between snapshots (did the `source`/`lang`
+    * distribution move between last month's crawl and this one?).
+    *
+    * Emits one row per key with the exact integer counts on both sides
+    * and that key's chi-square contribution
+    * `(n_a - e_a)²/e_a + (n_b - e_b)²/e_b` — the expected counts derive
+    * from the exact integer marginals by an identical double expression
+    * in both engines (the [[groupedCorrelation]] lockstep discipline),
+    * so the statistic is bit-reproducible and hash-gated (q_drift).
+    * Σ chi2_term over the output is the 2×K chi-square statistic with
+    * K−1 degrees of freedom.
+    *
+    * Plan: one two-phase count per slice (map-side combined, key-space
+    * bounded), a full-outer key join (zero-fill for keys absent on one
+    * side), and the four totals as a 1-row broadcast — no windows, no
+    * global sort, nothing driver-side.
+    */
+  def categoricalDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ca = a.groupBy(keyCol).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(keyCol).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      sum("n_a").as("__tot_a"), sum("n_b").as("__tot_b"))
+    joined.crossJoin(broadcast(totals))
+      // lockstep with the oracle SQL (SparkEntry.q_drift): same casts,
+      // same association order, same rounding
+      .withColumn("chi2_term", expr("""round(
+          pow(CAST(n_a AS DOUBLE) - (CAST(n_a + n_b AS DOUBLE)
+            * CAST(__tot_a AS DOUBLE)
+            / CAST(__tot_a + __tot_b AS DOUBLE)), 2)
+          / (CAST(n_a + n_b AS DOUBLE) * CAST(__tot_a AS DOUBLE)
+            / CAST(__tot_a + __tot_b AS DOUBLE))
+          + pow(CAST(n_b AS DOUBLE) - (CAST(n_a + n_b AS DOUBLE)
+            * CAST(__tot_b AS DOUBLE)
+            / CAST(__tot_a + __tot_b AS DOUBLE)), 2)
+          / (CAST(n_a + n_b AS DOUBLE) * CAST(__tot_b AS DOUBLE)
+            / CAST(__tot_a + __tot_b AS DOUBLE)), 6)"""))
+      .select(col(keyCol), col("n_a"), col("n_b"), col("chi2_term"))
+  }
+
+  /** Keep the top `frac` fraction of rows by an integer score, ties
+    * included — quality-threshold filtering ("keep the best 20% by
+    * quality score") computed WITHOUT a global sort.
+    *
+    * The cutoff is selected on the score HISTOGRAM: group by score
+    * (two-phase, key space = distinct scores — bounded by the
+    * integer-score contract, the same quantize-first discipline as every
+    * `*_cents` column), take the running count from the top, and the
+    * cutoff is the highest score whose cumulative count reaches
+    * `ceil(frac · n)`. Every row with score ≥ cutoff is kept — ties at
+    * the cutoff are all kept, so the result is a deterministic SET (no
+    * arbitrary tie-break), and `kept ≥ ceil(frac · n)` with the minimal
+    * such threshold. Exact integer comparisons only ⇒ hash-gated
+    * (q_top_fraction).
+    *
+    * Plan: histogram aggregation (map-side combined) → a running-sum
+    * window over the DISTINCT-score relation only (partition-less, but
+    * its input is the bounded histogram, never the corpus — the one
+    * place a partition-less window is safe at 100 TB) → 1-row cutoff
+    * broadcast → scan-parallel filter. The corpus itself is never
+    * sorted, shuffled, or windowed.
+    */
+  def topFraction(
+      df: DataFrame, scoreExpr: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val scored = df.withColumn("__score", expr(s"CAST($scoreExpr AS BIGINT)"))
+    val hist = scored.groupBy("__score").agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = hist
+      .withColumn("__cum", sum("__cnt").over(w))
+      .crossJoin(broadcast(hist.agg(sum("__cnt").as("__n"))))
+      .filter(expr(s"__cum >= CAST(ceil($frac * CAST(__n AS DOUBLE)) AS BIGINT)"))
+      .agg(max("__score").as("__cutoff"))
+    scored.crossJoin(broadcast(cutoff))
+      .filter(col("__score") >= col("__cutoff"))
+      .drop("__cutoff")
   }
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.sql.Timestamp
+
+class FeaturesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-features-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ev(rows: Seq[(Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (id, us, _, v) =>
+      (id, new Timestamp(us / 1000), us, v)
+    }).toDF("event_id", "ts", "__ignore", "value")
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "CAST(1 AS BIGINT) AS user_id", "value")
+  }
+
+  test("rollingEventFeatures: trailing window, lag, and gap are exact") {
+    import spark.implicits._
+    // one user; events at t=0s, 10s, 3610s (first falls out of the 1h
+    // window for the third), values 1.00, 2.50, 4.00
+    val df = spark.createDataset(Seq(
+      (1L, 0L, 1.00), (2L, 10L, 2.50), (3L, 3610L, 4.00)))
+      .toDF("event_id", "sec", "value")
+      .selectExpr("event_id", "timestamp_seconds(sec) AS ts",
+        "CAST(7 AS BIGINT) AS user_id", "value")
+    val r = Features.rollingEventFeatures(df, windowSecs = 3600L)
+      .orderBy("event_id").collect()
+    // t=0: window [−3600s, 0] → itself
+    assert(r(0).getAs[Long]("roll_n") == 1L)
+    assert(r(0).getAs[Long]("roll_cents") == 100L)
+    assert(r(0).isNullAt(r(0).fieldIndex("prev_cents")))
+    assert(r(0).isNullAt(r(0).fieldIndex("gap_us")))
+    // t=10s: both events in window
+    assert(r(1).getAs[Long]("roll_n") == 2L)
+    assert(r(1).getAs[Long]("roll_cents") == 350L)
+    assert(r(1).getAs[Long]("prev_cents") == 100L)
+    assert(r(1).getAs[Long]("gap_us") == 10000000L)
+    // t=3610s: only t=10s still inside [10s, 3610s]
+    assert(r(2).getAs[Long]("roll_n") == 2L)
+    assert(r(2).getAs[Long]("roll_cents") == 650L)
+    assert(r(2).getAs[Long]("prev_cents") == 250L)
+    assert(r(2).getAs[Long]("gap_us") == 3600000000L)
+  }
+
+  test("rollingEventFeatures: tied timestamps get identical rolling values") {
+    import spark.implicits._
+    // two events at the SAME instant: RANGE peers — both see both
+    val df = spark.createDataset(Seq(
+      (1L, 100L, 1.00), (2L, 100L, 2.00)))
+      .toDF("event_id", "sec", "value")
+      .selectExpr("event_id", "timestamp_seconds(sec) AS ts",
+        "CAST(7 AS BIGINT) AS user_id", "value")
+    val r = Features.rollingEventFeatures(df, windowSecs = 60L)
+      .orderBy("event_id").collect()
+    assert(r(0).getAs[Long]("roll_n") == 2L && r(1).getAs[Long]("roll_n") == 2L)
+    assert(r(0).getAs[Long]("roll_cents") == 300L)
+    assert(r(1).getAs[Long]("roll_cents") == 300L)
+    // lag is tie-broken by event_id: event 2 sees event 1, gap 0
+    assert(r(0).isNullAt(r(0).fieldIndex("prev_cents")))
+    assert(r(1).getAs[Long]("prev_cents") == 100L)
+    assert(r(1).getAs[Long]("gap_us") == 0L)
+  }
+
+  test("rollingEventFeatures: users are independent") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(
+      (1L, 5L, 0L, 1.00), (2L, 5L, 10L, 1.00), (3L, 9L, 10L, 1.00)))
+      .toDF("event_id", "user_id", "sec", "value")
+      .selectExpr("event_id", "user_id",
+        "timestamp_seconds(sec) AS ts", "value")
+    val r = Features.rollingEventFeatures(df, windowSecs = 3600L)
+      .orderBy("event_id").collect()
+    assert(r(2).getAs[Long]("roll_n") == 1L)   // user 9 sees only itself
+    assert(r(2).isNullAt(r(2).fieldIndex("prev_cents")))
+  }
+
+  test("rollingEventFeatures rejects non-positive windows") {
+    intercept[IllegalArgumentException] {
+      Features.rollingEventFeatures(ev(Seq((1L, 0L, "", 1.0))), windowSecs = 0L)
+    }
+  }
+}

@@ -72,6 +72,60 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         on = Seq("user_id"), direction = dir)) == 1, s"direction=$dir")
   }
 
+  test("rollingEventFeatures: both windows share ONE user-key exchange") {
+    val plan = Features.rollingEventFeatures(events).queryExecution
+      .executedPlan.toString
+    // two Window nodes (range frame + lag), but the same hashpartitioning
+    // (user_id) exchange feeds both — a second exchange means the lag
+    // window stopped reusing the range window's partitioning
+    assert(shuffles(Features.rollingEventFeatures(events)) == 1)
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 2)
+  }
+
+  test("categoricalDrift: join reuses groupBy partitioning; totals branch reuses the counts") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val even = docs.filter(expr("doc_id % 2 = 0"))
+    val odd = docs.filter(expr("doc_id % 2 = 1"))
+    val drift = Stats.categoricalDrift(even, odd, "source")
+    drift.collect() // materialize so AQE settles the final stage graph
+    val nodes = walk(drift.queryExecution.executedPlan)
+    // budget: one key exchange per slice's two-phase count (the full-outer
+    // join consumes the groupBy partitioning DIRECTLY — no re-exchange)
+    // + the 1-row totals SinglePartition; the totals branch's duplicated
+    // count subtrees must collapse to ReusedExchange, and totals attach
+    // as a broadcast, never a shuffle
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size == 3,
+      "budget: count(a) + count(b) + totals scalar")
+    assert(nodes.collect { case r: ReusedExchangeExec => r }.size == 2,
+      "totals branch must reuse both slice-count exchanges, not re-scan")
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "drift must not window anything")
+  }
+
+  test("topFraction: corpus is filtered, never sorted/windowed/shuffled") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val tf = Stats.topFraction(docs.select("doc_id", "n_chars"), "n_chars", 0.2)
+    tf.collect()
+    val nodes = walk(tf.queryExecution.executedPlan)
+    // every exchange feeds the HISTOGRAM branch (distinct-score relation):
+    // the two-phase score count, the cum-window SinglePartition, and the
+    // total-count SinglePartition (its duplicated histogram subtree must
+    // collapse to ReusedExchange); the corpus side is scan →
+    // broadcast-filter — a corpus-side sort or window here is the global
+    // top-N anti-pattern this operator exists to avoid
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size == 3,
+      "budget: score histogram + cum window + total scalar")
+    assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+      "total-count branch must reuse the histogram exchange")
+    val corpusWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if !w.child.toString.contains("HashAggregate") => w
+    }
+    assert(corpusWindows.isEmpty, "only the histogram may be windowed")
+    assert(nodes.exists(n => n.nodeName.contains("BroadcastNestedLoopJoin")),
+      "the cutoff must attach as a broadcast scalar")
+  }
+
   test("attribution batch join inherits the bucketed hash-join shape") {
     val plan = graft.streaming.Events.attributionJoinBatch(events.select(
         col("event_id"), col("ts"), col("user_id"), col("event_type"),

@@ -107,6 +107,74 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getAs[JBigDecimal]("sum_yy").longValueExact == 56L)
   }
 
+  // ------------------------------------------------------ categoricalDrift
+
+  test("categoricalDrift zero-fills one-sided keys and sums to chi2") {
+    import spark.implicits._
+    val a = spark.createDataset(
+      Seq.fill(30)("x") ++ Seq.fill(10)("y")).toDF("k")
+    val b = spark.createDataset(
+      Seq.fill(10)("x") ++ Seq.fill(30)("y") ++ Seq.fill(10)("z")).toDF("k")
+    val r = Stats.categoricalDrift(a, b, "k").orderBy("k").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+    // z only in b: zero-filled on a's side
+    assert(r(2).getAs[Long]("n_a") == 0L && r(2).getAs[Long]("n_b") == 10L)
+    // hand-computed 2x3 chi-square: totals a=40, b=50, grand=90
+    // x: row 40, e_a=40*40/90, e_b=40*50/90; etc.
+    def term(na: Double, nb: Double): Double = {
+      val (ta, tb, g) = (40.0, 50.0, 90.0)
+      val (ea, eb) = ((na + nb) * ta / g, (na + nb) * tb / g)
+      math.pow(na - ea, 2) / ea + math.pow(nb - eb, 2) / eb
+    }
+    assert(math.abs(r(0).getAs[Double]("chi2_term") - term(30, 10)) < 1e-5)
+    assert(math.abs(r(2).getAs[Double]("chi2_term") - term(0, 10)) < 1e-5)
+  }
+
+  test("categoricalDrift on identical slices gives chi2 ~ 0") {
+    import spark.implicits._
+    val a = spark.createDataset(Seq("p", "p", "q", "r")).toDF("k")
+    val r = Stats.categoricalDrift(a, a, "k").collect()
+    assert(r.forall(_.getAs[Double]("chi2_term") == 0.0))
+  }
+
+  // ------------------------------------------------------------ topFraction
+
+  test("topFraction keeps ceil(frac*n) rows plus cutoff ties") {
+    import spark.implicits._
+    // scores: 10 docs — 9,8,7,7,7,5,4,3,2,1. frac=0.3 → target 3; the
+    // cutoff score is 7 (cum at 7 is 5 ≥ 3), ties included → 5 kept.
+    val df = spark.createDataset(
+      Seq(9, 8, 7, 7, 7, 5, 4, 3, 2, 1).zipWithIndex.map {
+        case (s, i) => (i.toLong, s)
+      }).toDF("doc_id", "score")
+    val kept = Stats.topFraction(df, "score", 0.3)
+      .select("doc_id", "score").collect().map(_.getInt(1)).sorted.toSeq
+    assert(kept == Seq(7, 7, 7, 8, 9))
+  }
+
+  test("topFraction frac=1 keeps everything; invalid frac rejected") {
+    import spark.implicits._
+    val df = spark.createDataset((1 to 20).map(i => (i.toLong, i % 5)))
+      .toDF("doc_id", "score")
+    assert(Stats.topFraction(df, "score", 1.0).count() == 20L)
+    intercept[IllegalArgumentException] { Stats.topFraction(df, "score", 0.0) }
+    intercept[IllegalArgumentException] { Stats.topFraction(df, "score", 1.1) }
+  }
+
+  test("topFraction matches a brute-force sort baseline on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 1000).map(i => (i.toLong, rnd.nextInt(50)))
+    val df = spark.createDataset(rows).toDF("doc_id", "score")
+    val kept = Stats.topFraction(df, "score", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute force: sort desc, take ceil(0.25*1000)=250, extend through ties
+    val sorted = rows.sortBy(-_._2)
+    val cutoff = sorted(249)._2
+    val expected = rows.filter(_._2 >= cutoff).map(_._1).toSet
+    assert(kept == expected)
+  }
+
   test("groupedCorrelation agrees with Spark's corr() to float tolerance") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
