@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Features, Json, Multimodal, Packing, Similarity, Stats, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Features, Json, Multimodal, Packing, Ranking, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 
@@ -313,6 +313,19 @@ object SparkEntry {
     "q_top_fraction" -> ((s, dir) =>
       Stats.topFraction(docs(s, dir).select(col("doc_id"), col("n_chars")),
         "n_chars", 0.2).select("doc_id", "n_chars")),
+    // best-3-per-source ranking via the salted two-phase form (salts=4
+    // exercises BOTH phases on the fixture — phase-1 buckets actually
+    // split the groups); ties broken by doc_id ⇒ deterministic set
+    "q_top_per_group" -> ((s, dir) =>
+      Ranking.topKPerGroup(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("source"), "n_chars", "doc_id", k = 3, salts = 4)
+        .selectExpr("source", "doc_id", "n_chars", "rank AS rnk")),
+    // weekly retention cohorts: exact integer weeks, one user-key
+    // aggregation carrying cohort + distinct active weeks together —
+    // no join, no window (see Features.retentionCohorts)
+    "q_retention" -> ((s, dir) =>
+      Features.retentionCohorts(events(s, dir))),
     // headMinDf/headMinTf below are joinTokenTotals' frequency-routing
     // knob (broadcast head vs shuffled tail) — it never changes answers.
     // 10 splits the sf0.01 fixture vocabulary, so the oracle exercises
@@ -2147,6 +2160,28 @@ object SparkEntry {
             / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
               / CAST(tot_a + tot_b AS DOUBLE)), 6) AS chi2_term
         FROM j, t""",
+    // single-window reference form: the salted two-phase plan must emit
+    // the identical relation (rank ties broken by doc_id on both sides)
+    "q_top_per_group" ->
+      """WITH r AS (
+          SELECT source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY source
+              ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id) AS rnk
+          FROM documents)
+        SELECT source, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE rnk <= 3""",
+    // exact integer weeks (micros DIV week-micros); the join-free Spark
+    // plan and this join-shaped reference compute the same matrix
+    "q_retention" ->
+      """WITH uw AS (
+          SELECT user_id,
+            CAST(floor(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+              / 604800000000) AS BIGINT) AS week
+          FROM events GROUP BY 1, 2),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+          count(*) AS n_users
+        FROM uw JOIN c USING (user_id) GROUP BY 1, 2""",
     // histogram-threshold top-fraction: cutoff = highest score whose
     // from-the-top cumulative count reaches ceil(frac*n); ties kept
     "q_top_fraction" ->

@@ -55,4 +55,37 @@ object Features {
       lag("value_cents", 1).over(wRow).as("prev_cents"),
       (col("__us") - lag("__us", 1).over(wRow)).as("gap_us"))
   }
+
+  /** Weekly retention cohorts: users grouped by their first-activity
+    * week, counted in every later week they return — the engagement
+    * matrix (cohort_week, week_offset, n_users) every product-analytics
+    * pipeline derives from an event log.
+    *
+    * Weeks are exact integers (epoch-micros DIV micros-per-week), so the
+    * whole result is integer arithmetic — fully hash-gated (q_retention).
+    *
+    * Plan: ONE aggregation by user collects the distinct active weeks
+    * (`collect_set` — bounded by the CALENDAR, not by event volume: a
+    * user active every week for 20 years holds ~1000 ints) and the
+    * cohort week as `min`; explode the set; one bounded aggregation on
+    * (cohort, offset). Two shuffles total — user, then the
+    * cohort-matrix key space (weeks²/2, a few thousand cells for years
+    * of data). No joins, no windows: the user→cohort attach rides the
+    * same aggregation that collected the weeks.
+    */
+  def retentionCohorts(
+      events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val weekly = events
+      .select(col(userCol),
+        expr(s"unix_micros($tsCol) DIV 604800000000").as("__week"))
+      .groupBy(userCol)
+      .agg(min("__week").as("cohort_week"),
+        collect_set("__week").as("__weeks"))
+    weekly
+      .select(col("cohort_week"), explode(col("__weeks")).as("__week"))
+      .groupBy(col("cohort_week"),
+        (col("__week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -85,6 +86,32 @@ class FeaturesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("event_id").collect()
     assert(r(2).getAs[Long]("roll_n") == 1L)   // user 9 sees only itself
     assert(r(2).isNullAt(r(2).fieldIndex("prev_cents")))
+  }
+
+  test("retentionCohorts counts distinct users per (cohort, offset)") {
+    import spark.implicits._
+    val wk = 604800L // seconds per week
+    // users 1,2 first active week 0; user 1 returns weeks 1 and 3 (twice
+    // in week 1 — must count once); user 3 starts week 1
+    val df = spark.createDataset(Seq(
+      (1L, 0L), (2L, wk - 1), (1L, wk), (1L, wk + 5), (1L, 3 * wk),
+      (3L, wk + 2))).toDF("user_id", "sec")
+      .selectExpr("user_id", "timestamp_seconds(sec) AS ts")
+    val m = Features.retentionCohorts(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L))
+  }
+
+  test("retentionCohorts offset 0 equals total distinct users") {
+    import spark.implicits._
+    val df = spark.createDataset(
+      (1 to 100).map(i => (i.toLong % 17, i.toLong * 3600)))
+      .toDF("user_id", "sec")
+      .selectExpr("user_id", "timestamp_seconds(sec) AS ts")
+    val r = Features.retentionCohorts(df)
+      .filter("week_offset = 0").agg(sum("n_users")).collect()(0).getLong(0)
+    assert(r == 17L)
   }
 
   test("rollingEventFeatures rejects non-positive windows") {

@@ -126,6 +126,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the cutoff must attach as a broadcast scalar")
   }
 
+  test("topKPerGroup: two bounded ranking exchanges, never one corpus-group window") {
+    val tk = Ranking.topKPerGroup(
+      docs.select("doc_id", "source", "n_chars"),
+      Seq("source"), "n_chars", "doc_id", k = 3, salts = 4)
+    // phase 1 partitions by (group, salt) — tasks are groupSize/salts;
+    // phase 2 partitions by group over ≤ k·salts survivors per group.
+    // Budget: exactly those two exchanges (both windows sort locally)
+    assert(shuffles(tk) == 2)
+    val plan = tk.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(source[#0-9L]*, __salt".r
+      .findAllIn(plan).nonEmpty, "phase 1 must partition by (group, salt)")
+  }
+
+  test("retentionCohorts: two aggregations, no join, no window") {
+    val rc = Features.retentionCohorts(events)
+    val plan = rc.queryExecution.executedPlan.toString
+    // user agg (collect_set bounded by the calendar) + the cohort-matrix
+    // agg; the user→cohort attach rides the first aggregation — a join
+    // or window here means the single-pass shape regressed
+    assert(shuffles(rc) == 2)
+    assert(!plan.contains("Join"), "retention must not join")
+    assert(!plan.contains("Window"), "retention must not window")
+  }
+
   test("attribution batch join inherits the bucketed hash-join shape") {
     val plan = graft.streaming.Events.attributionJoinBatch(events.select(
         col("event_id"), col("ts"), col("user_id"), col("event_type"),
