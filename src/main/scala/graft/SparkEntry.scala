@@ -72,20 +72,29 @@ object SparkEntry {
           s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
         }
       val em = new graft.exec.SqlEmitter(compiled)
-      compiled.sources.foreach { cs =>
-        // localCheckpoint: each hub view is RDD-backed, so downstream hub
-        // SQL never sees nested CTE chains. Spark's InlineCTE pass
-        // miscompiles deeply nested CTE+lateral view trees
+      val sqls = compiled.sources.map(cs =>
+        cs.source.name ->
+          em.sourceSql(cs.source.name, src => src.sourceTable))
+      // hubs CONSUMED by a downstream source's SQL (inter-source scans)
+      val consumed = sqls.map(_._1).filter(n =>
+        sqls.exists { case (m, sql) => m != n && sql.contains(em.hubRef(n)) })
+        .toSet
+      sqls.foreach { case (name, sql) =>
+        // localCheckpoint CONSUMED hubs only: an RDD-backed view means
+        // downstream hub SQL never sees nested CTE chains — Spark's
+        // InlineCTE pass miscompiles deeply nested CTE+lateral trees
         // (PLAN_VALIDATION_FAILED_RULE_IN_BATCH "resolved became
-        // unresolved") — deterministic in a pristine JVM (the
-        // Verify/Bench path), though masked after unrelated plans have
-        // executed, which is why only SqlEmitterSpec's sub-JVM
-        // InlineCteProbe canary reproduces it. Also matches the
-        // reference's contract of materialized hub tables between
-        // source queries.
-        s.sql(em.sourceSql(cs.source.name, src => src.sourceTable))
-          .localCheckpoint()
-          .createOrReplaceTempView("hub_" + cs.source.name)
+        // unresolved"; deterministic in a pristine JVM, masked after
+        // unrelated plans execute — SqlEmitterSpec's sub-JVM canary).
+        // Also matches the reference's materialized-hub contract between
+        // source queries. LEAF hubs (nothing downstream reads them — the
+        // big fact hub, typically) stay lazy: their single CTE chain
+        // nests nowhere, and eagerly materializing the corpus-sized
+        // enriched fact just to select from it once is the kind of
+        // wall that grows with data (measured 4x for 10x at sf1).
+        val df = s.sql(sql)
+        (if (consumed(name)) df.localCheckpoint() else df)
+          .createOrReplaceTempView("hub_" + name)
       }
       s.table("hub_tpch_lineitem").select(
         "l_orderkey", "l_linenumber", "net_price", "net_price_no_returns",
