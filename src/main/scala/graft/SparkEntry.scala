@@ -335,6 +335,17 @@ object SparkEntry {
     // no join, no window (see Features.retentionCohorts)
     "q_retention" -> ((s, dir) =>
       Features.retentionCohorts(events(s, dir))),
+    // ordered view→click→purchase conversion: greedy-earliest chain,
+    // strict-> stage advance, every join/agg on one user-key
+    // partitioning (see Features.funnel)
+    "q_funnel" -> ((s, dir) =>
+      Features.funnel(events(s, dir), Seq("view", "click", "purchase"))),
+    // per-label centroids in exact micro fixed point; sums cross the
+    // gate as VARCHAR digits (the q_embed_dim_stats discipline)
+    "q_label_centroids" -> ((s, dir) =>
+      Stats.labelCentroids(embeds(s, dir)).selectExpr(
+        "label", "dim", "n",
+        "CAST(sum_micro AS STRING) AS sum_micro_str", "centroid")),
     // headMinDf/headMinTf below are joinTokenTotals' frequency-routing
     // knob (broadcast head vs shuffled tail) — it never changes answers.
     // 10 splits the sf0.01 fixture vocabulary, so the oracle exercises
@@ -2191,6 +2202,42 @@ object SparkEntry {
         SELECT cohort_week, week - cohort_week AS week_offset,
           count(*) AS n_users
         FROM uw JOIN c USING (user_id) GROUP BY 1, 2""",
+    // greedy-earliest funnel chain in lockstep: each stage joins the
+    // previous stage's (user, min-ts) and advances on strict >
+    "q_funnel" ->
+      """WITH s0 AS (
+          SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t
+          FROM events WHERE event_type = 'view' GROUP BY 1),
+        s1 AS (
+          SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+          FROM events e JOIN s0 ON e.user_id = s0.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s0.t
+          GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t
+          GROUP BY 1)
+        SELECT 0 AS stage_idx, 'view' AS stage,
+          (SELECT count(*) FROM s0) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
+    // exact micro-unit centroid sums as VARCHAR digits; centroid double
+    // derived in lockstep with Stats.labelCentroids
+    "q_label_centroids" ->
+      """WITH ex AS (
+          SELECT label,
+            CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS DECIMAL(19,0)) AS um
+          FROM embeddings)
+        SELECT label, dim, count(*) AS n,
+          CAST(CAST(sum(um) AS DECIMAL(38,0)) AS VARCHAR) AS sum_micro_str,
+          round(CAST(CAST(sum(um) AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS centroid
+        FROM ex GROUP BY 1, 2""",
     // histogram-threshold top-fraction: cutoff = highest score whose
     // from-the-top cumulative count reaches ceil(frac*n); ties kept
     "q_top_fraction" ->

@@ -56,6 +56,61 @@ object Features {
       (col("__us") - lag("__us", 1).over(wRow)).as("gap_us"))
   }
 
+  /** Ordered funnel conversion: how many users performed stage 0, then
+    * stage 1 STRICTLY after their first stage-0 event, then stage 2
+    * strictly after that, … — the conversion report every event pipeline
+    * ships (view → click → purchase).
+    *
+    * Semantics pinned for determinism: each stage matches the EARLIEST
+    * qualifying event (min ts strictly after the previous stage's match),
+    * so the per-user chain is unique regardless of partitioning — the
+    * greedy-earliest chain also maximizes completion (matching any later
+    * qualifying event can only lose completions), so `n_users` is the
+    * true stage-completion count, and ties-at-the-same-instant do NOT
+    * advance a funnel (strict >; an atomic view+click burst at one
+    * timestamp counts as view only). Exact timestamp integers throughout
+    * ⇒ fully hash-gated (q_funnel).
+    *
+    * Plan: per-stage filtered min-aggregation, each joined to the
+    * previous stage's (user, ts) relation ON THE SAME user key — every
+    * aggregation and join shares one partitioning (pinned: k stages plan
+    * exactly k user-key exchanges under broadcast-off), and each stage's
+    * relation SHRINKS (funnels only narrow). The stage counts union at
+    * the end — k single-row aggregates, no corpus-side work.
+    */
+  def funnel(
+      events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "at least one funnel stage required")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    // null users can't chain (a join key of NULL matches nothing), so
+    // exclude them from stage 0 too — and filtering EXPLICITLY keeps the
+    // count branches' subtrees canonically equal to the join branches'
+    // (which inherit isnotnull(user) from the inner join), so reuse holds
+    val perStage = stages.zipWithIndex.map { case (st, i) =>
+      events.filter(col(typeCol) === st && col(userCol).isNotNull)
+        .select(col(userCol), expr(s"unix_micros($tsCol)").as(s"__us$i"))
+    }
+    val chain = perStage.zipWithIndex.drop(1).scanLeft(
+      perStage.head.groupBy(userCol).agg(min("__us0").as("__t"))) {
+      case (prev, (df, i)) =>
+        df.join(prev, Seq(userCol))
+          .filter(col(s"__us$i") > col("__t"))
+          .groupBy(userCol).agg(min(s"__us$i").as("__t"))
+    }
+    chain.zip(stages).zipWithIndex.map { case ((df, st), i) =>
+      // count(__t), not count(*): a null-ts event can't anchor a funnel
+      // (no ordering), so users whose only match is null-timed don't
+      // count — and keeping __t in the count branch makes its subtree
+      // CANONICALLY IDENTICAL to the one feeding the next stage, so the
+      // union's per-stage branches collapse to ReusedExchange instead of
+      // re-running the chain prefix (pinned in PlanShapeSpec)
+      df.agg(count("__t").as("n_users"))
+        .select(lit(i).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Weekly retention cohorts: users grouped by their first-activity
     * week, counted in every later week they return — the engagement
     * matrix (cohort_week, week_offset, n_users) every product-analytics

@@ -130,6 +130,33 @@ object Stats {
               - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)), 6)"""))
   }
 
+  /** Per-label embedding centroids in exact fixed point — the class
+    * prototypes a labeled-embedding pipeline derives (SemDeDup cluster
+    * seeds, nearest-class-mean classification, per-class drift probes).
+    *
+    * Same arithmetic contract as [[embeddingDimStats]]: components
+    * quantize to integer micro-units before aggregation, sums ride
+    * DECIMAL(38,0), and the `centroid` double derives from the exact sum
+    * by lockstep arithmetic — partitioning- and engine-independent,
+    * hash-gated (q_label_centroids).
+    *
+    * Plan: posexplode (constant fan-out = dim) → ONE two-phase
+    * aggregation on labels × dim groups — map-side combine bounds the
+    * shuffle at O(partitions × labels × dim) regardless of corpus size.
+    */
+  def labelCentroids(
+      emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col(labelCol), col("dim"),
+        expr("CAST(round(CAST(__v AS DOUBLE) * 1000000) AS DECIMAL(19,0))").as("__u"))
+      .groupBy(labelCol, "dim")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(sum(__u) AS DECIMAL(38,0))").as("sum_micro"))
+      .withColumn("centroid",
+        expr("round(CAST(sum_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)"))
+
   /** Categorical distribution drift between two corpus slices — the
     * 2×K chi-square contingency decomposition a curation pipeline runs
     * to detect mix shift between snapshots (did the `source`/`lang`

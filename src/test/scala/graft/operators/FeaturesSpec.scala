@@ -88,6 +88,50 @@ class FeaturesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2).isNullAt(r(2).fieldIndex("prev_cents")))
   }
 
+  test("funnel: strict ordering, greedy-earliest chain") {
+    import spark.implicits._
+    // u1: view@10 click@20 purchase@30 — completes all three
+    // u2: click@5 view@10 click@10 — click at the SAME instant as view
+    //     must NOT advance (strict >); the earlier click is before view
+    // u3: view@10 click@20 — no purchase
+    // u4: purchase@5 — never viewed
+    val df = spark.createDataset(Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 10L),
+      (3L, "view", 10L), (3L, "click", 20L),
+      (4L, "purchase", 5L)))
+      .toDF("user_id", "event_type", "sec")
+      .selectExpr("user_id", "event_type", "timestamp_seconds(sec) AS ts")
+    val r = Features.funnel(df, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
+  test("funnel: later qualifying events still complete the greedy chain") {
+    import spark.implicits._
+    // u1 views twice; the chain anchors on the FIRST view (t=10) and the
+    // click@15 (after first view, before second) must count
+    val df = spark.createDataset(Seq(
+      (1L, "view", 10L), (1L, "view", 20L), (1L, "click", 15L)))
+      .toDF("user_id", "event_type", "sec")
+      .selectExpr("user_id", "event_type", "timestamp_seconds(sec) AS ts")
+    val r = Features.funnel(df, Seq("view", "click")).orderBy("stage_idx")
+      .collect().map(_.getLong(2)).toSeq
+    assert(r == Seq(1L, 1L))
+  }
+
+  test("funnel rejects duplicate or empty stages") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq((1L, "view", 1L)))
+      .toDF("user_id", "event_type", "sec")
+      .selectExpr("user_id", "event_type", "timestamp_seconds(sec) AS ts")
+    intercept[IllegalArgumentException] { Features.funnel(df, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Features.funnel(df, Seq("view", "view"))
+    }
+  }
+
   test("retentionCohorts counts distinct users per (cohort, offset)") {
     import spark.implicits._
     val wk = 604800L // seconds per week

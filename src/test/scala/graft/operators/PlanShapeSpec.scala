@@ -150,6 +150,40 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), "retention must not window")
   }
 
+  test("funnel: k stages share ONE user-key partitioning — k exchanges, no more") {
+    // under broadcast-off (the 100 TB shuffled-join topology) each
+    // stage's min-agg exchanges on user_id once and every join consumes
+    // that partitioning — a (k+1)th full-data exchange means a stage
+    // stopped reusing it. The k single-row count aggregates at the end
+    // are SinglePartition exchanges over one row each, not corpus data.
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = Features.funnel(events, Seq("view", "click", "purchase"))
+      f.collect() // materialize so AQE settles reuse across union branches
+      val nodes = walk(f.queryExecution.executedPlan)
+      val userExchanges = nodes.collect {
+        case s: ShuffleExchangeLike
+          if s.outputPartitioning.toString.contains("user_id") => s
+      }
+      assert(userExchanges.size == 3,
+        s"3 stages must EXECUTE exactly 3 user-key exchanges (one per " +
+          s"shrinking event slice), saw ${userExchanges.size}")
+      // the union's count branches re-state the chain prefix; those
+      // duplicated subtrees must collapse to ReusedExchange, not re-run
+      assert(nodes.collect { case r: ReusedExchangeExec => r }.size >= 3,
+        "chain-prefix subtrees must reuse, not recompute")
+      // each stage aggregation rides its join's partitioning: the min-agg
+      // after a join must NOT introduce an exchange (visible as exactly
+      // one exchange per stage above, none between join and agg)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("labelCentroids: one two-phase aggregation on labels x dims") {
+    assert(shuffles(Stats.labelCentroids(embeds)) == 1)
+  }
+
   test("attribution batch join inherits the bucketed hash-join shape") {
     val plan = graft.streaming.Events.attributionJoinBatch(events.select(
         col("event_id"), col("ts"), col("user_id"), col("event_type"),

@@ -107,6 +107,26 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(0).getAs[JBigDecimal]("sum_yy").longValueExact == 56L)
   }
 
+  // -------------------------------------------------------- labelCentroids
+
+  test("labelCentroids computes exact per-label micro sums") {
+    import spark.implicits._
+    val emb = spark.createDataset(Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, -1.0f)), (1, Seq(0.5f, 0.5f))))
+      .toDF("label", "embedding")
+    val r = Stats.labelCentroids(emb).orderBy("label", "dim").collect()
+    assert(r.length == 4)
+    // label 0 dim 0: 1e6 + 3e6 = 4e6, centroid 2.0
+    assert(r(0).getAs[JBigDecimal]("sum_micro").longValueExact == 4000000L)
+    assert(r(0).getAs[Double]("centroid") == 2.0)
+    // label 0 dim 1: 2e6 - 1e6 = 1e6, centroid 0.5
+    assert(r(1).getAs[JBigDecimal]("sum_micro").longValueExact == 1000000L)
+    assert(r(1).getAs[Double]("centroid") == 0.5)
+    // label 1: single vector — centroid equals the vector
+    assert(r(2).getAs[Double]("centroid") == 0.5)
+    assert(r(2).getAs[Long]("n") == 1L)
+  }
+
   // ------------------------------------------------------ categoricalDrift
 
   test("categoricalDrift zero-fills one-sided keys and sums to chi2") {
