@@ -63,7 +63,13 @@ object Bench {
     val results = names.map { n =>
       n -> (if (samples(n).nonEmpty) samples(n).min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // millisecond precision is plenty for second-scale timings, and keeps
+    // the console JSON line SHORT — the driver captures a console TAIL
+    // that has truncated the long-form per-query map twice now (BENCH_r06
+    // and BENCH_r08 parsed:null)
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val nPasses = names.map { n => "\"" + n + "\":" + samples(n).size }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
@@ -71,16 +77,21 @@ object Bench {
     val warm = warmup.values.filter(_ >= 0).sum
     val err = errors.map(e => "\"" + e.replace("\"", "'").replace("\n", " ") + "\"")
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""passes":$passes,"pass_counts":$nPasses,""" +
-      s""""warmup_total":$warm,"n_queries":${results.size},"errors":$err,"sf":"$sfDir"}"""
+    val mtimes = Provenance.fixtureMtimesJson(sfDir)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+      s""""passes":$passes,""" +
+      s""""warmup_total":${f3(warm)},"n_queries":${results.size},"errors":$err,""" +
+      s""""fixture_mtimes":$mtimes,"sf":"$sfDir"}"""
     println(line)
-    // Also land the artifact in a file when asked: the driver captures a
-    // console TAIL, which has truncated the per-query map before
-    // (BENCH_r06 parsed:null) — a file survives independent of console
-    // buffering.
+    // Full-precision artifact (with per-query pass counts) lands in a file
+    // when asked — a file survives independent of console buffering.
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line + "\n")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":""" +
+        results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}") +
+        s""","passes":$passes,"pass_counts":$nPasses,""" +
+        s""""warmup_total":$warm,"n_queries":${results.size},"errors":$err,""" +
+        s""""fixture_mtimes":$mtimes,"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), full + "\n")
     }
     spark.stop()
   }

@@ -709,6 +709,19 @@ object SparkEntry {
         e.attributionJoinStream(e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
         complete = false)
     }),
+    // per-event rolling features as a REAL stateful stream
+    // (flatMapGroupsWithState trailing-window buffer): on the bounded
+    // AvailableNow run the emitted set is exactly the batch window-function
+    // result, so the q_rolling_features oracle gates the streaming state
+    // machinery too (batch/stream parity, the q_events_hourly_stream
+    // discipline)
+    "q_rolling_features_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      e.runAvailableNow(s,
+        e.rollingFeaturesStream(s,
+          e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
+        complete = false)
+    }),
 
     // point-in-time (as-of backward inclusive) join: every event picks up
     // the latest per-user hourly snapshot at-or-before its own ts — the
@@ -2153,6 +2166,23 @@ object SparkEntry {
           w_range AS (PARTITION BY user_id ORDER BY us
             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
           w_row AS (PARTITION BY user_id ORDER BY us, event_id)""",
+    // the streaming form emits the identical per-event feature set on a
+    // bounded run — same oracle text as q_rolling_features
+    "q_rolling_features_stream" ->
+      """WITH e AS (
+          SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events)
+        SELECT event_id, user_id, value_cents,
+          count(*) OVER w_range AS roll_n,
+          CAST(sum(value_cents) OVER w_range AS BIGINT) AS roll_cents,
+          lag(value_cents) OVER w_row AS prev_cents,
+          us - lag(us) OVER w_row AS gap_us
+        FROM e
+        WINDOW
+          w_range AS (PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+          w_row AS (PARTITION BY user_id ORDER BY us, event_id)""",
     // chi-square contribution kept in LOCKSTEP with
     // Stats.categoricalDrift — same casts, association order, rounding
     "q_drift" ->
@@ -2207,7 +2237,10 @@ object SparkEntry {
     "q_funnel" ->
       """WITH s0 AS (
           SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t
-          FROM events WHERE event_type = 'view' GROUP BY 1),
+          FROM events
+          WHERE event_type = 'view' AND user_id IS NOT NULL
+            AND ts IS NOT NULL
+          GROUP BY 1),
         s1 AS (
           SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
           FROM events e JOIN s0 ON e.user_id = s0.user_id

@@ -44,6 +44,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Fixture provenance: record each input table's mtime so a mid-round
+    // driver-side fixture regen (the round-8 NTZ incident) is visible in
+    // the artifact itself, not only via filesystem forensics.
+    Files.writeString(Paths.get(s"$outDir/fixture_mtimes.json"),
+      Provenance.fixtureMtimesJson(sfDir))
     spark.stop()
   }
 }

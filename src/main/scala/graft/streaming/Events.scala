@@ -13,6 +13,26 @@ import java.sql.Timestamp
 case class SessionAgg(
     start: Timestamp, last: Timestamp, nEvents: Long, valueCents: Long)
 
+/** One buffered event for streaming rolling features (top-level for the
+  * state-encoder codegen, like [[SessionAgg]]).
+  */
+case class RollEv(us: Long, cents: Long)
+
+/** Per-user rolling-feature state: the trailing-window event buffer plus
+  * the previous event for lag/gap. `hasPrev` instead of Option: a flat
+  * schema keeps the state-store row fixed-width.
+  */
+case class RollState(
+    buf: Seq[RollEv], prevUs: Long, prevCents: Long, hasPrev: Boolean)
+
+/** Streaming rolling-feature output row — field names are the public
+  * column contract, identical to [[graft.operators.Features.rollingEventFeatures]].
+  */
+case class RollOut(
+    event_id: Long, user_id: Long, value_cents: Long,
+    roll_n: Long, roll_cents: Long,
+    prev_cents: Option[Long], gap_us: Option[Long])
+
 /** Event-stream processing over the `events` table
   * (event_id, ts, user_id, event_type, value, props JSON).
   *
@@ -210,6 +230,101 @@ object Events {
       .toDF("user_id", "session_start", "session_end", "n_events", "value_cents")
   }
 
+  /** Streaming form of [[graft.operators.Features.rollingEventFeatures]]:
+    * per-event trailing-window count/sum plus previous-event lag/gap,
+    * emitted as each event is processed (append mode — features are
+    * per-event facts, final at emission, so no window-close wait).
+    *
+    * State per user is the trailing `windowSecs` event buffer plus one
+    * (prevUs, prevCents) pair — bounded by per-entity activity in the
+    * window, NOT by stream length; EventTimeTimeout drops idle users'
+    * buffers once the watermark passes their last event + window. After
+    * an expiry a returning user's first event gets null prev/gap — the
+    * documented price of bounded state (an event older than the
+    * watermark is dropped by the engine anyway, so the batch total-order
+    * lag is unreachable past the watermark horizon on ANY streaming
+    * engine).
+    *
+    * Tie semantics match the batch form exactly: events are processed in
+    * (us, event_id) order; a tie GROUP (equal us) shares one rolling
+    * value computed over the whole group (the SQL RANGE frame's
+    * all-peers rule), while lag/gap chain through ties one event at a
+    * time (the ROWS frame's total order). On a time-ordered bounded run
+    * (AvailableNow over staged files — tie groups never straddle a
+    * micro-batch) the emitted set is exactly the batch result, so the
+    * q_rolling_features DuckDB oracle applies to the streaming path.
+    *
+    * The rolling sum is maintained incrementally (add on entry, subtract
+    * on buffer eviction) — O(events) per user per batch, not
+    * O(events × window occupancy).
+    */
+  def rollingFeaturesStream(
+      spark: SparkSession, events: DataFrame, windowSecs: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame = {
+    import spark.implicits._
+    require(windowSecs > 0, "windowSecs must be positive")
+    val winUs = windowSecs * 1000000L
+    val winMs = windowSecs * 1000L
+    events
+      .selectExpr("event_id", "user_id", "ts", "unix_micros(ts) AS us",
+        "CAST(round(value * 100) AS LONG) AS cents")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Timestamp, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RollState, RollOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[RollState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // (us, event_id, cents) in the batch form's total order
+            val sorted = rows.map(r => (r._4, r._1, r._5))
+              .toIndexedSeq.sortBy(t => (t._1, t._2))
+            val st = state.getOption
+              .getOrElse(RollState(Vector.empty, 0L, 0L, hasPrev = false))
+            var buf = st.buf.toVector
+            var bufCents = buf.iterator.map(_.cents).sum
+            var prev: Option[(Long, Long)] =
+              if (st.hasPrev) Some((st.prevUs, st.prevCents)) else None
+            val out = Vector.newBuilder[RollOut]
+            var i = 0
+            while (i < sorted.length) {
+              var j = i
+              while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+              val us = sorted(i)._1
+              val cutoff = us - winUs
+              while (buf.nonEmpty && buf.head.us < cutoff) {
+                bufCents -= buf.head.cents; buf = buf.tail
+              }
+              val tie = sorted.slice(i, j)
+              val tieCents = tie.iterator.map(_._3).sum
+              val rollN = (buf.size + tie.size).toLong
+              val rollCents = bufCents + tieCents
+              tie.foreach { case (eus, eid, cents) =>
+                out += RollOut(eid, user, cents, rollN, rollCents,
+                  prev.map(_._2), prev.map(p => eus - p._1))
+                prev = Some((eus, cents))
+              }
+              buf = buf ++ tie.map(t => RollEv(t._1, t._3))
+              bufCents += tieCents
+              i = j
+            }
+            prev match {
+              case Some((lastUs, lastCents)) =>
+                state.update(RollState(buf, lastUs, lastCents, hasPrev = true))
+                // expire once no future in-watermark event can reach this
+                // buffer; clamp above the current watermark (setTimeout
+                // rejects values at or below it)
+                state.setTimeoutTimestamp(math.max(
+                  lastUs / 1000L + winMs + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+              case None => // empty group iteration: nothing to keep
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
   /** Bounded-evidence streaming form of [[hourlyStatsBatch]]: the same
     * tumbling-window aggregation as [[hourlyStatsStream]] but with exact
     * counts and COMPLETE output mode semantics in mind — on a bounded
@@ -319,20 +434,24 @@ object Events {
     copyParquetInto(eventsParquet, dir, "events")
     if (closeSentinel) withNanosAsLong(spark) {
       // ts arrives as LONG nanos (TIMESTAMP(NANOS) source under
-      // nanosAsLong — the driver fixtures) or as TimestampType (a
-      // micros-written source like the regenerated sf1 fixture, which
-      // nanosAsLong does not affect); the sentinel must carry the SAME
-      // representation so the staged directory reads under one schema
+      // nanosAsLong), as TimestampType (micros with UTC flag — nanosAsLong
+      // does not affect it), or as TimestampNTZ (micros with no timezone
+      // flag — the shape the driver fixtures regenerated to mid-round-8);
+      // the sentinel must carry the SAME representation so the staged
+      // directory reads under one schema
       val raw = spark.read.parquet(eventsParquet)
       val maxRow = raw.agg(max("ts")).head()
       require(!maxRow.isNullAt(0), s"cannot stage a close sentinel for an " +
         s"empty events source: $eventsParquet")
       val tenDaysMs = 10L * 24 * 3600 * 1000
-      val sentinelTs =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      val sentinelTs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
           lit(maxRow.getLong(0) + tenDaysMs * 1000000L) // nanos
-        else lit(new java.sql.Timestamp(
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          lit(maxRow.getAs[java.time.LocalDateTime](0).plusDays(10))
+        case _ => lit(new java.sql.Timestamp(
           maxRow.getTimestamp(0).getTime + tenDaysMs))
+      }
       val sentinels = raw.select("user_id").distinct()
         .select(
           lit(-1L).as("event_id"),
@@ -378,7 +497,7 @@ object Events {
     */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(path))
+    normalizeTs(spark.read.parquet(path), path)
   }
 
   /** readStream over a parquet file/directory with the events schema.
@@ -400,15 +519,34 @@ object Events {
     val schema = spark.read.parquet(path).schema
     normalizeTs(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(path))
+      .parquet(path), path)
   }
 
-  private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division: ts/1000 would go through DOUBLE and lose precision
-      // at 1e18-nanosecond epoch values
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+  /** Normalize the three ts representations the driver fixtures have
+    * shipped (TIMESTAMP(NANOS) → LONG under nanosAsLong; micros with UTC
+    * flag → TimestampType; micros WITHOUT a timezone flag → TimestampNTZ)
+    * to one TimestampType column. The NTZ→LTZ cast is value-preserving
+    * because every session in this engine pins
+    * spark.sql.session.timeZone=UTC. Any fourth shape fails loudly here
+    * (the fixture-schema canary) instead of silently mis-timestamping
+    * downstream unix_micros/watermark logic.
+    */
+  private def normalizeTs(df: DataFrame, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer division: ts/1000 would go through DOUBLE and lose
+        // precision at 1e18-nanosecond epoch values
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => sys.error(
+        s"events ts column at $path has unsupported type $other — expected " +
+        "LONG nanos (TIMESTAMP(NANOS) under nanosAsLong), TIMESTAMP, or " +
+        "TIMESTAMP_NTZ (fixture-schema canary)")
+    }
+  }
 
   /** Standard sink wiring: parquet + checkpoint, AvailableNow-style runs
     * are driven by the caller's trigger choice.

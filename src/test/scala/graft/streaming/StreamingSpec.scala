@@ -31,6 +31,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     d.toString
   }
 
+  test("fixture-schema canary: events.ts is a supported shape and normalizes to TIMESTAMP") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // What the fixture actually carries (under the engine's nanosAsLong
+    // read contract) must be one of the three shapes normalizeTs handles;
+    // the driver has shipped all three across rounds.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    assert(Set[org.apache.spark.sql.types.DataType](
+      LongType, TimestampNTZType, TimestampType).contains(rawType),
+      s"driver fixture regenerated with unsupported ts type $rawType")
+    val normalized = events
+    assert(normalized.schema("ts").dataType == TimestampType)
+    // and the values are sane epoch timestamps (not 1970 or year-50k skew
+    // from a wrong unit conversion)
+    val yr = normalized.agg(min(year(col("ts"))), max(year(col("ts")))).head()
+    assert(yr.getInt(0) >= 2000 && yr.getInt(1) <= 2100,
+      s"normalized ts out of plausible range: $yr")
+  }
+
   test("streaming hourly stats (AvailableNow) matches batch counts") {
     val tmp = Files.createTempDirectory("graftstream").toString
     val stream = Events.readEventsStream(spark, stagedEventsDir)
@@ -189,6 +208,87 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       expected.exceptAll(got).count() == 0,
       "multi-batch windowed aggregation must equal the batch result exactly")
     spark.catalog.dropTempView("multibatch_hourly")
+  }
+
+  test("streaming rolling features (AvailableNow) equal the batch window functions exactly") {
+    val got = Events.runAvailableNow(spark,
+      Events.rollingFeaturesStream(spark,
+        Events.readEventsStream(spark, stagedEventsDir)),
+      complete = false)
+    val batch = graft.operators.Features.rollingEventFeatures(events)
+      .select(got.columns.map(col): _*)
+    assert(got.count() == batch.count(), "one feature row per event")
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "streamed rolling features must equal the batch window-function result exactly")
+  }
+
+  test("rolling-feature state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
+    // 4 contiguous time-ordered chunks, one micro-batch each: trailing
+    // buffers and lag state spanning chunk boundaries must be carried in
+    // state. Watermark delay longer than the fixture span ⇒ no expiry, so
+    // FULL equality (lag columns included) is required. Valid because the
+    // fixture has no per-user ts ties — a RANGE tie group can never
+    // straddle a micro-batch.
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = false)
+    val ck = Files.createTempDirectory("graftrollmb_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.rollingFeaturesStream(spark, stream, watermark = "720 hours")
+      .writeStream
+      .format("memory").queryName("multibatch_roll")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      "expected one micro-batch per staged chunk")
+    val got = spark.table("multibatch_roll")
+    val batch = graft.operators.Features.rollingEventFeatures(events)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "multi-batch rolling features must equal the batch result exactly")
+    spark.catalog.dropTempView("multibatch_roll")
+  }
+
+  test("rolling-feature trailing buffers EXPIRE at the watermark; windowed columns stay exact") {
+    // With the default 2h watermark over 8 time-ordered chunks, idle
+    // users' buffers must be dropped by EventTimeTimeout (numRowsRemoved
+    // > 0, total state comes down from its peak). Expiry can only reset
+    // the UNBOUNDED lag columns (prev_cents/gap_us — documented price of
+    // bounded state); the trailing-window columns are immune by
+    // construction: expiry happens only once the watermark is past
+    // last-event + window, when no in-watermark future event could reach
+    // the expired buffer. So roll_n/roll_cents must STILL equal batch
+    // exactly, per event.
+    val dir = stageChunkedDir(nChunks = 8, withSentinel = false)
+    val ck = Files.createTempDirectory("graftrollexp_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.rollingFeaturesStream(spark, stream).writeStream
+      .format("memory").queryName("roll_expiry")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val progress = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty).sortBy(_.batchId)
+    val totals = progress.map(p => p.batchId ->
+      p.stateOperators.map(_.numRowsTotal).sum)
+    val removed = progress.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    assert(removed > 0, s"watermark never expired any rolling state: $totals")
+    val peakIdx = totals.indexWhere(_._2 == totals.map(_._2).max)
+    val afterPeak = totals.drop(peakIdx + 1).map(_._2)
+    assert(afterPeak.nonEmpty && afterPeak.min < totals(peakIdx)._2,
+      s"state never dropped after its peak: $totals")
+    info(s"state rows per batch (total): ${totals.mkString(", ")}; removed=$removed")
+    val safeCols = Seq("event_id", "user_id", "value_cents", "roll_n", "roll_cents")
+    val got = spark.table("roll_expiry").select(safeCols.map(col): _*)
+    val batch = graft.operators.Features.rollingEventFeatures(events)
+      .select(safeCols.map(col): _*)
+    assert(got.count() == batch.count(), "one feature row per event")
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "windowed feature columns must survive state expiry exactly")
+    spark.catalog.dropTempView("roll_expiry")
   }
 
   test("stream-stream attribution join state EXPIRES as the watermark advances") {
