@@ -722,6 +722,25 @@ object SparkEntry {
           e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
         complete = false)
     }),
+    // the funnel chain as a stream: per-user O(1) stage state emits an
+    // advance row per stage reached; counts are a bounded agg over the
+    // advances (≤ users × stages) on the bounded-evidence path. Left join
+    // keeps zero-count stages so the 3-row shape matches the batch form.
+    "q_funnel_stream" -> ((s, dir) => {
+      import s.implicits._
+      val e = graft.streaming.Events
+      val stages = Seq("view", "click", "purchase")
+      val adv = e.runAvailableNow(s,
+        e.funnelStream(s,
+          e.readEventsStream(s, stagedDir(s, dir, sentinel = false)), stages),
+        complete = false)
+      val counts = adv.groupBy("stage_idx").agg(expr("count(1)").as("__n"))
+      stages.zipWithIndex.map { case (st, i) => (i, st) }
+        .toDF("stage_idx", "stage")
+        .join(counts, Seq("stage_idx"), "left")
+        .select(col("stage_idx"), col("stage"),
+          coalesce(col("__n"), lit(0L)).as("n_users"))
+    }),
 
     // point-in-time (as-of backward inclusive) join: every event picks up
     // the latest per-user hourly snapshot at-or-before its own ts — the
@@ -2235,6 +2254,31 @@ object SparkEntry {
     // greedy-earliest funnel chain in lockstep: each stage joins the
     // previous stage's (user, min-ts) and advances on strict >
     "q_funnel" ->
+      """WITH s0 AS (
+          SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t
+          FROM events
+          WHERE event_type = 'view' AND user_id IS NOT NULL
+            AND ts IS NOT NULL
+          GROUP BY 1),
+        s1 AS (
+          SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+          FROM events e JOIN s0 ON e.user_id = s0.user_id
+          WHERE e.event_type = 'click'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s0.t
+          GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t
+          GROUP BY 1)
+        SELECT 0 AS stage_idx, 'view' AS stage,
+          (SELECT count(*) FROM s0) AS n_users
+        UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
+    // streaming funnel emits the identical stage counts on a bounded run
+    // — same oracle text as q_funnel
+    "q_funnel_stream" ->
       """WITH s0 AS (
           SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t
           FROM events

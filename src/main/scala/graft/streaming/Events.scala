@@ -33,6 +33,16 @@ case class RollOut(
     roll_n: Long, roll_cents: Long,
     prev_cents: Option[Long], gap_us: Option[Long])
 
+/** Per-user funnel-chain state: how many stages this user has completed
+  * and the event time of the last match (strict-> anchor for the next).
+  */
+case class FunnelState(nextIdx: Int, lastUs: Long)
+
+/** A user reaching funnel stage `stage_idx` — the streaming advance
+  * event; stage counts are a bounded aggregation over these.
+  */
+case class FunnelAdvance(user_id: Long, stage_idx: Int)
+
 /** Event-stream processing over the `events` table
   * (event_id, ts, user_id, event_type, value, props JSON).
   *
@@ -321,6 +331,59 @@ object Events {
             }
             out.result().iterator
           }
+      }
+      .toDF()
+  }
+
+  /** Streaming form of [[graft.operators.Features.funnel]]'s per-user
+    * stage chain: emits a [[FunnelAdvance]] row the moment a user reaches
+    * a funnel stage. Greedy-earliest matching falls out of event-time
+    * order: processing each user's events in (ts, event_id) order and
+    * advancing on the FIRST event of the next stage's type strictly after
+    * the previous match reproduces the batch form's min-aggregation chain
+    * exactly (greedy also maximizes completion — see the batch scaladoc).
+    *
+    * State per user is O(1) — (nextIdx, lastUs), two fixed-width fields —
+    * and a user emits at most `stages.length` advance rows ever. No
+    * timeout: the chain position must survive the user's lifetime (a
+    * production funnel is a time-boxed campaign; state ∝ distinct users
+    * in the box, the same lower bound any per-stage distinct count has).
+    * Stage counts are a downstream BOUNDED aggregation over the advance
+    * rows (≤ users × stages), done batch-side on the bounded-evidence
+    * path ([[runAvailableNow]] → groupBy) — chaining a streaming agg
+    * after flatMapGroupsWithState is restricted in append mode, and the
+    * advance stream is the more useful production output anyway (it
+    * feeds both counts and per-user attribution).
+    *
+    * Null user_id/ts are excluded up front — the batch form's contract
+    * (a NULL key can't chain; a null-timed event can't anchor an order).
+    */
+  def funnelStream(
+      spark: SparkSession, events: DataFrame, stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(stages.nonEmpty, "at least one funnel stage required")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    val stageArr = stages.toArray
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin(stages: _*))
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Vector.newBuilder[FunnelAdvance]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, tpe) =>
+            if (st.nextIdx < stageArr.length && tpe == stageArr(st.nextIdx) &&
+                (st.nextIdx == 0 || us > st.lastUs)) {
+              out += FunnelAdvance(user, st.nextIdx)
+              st = FunnelState(st.nextIdx + 1, us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
       .toDF()
   }

@@ -291,6 +291,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("roll_expiry")
   }
 
+  private def funnelStages = Seq("view", "click", "purchase")
+
+  private def funnelCounts(advances: org.apache.spark.sql.DataFrame) = {
+    val stageDf = {
+      import spark.implicits._
+      funnelStages.zipWithIndex.map { case (st, i) => (i, st) }
+        .toDF("stage_idx", "stage")
+    }
+    stageDf.join(
+      advances.groupBy("stage_idx").agg(count(lit(1)).as("__n")),
+      Seq("stage_idx"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("__n"), lit(0L)).as("n_users"))
+  }
+
+  test("streaming funnel advances aggregate to the batch stage counts exactly") {
+    val adv = Events.runAvailableNow(spark,
+      Events.funnelStream(spark,
+        Events.readEventsStream(spark, stagedEventsDir), funnelStages),
+      complete = false)
+    // each user advances each stage at most once
+    assert(adv.groupBy("user_id", "stage_idx").count()
+      .filter(col("count") > 1).count() == 0)
+    val got = funnelCounts(adv)
+    val batch = graft.operators.Features.funnel(events, funnelStages)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "streamed funnel counts must equal the batch funnel exactly")
+  }
+
+  test("funnel chain state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
+    // a user's view can land in chunk 1, the click in chunk 3, the
+    // purchase in chunk 4 — the (nextIdx, lastUs) state must carry the
+    // chain position across micro-batches for the strict-> anchor to hold
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = false)
+    val ck = Files.createTempDirectory("graftfunmb_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.funnelStream(spark, stream, funnelStages).writeStream
+      .format("memory").queryName("multibatch_funnel")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      "expected one micro-batch per staged chunk")
+    val got = funnelCounts(spark.table("multibatch_funnel"))
+    val batch = graft.operators.Features.funnel(events, funnelStages)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "multi-batch funnel counts must equal the batch funnel exactly")
+    spark.catalog.dropTempView("multibatch_funnel")
+  }
+
   test("stream-stream attribution join state EXPIRES as the watermark advances") {
     // The scale claim behind attributionJoinStream is that the watermark +
     // time-range condition keep click state BOUNDED — but on a bounded

@@ -103,13 +103,23 @@ object GenScale {
     write(replicate(lineitem, Map(
       "l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
       "l_suppkey" -> suppSpan)), "lineitem", 16)
-    // ts comes in as LONG nanos (nanosAsLong read of the TIMESTAMP(NANOS)
-    // source); write it back as TIMESTAMP micros so the sf1 fixture binds
-    // against TIMESTAMP-typed DuckDB oracles the same way the driver SFs
-    // do (integer DIV — ns values exceed double's 2^53 mantissa)
+    // ts arrives in whatever shape the driver fixture currently ships
+    // (LONG nanos under nanosAsLong, TIMESTAMP, or TIMESTAMP_NTZ — the
+    // same three shapes Events.normalizeTs handles); write it back as
+    // TIMESTAMP micros so the sf1 fixture binds against TIMESTAMP-typed
+    // DuckDB oracles the same way the driver SFs do. Nanos path uses
+    // integer DIV (ns values exceed double's 2^53 mantissa); the NTZ cast
+    // is value-preserving under the UTC-pinned session.
+    val tsToMicros = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts").cast("timestamp")
+      case _ => col("ts")
+    }
     write(replicate(events, Map(
       "event_id" -> eventSpan, "user_id" -> userSpan))
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")),
+      .withColumn("ts", tsToMicros),
       "events", 8)
 
     // documents: per-replica token suffix ⇒ intra-replica dup structure
