@@ -478,6 +478,42 @@ object SparkEntry {
       Dedup.ngramContamination(d, d.filter(col("doc_id") < 25), minOverlap = 3)
         .filter(col("doc_id") =!= col("probe_id"))
     }),
+    // hash-membership-prefiltered decontamination (the 100 TB variant):
+    // a broadcast of DISTINCT 22-bit shingle hashes prunes the corpus
+    // index with long compares before any string join; the exact-confirm
+    // pass makes the result IDENTICAL to q_contamination, so the exact
+    // form's SQL is the oracle (zero false negatives by construction)
+    "q_contamination_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.ngramContaminationPrefiltered(
+        d, d.filter(col("doc_id") < 25), minOverlap = 3)
+        .filter(col("doc_id") =!= col("probe_id"))
+    }),
+    // leakage-safe split: near-dup components decide the split, so two
+    // near-duplicates can never straddle the train/test fence; same
+    // MinHash edge generator (oracle-proven value-equal to exact pairs)
+    // and same md5-bucket CASE as q_split, keyed on component_id
+    "q_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.splitByComponent(d,
+        Dedup.minhashPairs(d, threshold = 0.5)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
+    // equi-depth quality deciles from the score histogram — no corpus
+    // ntile window; ties share a bin so the result is a deterministic
+    // SET (see Stats.quantileBins)
+    "q_quality_bins" -> ((s, dir) =>
+      Stats.quantileBins(docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "n_chars", 10).select("doc_id", "n_chars", "bin")),
+    // deterministic 5-per-source inspection sample by md5 bucket, salted
+    // two-phase ranking underneath (salts=4 exercises both phases)
+    "q_group_sample" -> ((s, dir) =>
+      Ranking.hashSamplePerGroup(
+        docs(s, dir).select(col("doc_id"), col("source")),
+        Seq("source"), "doc_id", k = 5, salts = 4)
+        .selectExpr("source", "doc_id", "rank AS rnk")),
     // transitive duplicate groups, with MinHash-LSH as the edge generator —
     // the documented default/scale path (bounded fan-out); its pair set is
     // value-equal to the exact inverted-index sibling (oracle-proven by
@@ -1454,6 +1490,109 @@ object SparkEntry {
         WHERE c.doc_id != p.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 3""",
+    // the prefilter is exact-confirmed, so the exact form's SQL is the
+    // oracle verbatim
+    "q_contamination_bloom" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 1000)
+        SELECT c.doc_id, p.doc_id AS probe_id, count(*) AS overlap_ngrams
+        FROM capped c JOIN sh p ON c.shingle = p.shingle AND p.doc_id < 25
+        WHERE c.doc_id != p.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3""",
+    // q_dup_components' recursive closure labels each doc with its
+    // component minimum; the split CASE is q_split's md5 arithmetic
+    // keyed on that component id
+    "q_split_leakage" ->
+      """WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        prs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        comp AS (
+          SELECT d.doc_id,
+            least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id),
+        h AS (
+          SELECT doc_id, md5(CAST(component_id AS VARCHAR)) AS m FROM comp),
+        b AS (
+          SELECT doc_id,
+            (((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+          FROM h)
+        SELECT doc_id,
+          CASE WHEN bucket < 52429 THEN 'train'
+               WHEN bucket < 58982 THEN 'val'
+               ELSE 'test' END AS split
+        FROM b""",
+    // bin = min(B-1, floor(B*cumBefore/n)) over the score histogram —
+    // DuckDB runs the identical exact-integer arithmetic
+    "q_quality_bins" ->
+      """WITH h AS (
+          SELECT CAST(n_chars AS BIGINT) AS score, count(*) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        c AS (
+          SELECT score,
+            coalesce(sum(cnt) OVER (ORDER BY score ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+          FROM h),
+        n AS (SELECT sum(cnt) AS total FROM h),
+        m AS (
+          SELECT score,
+            CAST(least(9, (10 * cumb) // total) AS INTEGER) AS bin
+          FROM c, n)
+        SELECT d.doc_id, d.n_chars, m.bin
+        FROM documents d JOIN m ON CAST(d.n_chars AS BIGINT) = m.score""",
+    // k smallest md5 buckets per source, doc_id tie-break — the exact
+    // window form is the oracle for the salted two-phase plan
+    "q_group_sample" ->
+      """WITH h AS (
+          SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+        b AS (
+          SELECT doc_id, source,
+            (((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+          FROM h),
+        r AS (
+          SELECT source, doc_id,
+            row_number() OVER (PARTITION BY source ORDER BY bucket ASC, doc_id ASC) AS rnk
+          FROM b)
+        SELECT source, doc_id, rnk FROM r WHERE rnk <= 5""",
     "q_dup_components" ->
       """WITH RECURSIVE toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk

@@ -525,6 +525,65 @@ object Dedup {
   def ngramContamination(
       docs: DataFrame, probes: DataFrame, textCol: String = "text", n: Int = 3,
       minOverlap: Int = 3, maxShingleFreq: Int = 1000): DataFrame = {
+    val (corpusIdx, probeIdx) =
+      contaminationIndexes(docs, probes, textCol, n, maxShingleFreq)
+    // the probe set is a benchmark suite — small by definition: broadcast
+    // it so the corpus index never shuffles for the join (the cap agg
+    // remains the only corpus exchange)
+    corpusIdx.join(broadcast(probeIdx), "shingle")
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .filter(col("overlap_ngrams") >= minOverlap)
+  }
+
+  /** [[ngramContamination]] with a compact hash-membership prefilter — a
+    * one-hash Bloom filter expressed declaratively, so Catalyst still
+    * sees a plain broadcast semi-join. The probe shingle set broadcasts
+    * twice at very different sizes:
+    *
+    *  1. as `xxhash64(shingle) & (2^hashBits - 1)` DISTINCT longs — 8
+    *     bytes per entry vs arbitrary-length shingle strings — which a
+    *     broadcast LEFT SEMI join probes with a long compare. Corpus
+    *     index rows whose hash bucket misses every probe bucket (the
+    *     overwhelming majority when the probe suite is small) are dropped
+    *     before any string ever crosses an operator boundary;
+    *  2. as the full string index, joined ONLY by the survivors — the
+    *     exact-confirm pass that removes the prefilter's false positives.
+    *
+    * The hash is deterministic, so the prefilter has zero false
+    * negatives and the result is IDENTICAL to [[ngramContamination]]
+    * (same oracle; q_contamination_bloom is hash-gated against the exact
+    * form's SQL). False positives only cost phase-2 work, bounded by
+    * corpusShingles · probeBuckets / 2^hashBits in expectation. At 100 TB
+    * this is the variant to run: the string join's probe-side hashing and
+    * comparison dominate decontamination cost, and the prefilter removes
+    * ~all of it for a few MB of broadcast longs.
+    */
+  def ngramContaminationPrefiltered(
+      docs: DataFrame, probes: DataFrame, textCol: String = "text", n: Int = 3,
+      minOverlap: Int = 3, maxShingleFreq: Int = 1000,
+      hashBits: Int = 22): DataFrame = {
+    require(hashBits >= 1 && hashBits <= 62, "hashBits must be in [1, 62]")
+    val (corpusIdx, probeIdx) =
+      contaminationIndexes(docs, probes, textCol, n, maxShingleFreq)
+    val mask = (1L << hashBits) - 1
+    val memb = broadcast(
+      probeIdx.select(expr(s"xxhash64(shingle) & ${mask}L").as("__pb")).distinct())
+    val survivors = corpusIdx.join(memb,
+      expr(s"(xxhash64(shingle) & ${mask}L) = __pb"), "left_semi")
+    survivors.join(broadcast(probeIdx), "shingle")
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .filter(col("overlap_ngrams") >= minOverlap)
+  }
+
+  /** (corpus inverted index, probe inverted index) shared by the exact
+    * and prefiltered contamination forms — one `(id, shingle)` row per
+    * distinct word n-gram occurrence, corpus side hot-shingle capped.
+    */
+  private def contaminationIndexes(
+      docs: DataFrame, probes: DataFrame, textCol: String, n: Int,
+      maxShingleFreq: Int): (DataFrame, DataFrame) = {
     // stage the token array in its own projection DIRECTLY below the
     // Generate: lambda bodies re-evaluate their free sub-expressions per
     // element, so an inlined tokenizer would re-tokenize per emitted
@@ -552,14 +611,7 @@ object Dedup {
     val corpusIdx = corpusIdxAll
       .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
       .select("doc_id", "shingle")
-    // the probe set is a benchmark suite — small by definition: broadcast
-    // it so the corpus index never shuffles for the join (the cap window
-    // remains the only corpus exchange)
-    val probeIdx = broadcast(index(probes, "probe_id"))
-    corpusIdx.join(probeIdx, "shingle")
-      .groupBy("doc_id", "probe_id")
-      .agg(count(lit(1)).as("overlap_ngrams"))
-      .filter(col("overlap_ngrams") >= minOverlap)
+    (corpusIdx, index(probes, "probe_id"))
   }
 
   /** Exact LINE-level deduplication (the RefinedWeb/CCNet boilerplate-line
@@ -676,6 +728,33 @@ object Dedup {
     edges.unpersist()
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component_id"), col("id")).as("component_id"))
+  }
+
+  /** Leakage-safe train/val/test split: assign every document the split
+    * of its NEAR-DUP COMPONENT, not of itself. A content-hash split
+    * ([[TextAnalysis.assignSplit]]) puts two near-duplicates of the same
+    * page on opposite sides of the train/test fence with probability
+    * 2·p·(1-p) — the classic eval-contamination leak; splitting on the
+    * component representative instead makes the duplicate CLASS the unit
+    * of assignment, so a near-dup of a test document can never train.
+    *
+    * Plan: [[components]] over the near-dup pair relation (labels are the
+    * component-minimum id already — no extra representative pass), one
+    * id-key join of docs→labels (singletons label themselves, so the
+    * join is on the full corpus but each key is unique — skew-free), and
+    * the split CASE is the same md5-bucket arithmetic as
+    * [[TextAnalysis.assignSplit]] over `component_id` — per-row
+    * projection, no extra exchange. Deterministic end to end and
+    * engine-portable (q_split_leakage is hash-gated against a DuckDB
+    * recursive-CTE + identical md5 oracle).
+    */
+  def splitByComponent(
+      docs: DataFrame, pairs: DataFrame, fractions: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = components(docs.select(col(idCol).as("id")), pairs)
+    val withComp = docs.join(
+      labels.select(col("id").as(idCol), col("component_id")), idCol)
+    TextAnalysis.assignSplit(withComp, fractions, idCol = "component_id")
   }
 
   /** SemDeDup-shaped semantic deduplication: KMeans-cluster the embedding

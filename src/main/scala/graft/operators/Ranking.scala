@@ -46,4 +46,30 @@ object Ranking {
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
       .drop("__ord", "__salt", "__r1")
   }
+
+  /** Deterministic uniform k-sample per group — "inspect 5 random
+    * documents from every source" as a REPRODUCIBLE query, not an RNG
+    * draw. Each row's sampling key is its content-derived md5 bucket
+    * (the [[graft.operators.TextAnalysis.assignSplit]] arithmetic, 16
+    * bits), and the sample is the k smallest buckets per group with the
+    * id as tie-break: independent of partitioning, run order, engine,
+    * and — unlike seeded `sample()` — stable row-by-row as the corpus
+    * grows (a new document displaces at most one old pick per group).
+    *
+    * Rides [[topKPerGroup]]'s salted two-phase ranking, so a
+    * corpus-scale head group never becomes one window task; the md5
+    * bucket is a per-row projection (no extra exchange). Hash-gated
+    * (q_group_sample) — DuckDB computes the identical md5-bucket
+    * arithmetic and window.
+    */
+  def hashSamplePerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String, k: Int,
+      salts: Int = 16): DataFrame = {
+    val staged = df
+      .withColumn("__h", expr(s"md5(CAST($idCol AS STRING))"))
+      .withColumn("__bucket", expr(TextAnalysis.md5Bucket16Expr))
+    // k SMALLEST buckets: topKPerGroup ranks descending, so negate
+    topKPerGroup(staged, groupCols, "-__bucket", idCol, k, salts)
+      .drop("__h", "__bucket")
+  }
 }

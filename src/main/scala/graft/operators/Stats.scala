@@ -240,4 +240,40 @@ object Stats {
       .filter(col("__score") >= col("__cutoff"))
       .drop("__cutoff")
   }
+
+  /** Equi-depth quantile binning ("assign every document its quality
+    * decile") WITHOUT a corpus ntile window. `ntile(B) OVER (ORDER BY
+    * score)` globally sorts the corpus into ONE task's window — the
+    * partition-less-window failure mode at 100 TB. Instead the bin
+    * boundary computation runs entirely on the score HISTOGRAM
+    * (two-phase agg; key space bounded by the integer-score contract —
+    * the [[topFraction]] premise) and the corpus only sees a broadcast
+    * join:
+    *
+    *   bin(score) = min(B-1, floor(B · cumBefore(score) / n))
+    *
+    * where `cumBefore` counts strictly-smaller scores — so ties share a
+    * bin (a deterministic SET, unlike ntile's arbitrary tie split, which
+    * is what makes the result hash-gateable, q_quality_bins), bins are
+    * equi-depth up to tie granularity, and the arithmetic is exact
+    * BIGINT (B·cumBefore ≤ B·n, nowhere near overflow). The score→bin
+    * map broadcasts back at histogram size; the corpus is never sorted,
+    * shuffled, or windowed. Null-score rows are dropped (engines
+    * disagree on null ordering; a null quality score has no decile).
+    */
+  def quantileBins(
+      df: DataFrame, scoreExpr: String, bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val scored = df.withColumn("__score", expr(s"CAST($scoreExpr AS BIGINT)"))
+      .filter(col("__score").isNotNull)
+    val hist = scored.groupBy("__score").agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binMap = hist
+      .withColumn("__cumb", coalesce(sum("__cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum("__cnt").as("__n"))))
+      .selectExpr("__score",
+        s"CAST(least(${bins - 1}L, CAST($bins * __cumb AS BIGINT) DIV __n) AS INT) AS bin")
+    scored.join(broadcast(binMap), "__score").drop("__score")
+  }
 }

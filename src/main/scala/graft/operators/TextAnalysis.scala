@@ -368,7 +368,7 @@ object TextAnalysis {
     * staged `__h` md5 column, parsed via instr character arithmetic —
     * identical in Spark and DuckDB (no conv() portability concerns).
     */
-  private def md5Bucket16Expr: String = {
+  private[operators] def md5Bucket16Expr: String = {
     def hv(k: Int) = s"(instr('0123456789abcdef', substr(__h, $k, 1)) - 1)"
     s"(((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)})"
   }

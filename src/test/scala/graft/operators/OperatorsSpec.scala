@@ -308,6 +308,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.toSeq == Seq((100L, 1L, 4L)), s"got ${hits.toSeq}")
   }
 
+  test("ngramContaminationPrefiltered equals the exact form, any hashBits") {
+    val rnd = new Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "shared", "run", "of", "words")
+    val corpus = docsDf((0L until 120L).map { i =>
+      val base = Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // every 10th doc embeds a probe n-gram run
+      val t = if (i % 10 == 0) s"$base shared run of words here" else base
+      (i + 100L, t)
+    })
+    val probes = docsDf(Seq((1L, "the shared run of words here marker")))
+    val exact = Dedup.ngramContamination(corpus, probes, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "fixture must produce contamination hits")
+    // hashBits=4 floods the prefilter with false positives; 62 is all-long
+    // precision — the exact-confirm pass must erase the difference
+    for (bits <- Seq(4, 22, 62)) {
+      val got = Dedup.ngramContaminationPrefiltered(
+        corpus, probes, minOverlap = 2, hashBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == exact, s"hashBits=$bits")
+    }
+  }
+
+  test("splitByComponent keeps every near-dup component in one split") {
+    import spark.implicits._
+    val docs = docsDf((1L to 40L).map(i => (i, s"text $i")))
+    // components {1,2,3}, {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val split = Dedup.splitByComponent(docs, pairs,
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split.keySet == (1L to 40L).toSet, "every doc assigned exactly once")
+    assert(Set(split(1L), split(2L), split(3L)).size == 1, "component {1,2,3} splits together")
+    assert(split(10L) == split(11L), "component {10,11} splits together")
+    // singletons: component id is the doc id, so assignment must equal
+    // the plain content-hash split
+    val plain = TextAnalysis.assignSplit(docs,
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (12L to 40L).foreach(i => assert(split(i) == plain(i), s"singleton $i"))
+  }
+
   test("components resolves transitive duplicate chains to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 plus pair 10-11; 20 isolated

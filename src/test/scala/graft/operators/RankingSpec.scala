@@ -56,6 +56,26 @@ class RankingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("hashSamplePerGroup equals the unsalted window form and ignores partitioning") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 1500).map(i => (i.toLong, s"g${rnd.nextInt(5)}", 0))
+    val d = df(rows)
+    // reference: explicit md5-bucket window, no salting
+    val staged = d
+      .withColumn("__h", expr("md5(CAST(doc_id AS STRING))"))
+      .withColumn("__b", expr(TextAnalysis.md5Bucket16Expr))
+    val w = Window.partitionBy("grp").orderBy(col("__b").asc, col("doc_id").asc)
+    val expected = staged.withColumn("r", row_number().over(w))
+      .filter(col("r") <= 4)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"))).toSet
+    for (parts <- Seq(1, 13)) {
+      val got = Ranking.hashSamplePerGroup(
+        d.repartition(parts), Seq("grp"), "doc_id", 4, salts = 3)
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("topKPerGroup: groups smaller than k return whole group") {
     val d = df(Seq((1L, "a", 5), (2L, "a", 3), (3L, "b", 1)))
     val r = Ranking.topKPerGroup(d, Seq("grp"), "score", "doc_id", 10, salts = 4)

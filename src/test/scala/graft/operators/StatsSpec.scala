@@ -181,6 +181,37 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Stats.topFraction(df, "score", 1.1) }
   }
 
+  test("quantileBins matches the closed-form cumBefore formula") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 997).map(i => (i.toLong, rnd.nextInt(37)))
+    val df = spark.createDataset(rows).toDF("doc_id", "score")
+    val got = Stats.quantileBins(df, "score", 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bin")).toMap
+    val n = rows.size
+    def bin(s: Int): Int =
+      math.min(9, 10 * rows.count(_._2 < s) / n)
+    rows.foreach { case (id, s) =>
+      assert(got(id) == bin(s), s"doc $id score $s")
+    }
+    assert(got.size == n)
+    // monotone in score: a higher score never lands in a lower bin
+    val byScore = rows.map { case (id, s) => s -> got(id) }.distinct.sortBy(_._1)
+    assert(byScore.map(_._2) == byScore.map(_._2).sorted)
+  }
+
+  test("quantileBins drops null scores and keeps ties in one bin") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5)), (2L, Some(5)), (3L, None), (4L, Some(9)))
+      .toDF("doc_id", "score")
+    val got = Stats.quantileBins(df, "score", 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("bin")).toMap
+    assert(got.keySet == Set(1L, 2L, 4L), "null-score row dropped")
+    assert(got(1L) == got(2L), "tied scores share a bin")
+    assert(got(4L) > got(1L))
+    intercept[IllegalArgumentException] { Stats.quantileBins(df, "score", 1) }
+  }
+
   test("topFraction matches a brute-force sort baseline on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
