@@ -514,6 +514,28 @@ object SparkEntry {
         docs(s, dir).select(col("doc_id"), col("source")),
         Seq("source"), "doc_id", k = 5, salts = 4)
         .selectExpr("source", "doc_id", "rank AS rnk")),
+    // quality-canonical dedup: per near-dup component keep the
+    // highest-n_chars member (doc_id tie-break) — winner via the salted
+    // two-phase ranking, MinHash edges (oracle-proven value-equal to
+    // exact pairs), recursive-CTE + window oracle
+    "q_dedup_quality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.canonicalByQuality(d,
+        Dedup.minhashPairs(d, threshold = 0.5)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+        "n_chars", salts = 4)
+    }),
+    // first-order event-type transition counts (the Markov matrix of
+    // user paths): lead over the total (ts, event_id) order per user,
+    // one user-key exchange + one bounded-key aggregate
+    "q_event_transitions" -> ((s, dir) =>
+      Features.eventTransitions(events(s, dir))),
+    // signed random projection to 8 integer components: sign matrix is
+    // compile-time literals (md5 parity per cell), micro-quantized
+    // before summation so both engines do exact BIGINT arithmetic; the
+    // oracle inlines the identical matrix as VALUES
+    "q_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(embeds(s, dir), inDim = 64, outDim = 8)),
     // transitive duplicate groups, with MinHash-LSH as the edge generator —
     // the documented default/scale path (bounded fan-out); its pair set is
     // value-equal to the exact inverted-index sibling (oracle-proven by
@@ -1593,6 +1615,68 @@ object SparkEntry {
             row_number() OVER (PARTITION BY source ORDER BY bucket ASC, doc_id ASC) AS rnk
           FROM b)
         SELECT source, doc_id, rnk FROM r WHERE rnk <= 5""",
+    // q_dup_components' recursive closure + a per-component quality
+    // window: keep = rank 1 by (n_chars DESC, doc_id ASC)
+    "q_dedup_quality" ->
+      """WITH RECURSIVE toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        prs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        comp AS (
+          SELECT d.doc_id, d.n_chars,
+            least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component_id
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id, d.n_chars),
+        ranked AS (
+          SELECT doc_id, component_id,
+            row_number() OVER (PARTITION BY component_id
+              ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id ASC) AS rnk
+          FROM comp)
+        SELECT doc_id, component_id, rnk = 1 AS keep FROM ranked""",
+    "q_event_transitions" ->
+      """WITH e AS (
+          SELECT user_id, ts, event_id, event_type FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        t AS (
+          SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+          FROM e)
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+    "q_random_projection" -> {
+      val signs = for (j <- 0 until 8; i <- 0 until 64)
+        yield s"($i, $j, ${Similarity.projSign(i, j)})"
+      s"""WITH s(i, j, sgn) AS (VALUES ${signs.mkString(", ")}),
+        ex AS (
+          SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS um
+          FROM embeddings)
+        SELECT ex.vec_id, s.j AS dim, CAST(sum(ex.um * s.sgn) AS BIGINT) AS p_micro
+        FROM ex JOIN s ON s.i = ex.i
+        GROUP BY 1, 2"""
+    },
     "q_dup_components" ->
       """WITH RECURSIVE toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk

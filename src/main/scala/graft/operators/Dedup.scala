@@ -757,6 +757,36 @@ object Dedup {
     TextAnalysis.assignSplit(withComp, fractions, idCol = "component_id")
   }
 
+  /** Quality-canonical near-dup resolution: per duplicate component keep
+    * the HIGHEST-quality member, not the min-id one — what production
+    * curation actually wants (of five near-identical crawls of a page,
+    * keep the longest/cleanest, drop the truncated ones). Emits one row
+    * per document: `(idCol, component_id, keep)`.
+    *
+    * Plan: [[components]] labels every doc; the per-component winner is
+    * `Ranking.topKPerGroup(k=1)` by the BIGINT quality score (doc id
+    * tie-break ⇒ deterministic, hash-gated q_dedup_quality) — the salted
+    * two-phase form, so a corpus-scale boilerplate component never
+    * becomes one window task; winners rejoin on component_id (one row
+    * per component on the build side, AQE-splittable if a component is
+    * hot — a JOIN, never a window, the [[withDupStats]] rule).
+    */
+  def canonicalByQuality(
+      docs: DataFrame, pairs: DataFrame, scoreExpr: String,
+      idCol: String = "doc_id", salts: Int = 16): DataFrame = {
+    val labels = components(docs.select(col(idCol).as("id")), pairs)
+    val scored = docs
+      .withColumn("__q", expr(s"CAST($scoreExpr AS BIGINT)"))
+      .join(labels.select(col("id").as(idCol), col("component_id")), idCol)
+      .select(col(idCol), col("component_id"), col("__q"))
+    val winners = Ranking
+      .topKPerGroup(scored, Seq("component_id"), "__q", idCol, k = 1, salts)
+      .select(col("component_id"), col(idCol).as("__keep_id"))
+    scored.join(winners, Seq("component_id"))
+      .select(col(idCol), col("component_id"),
+        (col(idCol) === col("__keep_id")).as("keep"))
+  }
+
   /** SemDeDup-shaped semantic deduplication: KMeans-cluster the embedding
     * space (coarse quantizer fit on a sample — the 100 TB posture), form
     * candidate pairs WITHIN clusters only, verify with exact cosine, and

@@ -343,4 +343,52 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Deterministic ±1 sign for projection cell (i → j): parity of the
+    * first hex digit of `md5("i_j")`. md5-quality mixing, computed ONCE
+    * per matrix cell at plan-build time (never per row), and trivially
+    * reproducible in any engine with md5 — which is what lets the oracle
+    * SQL inline the identical matrix.
+    */
+  def projSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1 else -1
+  }
+
+  /** Signed random projection (Achlioptas/JL): reduce `inDim`-float
+    * embeddings to `outDim` integer components, `p_j = Σ_i s_ij ·
+    * round(e_i · 1e6)` with `s_ij ∈ {±1}` from [[projSign]]. The JL
+    * lemma gives distance preservation within ~1/√outDim distortion —
+    * the cheap dimension cut a 100 TB pipeline runs BEFORE LSH/IVF so
+    * every downstream distance costs outDim, not inDim, multiplies.
+    *
+    * Execution shape: the sign matrix is inDim·outDim compile-time
+    * LITERALS folded into one projection expression — per-row codegen'd
+    * arithmetic, zero shuffles, zero extra scans, nothing broadcast.
+    * Components quantize to micro-units BEFORE summation, so every
+    * engine computes the identical BIGINT (float Σ-order divergence is
+    * the reason sums are banned on raw floats — the
+    * `TextAnalysis.unigramSurprise` discipline); `|p_j| ≤ inDim · 1e6 ·
+    * max|e|`, nowhere near overflow. Emitted LONG (`vec_id, dim,
+    * p_micro`) — array-free compare, hash-gated (q_random_projection,
+    * oracle inlines the same matrix as VALUES).
+    */
+  def randomProject(
+      embeddings: DataFrame, inDim: Int, outDim: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    val comps = (0 until outDim).map { j =>
+      val terms = (0 until inDim).map { i =>
+        val s = if (projSign(i, j) > 0) "+" else "-"
+        s"$s CAST(round(CAST($vecCol[$i] AS DOUBLE) * 1000000) AS BIGINT)"
+      }.mkString(" ")
+      s"($terms) AS __p$j"
+    }
+    embeddings.selectExpr(Seq(s"$idCol") ++ comps: _*)
+      .select(col(idCol),
+        posexplode(array((0 until outDim).map(j => col(s"__p$j")): _*)))
+      .withColumnRenamed("pos", "dim")
+      .withColumnRenamed("col", "p_micro")
+  }
 }

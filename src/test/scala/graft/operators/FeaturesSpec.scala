@@ -163,4 +163,34 @@ class FeaturesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Features.rollingEventFeatures(ev(Seq((1L, 0L, "", 1.0))), windowSecs = 0L)
     }
   }
+
+  test("eventTransitions counts consecutive pairs per user, null rows drop") {
+    import spark.implicits._
+    // user 1: a→b→a (a,b at t0,t1; a at t2); user 2: b→b; plus a
+    // null-user and a null-ts row that must not create transitions
+    val df = spark.createDataset(Seq(
+      (1L, Option(1L), Option(0L), "a"),
+      (2L, Option(1L), Option(10L), "b"),
+      (3L, Option(1L), Option(20L), "a"),
+      (4L, Option(2L), Option(0L), "b"),
+      (5L, Option(2L), Option(5L), "b"),
+      (6L, Option.empty[Long], Option(7L), "a"),
+      (7L, Option(1L), Option.empty[Long], "b")))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .selectExpr("event_id", "user_id", "timestamp_seconds(sec) AS ts", "event_type")
+    val got = Features.eventTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L))
+  }
+
+  test("eventTransitions ties at equal ts break by event_id") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(
+      (10L, 1L, 0L, "x"), (11L, 1L, 0L, "y"), (12L, 1L, 0L, "z")))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .selectExpr("event_id", "user_id", "timestamp_seconds(sec) AS ts", "event_type")
+    val got = Features.eventTransitions(df)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("x", "y"), ("y", "z")))
+  }
 }

@@ -351,6 +351,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (12L to 40L).foreach(i => assert(split(i) == plain(i), s"singleton $i"))
   }
 
+  test("canonicalByQuality keeps the best-quality member per component") {
+    import spark.implicits._
+    // quality = score column; component {1,2,3}: best is 2 (q=9);
+    // {10,11}: tie at q=5 → min id 10; singleton 20 keeps itself
+    val docs = Seq((1L, 4L), (2L, 9L), (3L, 7L), (10L, 5L), (11L, 5L), (20L, 1L))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalByQuality(docs, pairs, "q", salts = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(got == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false), 20L -> (20L, true)))
+  }
+
+  test("randomProject computes the exact signed micro sums") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f)),
+      (2L, Array(-1.0f, 0.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, inDim = 3, outDim = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("dim")) -> r.getAs[Long]("p_micro"))
+      .toMap
+    // reference computed in plain Scala with the same signs
+    for ((id, v) <- vecs; j <- 0 until 2) {
+      val expected = (0 until 3).map { i =>
+        Similarity.projSign(i, j) * math.round(v(i).toDouble * 1000000)
+      }.sum
+      assert(got((id, j)) == expected, s"vec $id dim $j")
+    }
+    // signs are deterministic and mixed (not all equal over a big block)
+    val block = for (i <- 0 until 16; j <- 0 until 16) yield Similarity.projSign(i, j)
+    assert(block.toSet == Set(-1, 1))
+  }
+
   test("components resolves transitive duplicate chains to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 plus pair 10-11; 20 isolated
