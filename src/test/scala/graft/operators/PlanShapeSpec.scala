@@ -48,6 +48,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Dedup.winnowFingerprints(docs)) == 0)
     assert(shuffles(TextAnalysis.bpeTokenCounts(docs)) == 0)
     assert(shuffles(TextAnalysis.piiScrub(docs)) == 0)
+    // signed random projection: sign matrix is compile-time literals in
+    // ONE codegen projection; posexplode is per-row fan-out, no exchange
+    assert(shuffles(Similarity.randomProject(embeds, 64, 8)) == 0)
     // pixel decode: mapPartitions (ImageIO needs objects) but still a
     // single scan-shaped stage — binary never crosses an exchange
     assert(shuffles(Multimodal.decodePixels(
@@ -424,6 +427,44 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // probe index joins via broadcast (asserted non-shuffle)
     assert(shuffles(Dedup.ngramContamination(docs,
       docs.filter(col("doc_id") < 25))) == 2)
+    // prefiltered form adds ONLY the probe-membership distinct (a
+    // probe-suite-sized exchange): the corpus-side prune must plan as a
+    // broadcast semi-join, never a shuffle
+    val pf = Dedup.ngramContaminationPrefiltered(docs,
+      docs.filter(col("doc_id") < 25))
+    assert(shuffles(pf) == 3, "exact budget + one probe-set distinct")
+    assert(pf.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "hash-membership prune must be a semi-join")
+  }
+
+  test("quantileBins: bins from the histogram, corpus broadcast-joined") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val qb = Stats.quantileBins(docs.select("doc_id", "n_chars"), "n_chars", 10)
+    qb.collect()
+    val nodes = walk(qb.queryExecution.executedPlan)
+    // the topFraction discipline: score histogram two-phase agg + cum
+    // window SinglePartition + total scalar — every exchange carries the
+    // DISTINCT-score relation, never the corpus
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size == 3,
+      "budget: histogram + cum window + total scalar")
+    val corpusWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if !w.child.toString.contains("HashAggregate") => w
+    }
+    assert(corpusWindows.isEmpty, "only the histogram may be windowed")
+    assert(nodes.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "score->bin map must attach as a broadcast join")
+  }
+
+  test("eventTransitions: one user-key window + one bounded-key agg") {
+    assert(shuffles(Features.eventTransitions(events)) == 2)
+  }
+
+  test("hashSamplePerGroup inherits the two-phase ranking budget") {
+    // md5 staging is a per-row projection — no exchange beyond the two
+    // salted ranking phases
+    assert(shuffles(Ranking.hashSamplePerGroup(
+      docs.select("doc_id", "source"), Seq("source"), "doc_id", 5, salts = 4)) == 2)
   }
 
   test("ANN probes: one top-k window exchange, corpus never self-joins") {
