@@ -800,6 +800,20 @@ object SparkEntry {
           coalesce(col("__n"), lit(0L)).as("n_users"))
     }),
 
+    // the Markov transition matrix as a stream: per-user O(1) last-event
+    // state emits a pair row per arrival; counts are a bounded
+    // |types|²-key agg over the pairs — value-matched to the batch
+    // lead-window oracle on the bounded run
+    "q_event_transitions_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      val tr = e.runAvailableNow(s,
+        e.transitionsStream(s,
+          e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
+        complete = false)
+      tr.groupBy(col("from_type"), col("to_type"))
+        .agg(expr("count(1)").as("n_transitions"))
+    }),
+
     // point-in-time (as-of backward inclusive) join: every event picks up
     // the latest per-user hourly snapshot at-or-before its own ts — the
     // leak-free feature-join shape; DuckDB's native ASOF LEFT JOIN is the
@@ -1656,6 +1670,18 @@ object SparkEntry {
           FROM comp)
         SELECT doc_id, component_id, rnk = 1 AS keep FROM ranked""",
     "q_event_transitions" ->
+      """WITH e AS (
+          SELECT user_id, ts, event_id, event_type FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        t AS (
+          SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+          FROM e)
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+    // streaming transitions emit the identical pair multiset on a
+    // bounded in-order run — same oracle text as q_event_transitions
+    "q_event_transitions_stream" ->
       """WITH e AS (
           SELECT user_id, ts, event_id, event_type FROM events
           WHERE user_id IS NOT NULL AND ts IS NOT NULL),

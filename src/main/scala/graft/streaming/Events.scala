@@ -43,6 +43,16 @@ case class FunnelState(nextIdx: Int, lastUs: Long)
   */
 case class FunnelAdvance(user_id: Long, stage_idx: Int)
 
+/** Per-user transition-chain state: the last event seen, in the total
+  * (us, eventId) order — O(1) per user regardless of history length.
+  */
+case class TransState(us: Long, eventId: Long, tpe: String)
+
+/** One consecutive-pair observation in a user's event chain; the Markov
+  * matrix is a bounded (|types|²-key) aggregation over these.
+  */
+case class Transition(from_type: String, to_type: String)
+
 /** Event-stream processing over the `events` table
   * (event_id, ts, user_id, event_type, value, props JSON).
   *
@@ -383,6 +393,43 @@ object Events {
             }
           }
           state.update(st)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  /** Streaming twin of `Features.eventTransitions`: per-user O(1) state
+    * (the LAST event in the total (us, event_id) order) emits one
+    * [[Transition]] row per consecutive pair as events arrive; the
+    * Markov matrix is a bounded |types|²-key aggregation over the
+    * emitted rows. On a bounded in-order run the emitted pair multiset
+    * equals the batch lead-window form exactly, so q_event_transitions'
+    * DuckDB oracle gates this row too (the q_funnel_stream discipline).
+    * Same in-order arrival premise as [[funnelStream]]: batch rows sort
+    * by (us, event_id) within each micro-batch and the staged source
+    * delivers batches in event-time order; a production deployment
+    * would pair this with a watermark-timeout state expiry (spec'd and
+    * measured for [[rollingFeaturesStream]] — the identical mechanism
+    * applies to this state shape).
+    */
+  def transitionsStream(
+      spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[TransState]) =>
+          var last = state.getOption
+          val out = Vector.newBuilder[Transition]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, id, tpe) =>
+            last.foreach(p => out += Transition(p.tpe, tpe))
+            last = Some(TransState(us, id, tpe))
+          }
+          last.foreach(state.update)
           out.result().iterator
       }
       .toDF()

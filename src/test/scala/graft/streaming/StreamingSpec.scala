@@ -345,6 +345,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("multibatch_funnel")
   }
 
+  test("streaming transitions aggregate to the batch Markov matrix exactly") {
+    val tr = Events.runAvailableNow(spark,
+      Events.transitionsStream(spark,
+        Events.readEventsStream(spark, stagedEventsDir)),
+      complete = false)
+    val got = tr.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val batch = graft.operators.Features.eventTransitions(events)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "streamed transition counts must equal the batch lead-window form")
+  }
+
+  test("transition chain state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
+    // a user's consecutive events can straddle a chunk boundary — the
+    // cross-batch pair only exists if the last-event state carries over
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = false)
+    val ck = Files.createTempDirectory("grafttransmb_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.transitionsStream(spark, stream).writeStream
+      .format("memory").queryName("multibatch_trans")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      "expected one micro-batch per staged chunk")
+    val got = spark.table("multibatch_trans")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_transitions"))
+    val batch = graft.operators.Features.eventTransitions(events)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "multi-batch transition counts must equal the batch form exactly")
+    spark.catalog.dropTempView("multibatch_trans")
+  }
+
   test("stream-stream attribution join state EXPIRES as the watermark advances") {
     // The scale claim behind attributionJoinStream is that the watermark +
     // time-range condition keep click state BOUNDED — but on a bounded
