@@ -536,6 +536,22 @@ object SparkEntry {
     // oracle inlines the identical matrix as VALUES
     "q_random_projection" -> ((s, dir) =>
       Similarity.randomProject(embeds(s, dir), inDim = 64, outDim = 8)),
+    // exact per-language lower median of document length, computed on
+    // per-group score histograms (see Stats.groupedMedian)
+    "q_grouped_median" -> ((s, dir) =>
+      Stats.groupedMedian(docs(s, dir).select(col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars")),
+    // snapshot diff between two derived corpus states: old drops
+    // doc_id%10==3 and appends ' LEGACY' to every 7th text; new drops
+    // doc_id%10==7 — exercises all four statuses deterministically
+    "q_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.filter(expr("doc_id % 10 != 3"))
+        .withColumn("text", expr(
+          "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' LEGACY') ELSE text END"))
+      val cur = d.filter(expr("doc_id % 10 != 7"))
+      CorpusPipeline.snapshotDiff(old, cur)
+    }),
     // transitive duplicate groups, with MinHash-LSH as the edge generator —
     // the documented default/scale path (bounded fan-out); its pair set is
     // value-equal to the exact inverted-index sibling (oracle-proven by
@@ -1691,6 +1707,35 @@ object SparkEntry {
           FROM e)
         SELECT from_type, to_type, count(*) AS n_transitions
         FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+    // lower median = min score with 2*cum >= n, per group, over the
+    // (group, score) histogram — identical arithmetic in DuckDB
+    "q_grouped_median" ->
+      """WITH h AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS score, count(*) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        c AS (
+          SELECT lang, score,
+            sum(cnt) OVER (PARTITION BY lang ORDER BY score ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY lang) AS total
+          FROM h)
+        SELECT lang, CAST(min(score) AS BIGINT) AS median,
+          CAST(min(total) AS BIGINT) AS n_rows
+        FROM c WHERE cum * 2 >= total GROUP BY 1""",
+    "q_corpus_diff" ->
+      """WITH oldd AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN text || ' LEGACY' ELSE text END AS text
+          FROM documents WHERE doc_id % 10 != 3),
+        newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 != 7),
+        o AS (SELECT doc_id, coalesce(md5(text), '__null_text__') AS h, true AS in_old FROM oldd),
+        n AS (SELECT doc_id, coalesce(md5(text), '__null_text__') AS h, true AS in_new FROM newd)
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          CASE WHEN o.in_old IS NULL THEN 'added'
+               WHEN n.in_new IS NULL THEN 'removed'
+               WHEN o.h = n.h THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
     "q_random_projection" -> {
       val signs = for (j <- 0 until 8; i <- 0 until 64)
         yield s"($i, $j, ${Similarity.projSign(i, j)})"

@@ -70,4 +70,35 @@ object CorpusPipeline {
         col("lang_pred").isin(keepLangs: _*))
       .select("doc_id", "lang_pred", "quality", "n_tokens")
   }
+
+  /** Snapshot diff: classify every document id across two corpus
+    * snapshots as `added` / `removed` / `changed` / `unchanged` — the
+    * audit a pipeline runs between crawl refreshes before deciding what
+    * to re-tokenize (at 100 TB, reprocessing only the `added`+`changed`
+    * slice instead of the full corpus is the whole game).
+    *
+    * Per-row content identity is `md5(text)` (computed scan-side in each
+    * snapshot — the full text never crosses the exchange, 32 hex chars
+    * do) with a non-colliding sentinel for null text; the diff is ONE
+    * full-outer id-key join — ids are unique per snapshot, so the join
+    * is skew-free by construction. Presence is tracked with explicit
+    * marker columns, not hash-null-ness, so a null-text document in one
+    * snapshot cannot masquerade as absent. Hash-gated
+    * (q_corpus_diff; DuckDB computes the same md5).
+    */
+  def snapshotDiff(
+      oldDocs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def side(df: DataFrame, h: String, mark: String) = df.select(
+      col(idCol),
+      coalesce(md5(col(textCol)), lit("__null_text__")).as(h),
+      lit(true).as(mark))
+    side(oldDocs, "__ho", "__in_old")
+      .join(side(newDocs, "__hn", "__in_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

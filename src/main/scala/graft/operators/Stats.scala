@@ -276,4 +276,37 @@ object Stats {
         s"CAST(least(${bins - 1}L, CAST($bins * __cumb AS BIGINT) DIV __n) AS INT) AS bin")
     scored.join(broadcast(binMap), "__score").drop("__score")
   }
+
+  /** Exact per-group lower median of an integer score — "median document
+    * length per language" — computed on per-group score HISTOGRAMS, not
+    * per-group row windows. `percentile(0.5)`-style built-ins buffer a
+    * group's rows in one task (corpus-scale for a head group); here the
+    * only window runs over the (group, distinct-score) relation, whose
+    * per-group partition is bounded by the integer-score contract, and
+    * the corpus itself sees exactly one two-phase aggregation.
+    *
+    * Lower median (smallest score with 2·cum ≥ n): a DETERMINISTIC
+    * integer — no midpoint averaging, no interpolation — so the result
+    * hash-gates engine-to-engine (q_grouped_median). Emits
+    * `(groupCols*, median, n_rows)`; null scores drop. Both window
+    * specs share one group-key exchange (same partitioning), and the
+    * final min-aggregation reuses it.
+    */
+  def groupedMedian(
+      df: DataFrame, groupCols: Seq[String], scoreExpr: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val g = groupCols.map(col)
+    val hist = df.withColumn("__score", expr(s"CAST($scoreExpr AS BIGINT)"))
+      .filter(col("__score").isNotNull)
+      .groupBy(g :+ col("__score"): _*).agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__score").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(g: _*)
+    hist
+      .withColumn("__cum", sum("__cnt").over(wCum))
+      .withColumn("__total", sum("__cnt").over(wTot))
+      .filter(col("__cum") * 2 >= col("__total"))
+      .groupBy(g: _*)
+      .agg(min("__score").as("median"), min("__total").as("n_rows"))
+  }
 }

@@ -389,6 +389,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(block.toSet == Set(-1, 1))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-text safe") {
+    import spark.implicits._
+    val old = Seq((1L, Some("same")), (2L, Some("before")), (3L, Some("gone")),
+      (5L, Option.empty[String])).toDF("doc_id", "text")
+    val cur = Seq((1L, Some("same")), (2L, Some("after")), (4L, Some("fresh")),
+      (5L, Option.empty[String])).toDF("doc_id", "text")
+    val got = CorpusPipeline.snapshotDiff(old, cur)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"))
+  }
+
   test("components resolves transitive duplicate chains to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 plus pair 10-11; 20 isolated

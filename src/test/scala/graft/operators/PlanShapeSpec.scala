@@ -460,6 +460,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Features.eventTransitions(events)) == 2)
   }
 
+  test("groupedMedian: histogram exchanges only, final agg reuses group keys") {
+    val gm = Stats.groupedMedian(docs.select("lang", "n_chars"),
+      Seq("lang"), "n_chars")
+    // (group, score) two-phase histogram + ONE group-key exchange shared
+    // by the cum window, the total window, and the final min-agg — the
+    // corpus itself aggregates once, never windows
+    assert(shuffles(gm) == 2)
+    val corpusWindows = walk(gm.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if !w.child.toString.contains("HashAggregate") => w
+    }
+    assert(corpusWindows.isEmpty, "only the histogram may be windowed")
+  }
+
+  test("snapshotDiff: one skew-free id-key full-outer join, text never shuffles") {
+    val old = docs.filter(col("doc_id") % 10 =!= 3)
+    val cur = docs.filter(col("doc_id") % 10 =!= 7)
+    val sd = CorpusPipeline.snapshotDiff(old, cur)
+    assert(shuffles(sd) == 2, "one exchange per snapshot side")
+    // the 32-char md5 crosses the exchange, the full text must not
+    val exchanges = walk(sd.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.forall(!_.child.schema.fieldNames.contains("text")),
+      "text column must be hashed scan-side, not shuffled")
+  }
+
   test("hashSamplePerGroup inherits the two-phase ranking budget") {
     // md5 staging is a per-row projection — no exchange beyond the two
     // salted ranking phases

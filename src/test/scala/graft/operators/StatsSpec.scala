@@ -212,6 +212,29 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Stats.quantileBins(df, "score", 1) }
   }
 
+  test("groupedMedian computes the exact lower median per group") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 900).map(i => (s"g${i % 4}", rnd.nextInt(25)))
+    val df = spark.createDataset(rows).toDF("grp", "score")
+    val got = Stats.groupedMedian(df, Seq("grp"), "score")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      val sorted = members.map(_._2.toLong).sorted
+      // lower median: smallest score s with 2*|{x <= s}| >= n
+      val lower = sorted((sorted.size - 1) / 2)
+      assert(got(g) == (lower, sorted.size.toLong), s"group $g")
+    }
+  }
+
+  test("groupedMedian: even-sized group takes the lower middle, nulls drop") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1)), ("a", Some(2)), ("a", Some(3)), ("a", Some(4)),
+      ("a", None)).toDF("grp", "score")
+    val r = Stats.groupedMedian(df, Seq("grp"), "score").collect()(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 4L)
+  }
+
   test("topFraction matches a brute-force sort baseline on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
