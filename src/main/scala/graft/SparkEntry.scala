@@ -2,9 +2,9 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Features, Json, Multimodal, Packing, Ranking, Similarity, Stats, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Features, Integrity, Json, Multimodal, Packing, Ranking, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -551,6 +551,46 @@ object SparkEntry {
           "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' LEGACY') ELSE text END"))
       val cur = d.filter(expr("doc_id % 10 != 7"))
       CorpusPipeline.snapshotDiff(old, cur)
+    }),
+    // CDC apply: a change log derived deterministically from the corpus —
+    // upserts (%5, seq 2), deletes (%7, seq 3; the %35 overlap proves
+    // last-writer-wins resolution), inserts (%13, fresh ids, seq 1) —
+    // folded into the base snapshot with one agg + one full-outer join
+    "q_cdc_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ups = d.filter(expr("doc_id % 5 = 0"))
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val dels = d.filter(expr("doc_id % 7 = 0"))
+        .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+      val ins = d.filter(expr("doc_id % 13 = 0"))
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          lit(1L).as("seq"), lit("upsert").as("op"),
+          concat(lit("ins "), col("text")).as("text"))
+      CorpusPipeline.applyChanges(d, ups.unionAll(dels).unionAll(ins))
+    }),
+    // prefix-filtered exact Jaccard (AllPairs/PPJoin): the oracle is the
+    // UNCAPPED quadratic inverted self-join — the prefix filter must lose
+    // NOTHING at the threshold for this row to stay hash-green
+    "q_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(docs(s, dir), threshold = 0.7)),
+    // referential-integrity audit over every star-schema edge; orphan
+    // columns are zero on a consistent warehouse (that's the assertion),
+    // unreferenced_parent_keys is the non-trivial coverage signal
+    "q_ri_audit" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      Integrity.audit(Seq(
+        (t("orders"), "o_custkey", t("customer"), "c_custkey",
+          "orders->customer"),
+        (t("lineitem"), "l_orderkey", t("orders"), "o_orderkey",
+          "lineitem->orders"),
+        (t("lineitem"), "l_partkey", t("part"), "p_partkey",
+          "lineitem->part"),
+        (t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey",
+          "lineitem->supplier"),
+        (events(s, dir), "user_id", t("customer"), "c_custkey",
+          "events->customer")))
     }),
     // transitive duplicate groups, with MinHash-LSH as the edge generator —
     // the documented default/scale path (bounded fan-out); its pair set is
@@ -1736,6 +1776,72 @@ object SparkEntry {
                WHEN o.h = n.h THEN 'unchanged'
                ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+    // same change-log derivation; last-writer-wins = max (seq, op)
+    "q_cdc_merge" ->
+      """WITH ch AS (
+          SELECT doc_id, 2 AS seq, 'upsert' AS op, text || ' v2' AS text
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id, 3, 'delete', NULL FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, 1, 'upsert', 'ins ' || text
+          FROM documents WHERE doc_id % 13 = 0),
+        w AS (
+          SELECT doc_id, op, text FROM (
+            SELECT doc_id, op, text,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY seq DESC, op DESC) AS rn
+            FROM ch)
+          WHERE rn = 1)
+        SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+          CASE WHEN w.doc_id IS NOT NULL THEN w.text ELSE b.text END AS text,
+          CASE WHEN w.doc_id IS NULL THEN 'kept'
+               WHEN b.doc_id IS NULL THEN 'inserted'
+               ELSE 'updated' END AS origin
+        FROM documents b FULL OUTER JOIN w ON b.doc_id = w.doc_id
+        WHERE NOT (w.doc_id IS NOT NULL AND w.op = 'delete')""",
+    // UNCAPPED brute-force quadratic Jaccard — the losslessness gate for
+    // the prefix-filtered candidate generation
+    "q_jaccard_prefix" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.7""",
+    "q_ri_audit" -> Seq(
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events->customer", "events", "user_id", "customer", "c_custkey"))
+      .map { case (name, c, fk, p, pk) =>
+        s"""SELECT '$name' AS relation,
+          (SELECT count(*) FROM $c) AS child_rows,
+          (SELECT count(*) FROM $c WHERE $fk IS NULL) AS null_fk_rows,
+          (SELECT count(*) FROM $c ch LEFT JOIN $p pr ON ch.$fk = pr.$pk
+            WHERE ch.$fk IS NOT NULL AND pr.$pk IS NULL) AS orphan_rows,
+          (SELECT count(DISTINCT $fk) FROM $c
+            WHERE $fk IS NOT NULL
+              AND $fk NOT IN (SELECT $pk FROM $p)) AS orphan_keys,
+          (SELECT count(DISTINCT $pk) FROM $p) AS parent_keys,
+          (SELECT count(*) FROM (
+            SELECT $pk FROM $p
+            EXCEPT SELECT DISTINCT $fk FROM $c WHERE $fk IS NOT NULL) t
+          ) AS unreferenced_parent_keys"""
+      }.mkString("", "\nUNION ALL\n", ""),
     "q_random_projection" -> {
       val signs = for (j <- 0 until 8; i <- 0 until 64)
         yield s"($i, $j, ${Similarity.projSign(i, j)})"

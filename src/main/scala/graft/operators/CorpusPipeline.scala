@@ -101,4 +101,50 @@ object CorpusPipeline {
           .when(col("__ho") === col("__hn"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** CDC apply — the companion of [[snapshotDiff]]: fold a change log
+    * (`idCol`, `seqCol`, `opCol` ∈ {upsert, delete}, `textCol` payload)
+    * into a base snapshot and emit the next snapshot. This is the
+    * incremental corpus refresh at 100 TB: the change log is a sliver of
+    * the base, so the winning pattern is reduce-the-log-first, touch each
+    * base row exactly once.
+    *
+    * Per id, the change with the greatest (seq, op) wins — resolved with
+    * ONE two-phase `max(struct(seq, op, payload))` aggregation, never a
+    * per-id window over the log (map-side combine collapses hot ids
+    * before the exchange; a ROW_NUMBER window would sort full log
+    * partitions). The winner set then meets the base in ONE full-outer
+    * join on unique ids — skew-free by construction on both sides.
+    * A delete winner drops the row (including a delete of a nonexistent
+    * id — a no-op, not an insert); an upsert overwrites or inserts.
+    * Output marks each row's `origin` ∈ {kept, updated, inserted} so a
+    * downstream re-tokenization can take only updated+inserted
+    * (the same only-touch-the-delta motivation as [[snapshotDiff]]).
+    *
+    * Ties on (seq, op): struct comparison is total and deterministic
+    * (field-lexicographic, 'upsert' > 'delete'), so concurrent
+    * same-seq ops resolve reproducibly — upsert wins, then greater
+    * payload. Callers that need strict semantics should keep (id, seq)
+    * unique in the log.
+    */
+  def applyChanges(
+      base: DataFrame, changes: DataFrame, idCol: String = "doc_id",
+      seqCol: String = "seq", opCol: String = "op",
+      textCol: String = "text"): DataFrame = {
+    val win = changes
+      .groupBy(col(idCol))
+      .agg(max(struct(col(seqCol).as("s"), col(opCol).as("o"),
+        col(textCol).as("t"))).as("__w"))
+      .select(col(idCol), col("__w.o").as("__op"), col("__w.t").as("__new"),
+        lit(true).as("__chg"))
+    base.select(col(idCol), col(textCol).as("__base"), lit(true).as("__in_base"))
+      .join(win, Seq(idCol), "full_outer")
+      .filter(!(col("__chg").isNotNull && col("__op") === "delete"))
+      .select(col(idCol),
+        when(col("__chg").isNotNull, col("__new")).otherwise(col("__base"))
+          .as(textCol),
+        when(col("__chg").isNull, "kept")
+          .when(col("__in_base").isNull, "inserted")
+          .otherwise("updated").as("origin"))
+  }
 }
