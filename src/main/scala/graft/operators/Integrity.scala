@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * burns in the agg where AQE can split it, not in the join); the parent
   * side contributes its unique key column only. One full-outer key join
   * (parent keys are unique ⇒ skew-free on that side), then a single-row
-  * aggregation. Null child keys are counted scan-side and EXCLUDED from
-  * the join — SQL null keys never match, so leaving them in would
-  * misreport every null as an orphan key.
+  * aggregation that reads every population off the join's null pattern —
+  * null fks collapse to one GROUP BY group that the `===` condition
+  * (correctly) never matches, so they are reported as nulls, never
+  * mistaken for orphan keys.
   */
 object Integrity {
 
@@ -32,23 +33,25 @@ object Integrity {
   def fkAudit(
       child: DataFrame, fkCol: String,
       parent: DataFrame, pkCol: String, relation: String): DataFrame = {
+    // GROUP BY collapses all null fks into ONE group; `===` never matches
+    // null, so after the full-outer join the three populations partition
+    // cleanly by null pattern: null-fk group (__k null, __c set), orphan
+    // key (__k set, __pk null), unreferenced parent (__c null). One child
+    // scan, one join, one single-row rollup — no second pass for totals.
     val g = child.groupBy(col(fkCol).as("__k"))
       .agg(count(lit(1)).as("__c"))
     val p = parent.select(col(pkCol).as("__pk")).distinct()
-    g.filter(col("__k").isNotNull)
-      .join(p, col("__k") === col("__pk"), "full_outer")
+    g.join(p, col("__k") === col("__pk"), "full_outer")
       .agg(
-        coalesce(sum(when(col("__pk").isNull, col("__c"))), lit(0L))
-          .as("orphan_rows"),
-        count(when(col("__pk").isNull, lit(1))).as("orphan_keys"),
+        coalesce(sum(col("__c")), lit(0L)).as("child_rows"),
+        coalesce(sum(when(col("__k").isNull && col("__c").isNotNull,
+          col("__c"))), lit(0L)).as("null_fk_rows"),
+        coalesce(sum(when(col("__k").isNotNull && col("__pk").isNull,
+          col("__c"))), lit(0L)).as("orphan_rows"),
+        count(when(col("__k").isNotNull && col("__pk").isNull, lit(1)))
+          .as("orphan_keys"),
         count(col("__pk")).as("parent_keys"),
-        count(when(col("__k").isNull, lit(1))).as("unreferenced_parent_keys"))
-      .crossJoin( // 1-row broadcast scalar: total/null counts from the
-        // pre-join child aggregation, so null keys are reported, not joined
-        g.agg(
-          coalesce(sum(col("__c")), lit(0L)).as("child_rows"),
-          coalesce(sum(when(col("__k").isNull, col("__c"))), lit(0L))
-            .as("null_fk_rows")))
+        count(when(col("__c").isNull, lit(1))).as("unreferenced_parent_keys"))
       .select(lit(relation).as("relation"), col("child_rows"),
         col("null_fk_rows"), col("orphan_rows"), col("orphan_keys"),
         col("parent_keys"), col("unreferenced_parent_keys"))

@@ -506,6 +506,59 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       embeds.filter(col("vec_id") < 16), k = 5, nProbe = 2)) <= 2)
   }
 
+  test("applyChanges: log reduced first, then ONE id-key join — no window") {
+    val ch = docs.filter(expr("doc_id % 5 = 0"))
+      .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val out = CorpusPipeline.applyChanges(docs, ch)
+    // last-writer-wins agg on id + the base side's join alignment (the
+    // winner side's agg partitioning is consumed directly); a ROW_NUMBER
+    // window over the log or a third exchange means the reduce-first
+    // shape regressed
+    assert(shuffles(out) == 2, "budget: LWW agg + base join alignment")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "change-log resolution must aggregate, not window")
+  }
+
+  test("fkAudit: distinct-key-bounded join, one child scan, no second pass") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val a = Integrity.fkAudit(orders, "o_custkey", cust, "c_custkey", "r")
+    a.collect()
+    val nodes = walk(a.queryExecution.executedPlan)
+    // child (key,count) agg + parent distinct + the single-row rollup; a
+    // 4th exchange or a second child scan means the all-populations-from-
+    // one-join-null-pattern shape regressed to a totals crossJoin
+    assert(nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }.size <= 3, "budget: child agg + parent distinct + 1-row rollup")
+    val scans = nodes.count(n =>
+      n.nodeName.contains("Scan") && n.toString.contains("orders.parquet"))
+    assert(scans == 1, s"child must be scanned exactly once, got $scans")
+  }
+
+  test("jaccardPrefixPairs: prefix-bounded index, arrays reused, no corpus window") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    // broadcast-off = the 100 TB shuffled topology
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val jp = Dedup.jaccardPrefixPairs(docs, threshold = 0.7)
+      jp.collect()
+      val nodes = walk(jp.queryExecution.executedPlan)
+      // df agg + freq-join alignment + byDoc agg + prefix self-join (2)
+      // + pair distinct + two verification joins consuming byDoc — every
+      // exchange keyed and bounded; the duplicated byDoc/index subtrees
+      // must collapse to ReusedExchange, not re-scan the corpus
+      assert(nodes.collect { case s: ShuffleExchangeLike => s }.size <= 8,
+        "shuffle budget exceeded")
+      assert(nodes.collect { case r: ReusedExchangeExec => r }.size >= 2,
+        "self-join/verify branches must reuse subtrees, not re-scan")
+      assert(!nodes.exists(_.nodeName.contains("Window")),
+        "no corpus window in the prefix-filter plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IvfIndex lifecycle: caller-owned persist is released by close()") {
     val idx = Similarity.ivfFit(embeds, nLists = 4, seed = 42L)
     val cached = idx.copy(assigned = idx.assigned.persist())
