@@ -360,6 +360,9 @@ object SparkEntry {
     "q_surprise" -> ((s, dir) =>
       TextAnalysis.unigramSurprise(docs(s, dir), headMinTf = 10L)),
     "q_mix_report" -> ((s, dir) => TextAnalysis.mixReport(docs(s, dir))),
+    // ROLLUP hierarchy in ONE pass — level = grouping_id bitmask, the
+    // disambiguator between subtotal rows and genuine NULL group values
+    "q_mix_rollup" -> ((s, dir) => TextAnalysis.mixRollup(docs(s, dir))),
     // deterministic hash-threshold stratified sample — DuckDB computes the
     // identical md5-bucket arithmetic, so the selected row SET is the
     // oracle (seeded Bernoulli `stratifiedSample` remains the fast
@@ -1395,6 +1398,11 @@ object SparkEntry {
           round(CAST(count(*) AS DOUBLE)
             / CAST((SELECT count(*) FROM documents) AS DOUBLE) * 100.0, 6) AS pct_docs
         FROM documents GROUP BY 1, 2""",
+    "q_mix_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+          CAST(GROUPING(lang, source) AS INTEGER) AS level
+        FROM documents GROUP BY ROLLUP(lang, source)""",
     "q_dedup_exact" ->
       """SELECT doc_id,
           min(doc_id) OVER (PARTITION BY h) AS canonical_id,

@@ -339,6 +339,28 @@ object TextAnalysis {
       .withColumn("pct_docs", expr(
         "round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) * 100.0, 6)"))
 
+  /** Hierarchical corpus-composition report: [[mixReport]]'s counts at
+    * EVERY prefix level of the grouping hierarchy in one pass —
+    * (lang, source), per-lang subtotals, and the grand total — via
+    * `ROLLUP`. Spark plans this as one Expand (each row duplicated once
+    * per level, a CONSTANT #levels fan-out applied scan-side) feeding a
+    * single two-phase aggregation — one shuffle, identical to the flat
+    * report, never one pass per level. `level` is the `grouping_id()`
+    * bitmask (0 = leaf, ascending = coarser), which is what
+    * distinguishes a subtotal row from a genuine NULL group value — the
+    * classic rollup ambiguity; both engines compute the same bitmask so
+    * the column crosses the hash gate.
+    */
+  def mixRollup(
+      docs: DataFrame,
+      groupCols: Seq[String] = Seq("lang", "source"),
+      textCol: String = "text"): DataFrame =
+    docs.rollup(groupCols.map(col): _*)
+      .agg(
+        expr("count(1)").as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars_total"),
+        grouping_id().cast("int").as("level"))
+
   /** Token-length histogram: documents bucketed by whitespace-token count
     * (`bucket = n_tokens div bucketSize`) with per-bucket doc and token
     * volumes — the input every sequence-length / packing plan starts from.
