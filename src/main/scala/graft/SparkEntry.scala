@@ -595,6 +595,20 @@ object SparkEntry {
         (events(s, dir), "user_id", t("customer"), "c_custkey",
           "events->customer")))
     }),
+    // key-uniqueness audit (the join-fan-out dual of q_ri_audit) over
+    // every declared key, a composite key, and — deliberately — a
+    // NON-unique column (events.user_id) so the dup columns are live
+    "q_pk_audit" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      Integrity.pkAuditAll(Seq(
+        (t("orders"), Seq("o_orderkey"), "orders(o_orderkey)"),
+        (t("customer"), Seq("c_custkey"), "customer(c_custkey)"),
+        (t("lineitem"), Seq("l_orderkey", "l_linenumber"),
+          "lineitem(l_orderkey,l_linenumber)"),
+        (docs(s, dir), Seq("doc_id"), "documents(doc_id)"),
+        (events(s, dir), Seq("event_id"), "events(event_id)"),
+        (events(s, dir), Seq("user_id"), "events(user_id)")))
+    }),
     // transitive duplicate groups, with MinHash-LSH as the edge generator —
     // the documented default/scale path (bounded fan-out); its pair set is
     // value-equal to the exact inverted-index sibling (oracle-proven by
@@ -1849,6 +1863,27 @@ object SparkEntry {
             SELECT $pk FROM $p
             EXCEPT SELECT DISTINCT $fk FROM $c WHERE $fk IS NOT NULL) t
           ) AS unreferenced_parent_keys"""
+      }.mkString("", "\nUNION ALL\n", ""),
+    "q_pk_audit" -> Seq(
+        ("orders(o_orderkey)", "orders", Seq("o_orderkey")),
+        ("customer(c_custkey)", "customer", Seq("c_custkey")),
+        ("lineitem(l_orderkey,l_linenumber)", "lineitem",
+          Seq("l_orderkey", "l_linenumber")),
+        ("documents(doc_id)", "documents", Seq("doc_id")),
+        ("events(event_id)", "events", Seq("event_id")),
+        ("events(user_id)", "events", Seq("user_id")))
+      .map { case (name, tbl, ks) =>
+        val nullPred = ks.map(k => s"$k IS NULL").mkString(" OR ")
+        s"""SELECT '$name' AS relation,
+          CAST(coalesce(sum(c), 0) AS BIGINT) AS n_rows,
+          count(*) AS n_keys,
+          count(*) FILTER (WHERE c > 1) AS dup_keys,
+          CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_rows,
+          CAST(coalesce(max(c), 0) AS BIGINT) AS max_multiplicity,
+          CAST(coalesce(sum(n), 0) AS BIGINT) AS null_key_rows
+        FROM (SELECT count(*) AS c,
+                sum(CASE WHEN $nullPred THEN 1 ELSE 0 END) AS n
+              FROM $tbl GROUP BY ${ks.mkString(", ")}) g"""
       }.mkString("", "\nUNION ALL\n", ""),
     "q_random_projection" -> {
       val signs = for (j <- 0 until 8; i <- 0 until 64)

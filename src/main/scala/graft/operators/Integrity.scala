@@ -64,4 +64,43 @@ object Integrity {
   def audit(relations: Seq[(DataFrame, String, DataFrame, String, String)]): DataFrame =
     relations.map { case (c, fk, p, pk, name) => fkAudit(c, fk, p, pk, name) }
       .reduce(_.unionAll(_))
+
+  /** Key-uniqueness audit — the other half of referential integrity: a
+    * "primary" key that is not actually unique silently FANS OUT every
+    * downstream join (row counts inflate instead of rows dropping — the
+    * dual failure to [[fkAudit]]'s orphan loss). One row per declared
+    * key: total rows, distinct keys, duplicated keys and the rows they
+    * carry, the worst key's multiplicity, and rows with any null key
+    * part.
+    *
+    * Shape: ONE two-phase (key, count) aggregation — map-side combine
+    * bounds the exchange at distinct keys, a hot duplicate key burns in
+    * the agg where AQE splits it — then a single-row rollup. Composite
+    * keys group on all parts; rows with a null in any key part are
+    * counted (`null_key_rows`) but follow SQL GROUP BY semantics (nulls
+    * compare equal when grouping), so an all-null-key table reports one
+    * key with full multiplicity — the loud signal, not a silent pass.
+    */
+  def pkAudit(df: DataFrame, keyCols: Seq[String], relation: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val g = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        coalesce(sum(when(anyNull, lit(1L))), lit(0L)).as("__n"))
+    g.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      count(when(col("__c") > 1, lit(1))).as("dup_keys"),
+      coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L)).as("dup_rows"),
+      coalesce(max(col("__c")), lit(0L)).as("max_multiplicity"),
+      coalesce(sum(col("__n")), lit(0L)).as("null_key_rows"))
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_keys"),
+        col("dup_keys"), col("dup_rows"), col("max_multiplicity"),
+        col("null_key_rows"))
+  }
+
+  /** Multi-table key audit, one row per (table, declared key). */
+  def pkAuditAll(keys: Seq[(DataFrame, Seq[String], String)]): DataFrame =
+    keys.map { case (df, kc, name) => pkAudit(df, kc, name) }
+      .reduce(_.unionAll(_))
 }

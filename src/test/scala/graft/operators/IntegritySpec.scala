@@ -63,6 +63,35 @@ class IntegritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Long]("unreferenced_parent_keys") == 2L)
   }
 
+  // ------------------------------------------------------------- pkAudit
+
+  test("pkAudit: dup keys, worst multiplicity, and null key parts") {
+    import spark.implicits._
+    // key "a"×3, "b"×1, null×2 → 3 groups (nulls group together),
+    // 2 dup keys (a and the null group), 5 dup rows, worst 3
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), None, None)
+      .toDF("k")
+    val r = Integrity.pkAudit(df, Seq("k"), "t").collect().head
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("dup_keys") == 2L)
+    assert(r.getAs[Long]("dup_rows") == 5L)
+    assert(r.getAs[Long]("max_multiplicity") == 3L)
+    assert(r.getAs[Long]("null_key_rows") == 2L)
+  }
+
+  test("pkAudit: composite key — partial nulls are distinct groups") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(1L), Some("x")),
+      (Some(1L), None), (None, Some("x"))).toDF("k1", "k2")
+    val r = Integrity.pkAudit(df, Seq("k1", "k2"), "t").collect().head
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("dup_keys") == 1L)
+    assert(r.getAs[Long]("max_multiplicity") == 2L)
+    assert(r.getAs[Long]("null_key_rows") == 2L)
+  }
+
   // -------------------------------------------------------- applyChanges
 
   private def docsDf(rows: Seq[(Long, String)]): DataFrame = {

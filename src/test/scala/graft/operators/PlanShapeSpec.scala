@@ -506,6 +506,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       embeds.filter(col("vec_id") < 16), k = 5, nProbe = 2)) <= 2)
   }
 
+  test("mixRollup: all hierarchy levels ride ONE Expand + one aggregation") {
+    val mr = TextAnalysis.mixRollup(docs)
+    val plan = mr.queryExecution.executedPlan.toString
+    // ROLLUP = scan-side Expand (constant #levels fan-out) feeding a
+    // single two-phase agg — one shuffle, same as the flat report; a
+    // second exchange means Spark stopped folding the levels into one
+    // grouping-sets aggregation (e.g. a union-of-aggs rewrite crept in)
+    assert(shuffles(mr) == 1, "budget: one grouping-sets aggregation")
+    assert(plan.contains("Expand"), "levels must expand scan-side")
+    assert(!plan.contains("Union"), "never one aggregation pass per level")
+  }
+
   test("applyChanges: log reduced first, then ONE id-key join — no window") {
     val ch = docs.filter(expr("doc_id % 5 = 0"))
       .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
