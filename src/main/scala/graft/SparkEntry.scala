@@ -609,6 +609,11 @@ object SparkEntry {
         (events(s, dir), Seq("event_id"), "events(event_id)"),
         (events(s, dir), Seq("user_id"), "events(user_id)")))
     }),
+    // project-level relation audit: the YAML-declared relation expressions
+    // themselves drive the joins (rendered exactly as the planner renders
+    // them) — unmatched lookups and *-1 fan-out violations per relation
+    "q_relation_audit" -> ((_, dir) =>
+      graft.exec.RelationAudit.audit(compiled, runner(dir).hub)),
     // transitive duplicate groups, with MinHash-LSH as the edge generator —
     // the documented default/scale path (bounded fan-out); its pair set is
     // value-equal to the exact inverted-index sibling (oracle-proven by
@@ -1884,6 +1889,37 @@ object SparkEntry {
         FROM (SELECT count(*) AS c,
                 sum(CASE WHEN $nullPred THEN 1 ELSE 0 END) AS n
               FROM $tbl GROUP BY ${ks.mkString(", ")}) g"""
+      }.mkString("", "\nUNION ALL\n", ""),
+    // mirrors RelationAudit over the raw tables (hub row sets are the raw
+    // rows; the sample-project join attrs are raw columns)
+    "q_relation_audit" -> Seq(
+        ("[tpch_lineitem]- orderkey -[tpch_orders]", "M-1", true,
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("[tpch_orders]- custkey -[tpch_customer]", "M-1", true,
+          "orders", "o_custkey", "customer", "c_custkey"),
+        ("[tpch_customer]- nationkey -[tpch_nation]", "M-1", true,
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("[tpch_nation]- regionkey -[tpch_region]", "M-1", true,
+          "nation", "n_regionkey", "region", "r_regionkey"),
+        ("[tpch_nation]- nationkey -[tpch_supplier]", "1-M", false,
+          "nation", "n_nationkey", "supplier", "s_nationkey"),
+        ("[tpch_lineitem]- partkey -[tpch_part]", "M-1", true,
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        ("[tpch_lineitem]- suppkey -[tpch_supplier]", "M-1", true,
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+      .map { case (name, card, oneRelated, st, sk, rt, rk) =>
+        val viol = if (oneRelated) "count(*) FILTER (WHERE m > 1)"
+          else "CAST(0 AS BIGINT)"
+        s"""SELECT '$name' AS relation, '$card' AS cardinality,
+          count(*) AS source_rows,
+          count(*) FILTER (WHERE m = 0) AS unmatched_source_rows,
+          count(*) FILTER (WHERE m > 1) AS multi_match_source_rows,
+          CAST(coalesce(max(m), 0) AS BIGINT) AS max_matches,
+          $viol AS cardinality_violations
+        FROM (SELECT coalesce(g.c, 0) AS m
+              FROM $st s LEFT JOIN (
+                SELECT $rk AS k, count(*) AS c FROM $rt GROUP BY 1) g
+              ON s.$sk = g.k) t"""
       }.mkString("", "\nUNION ALL\n", ""),
     "q_random_projection" -> {
       val signs = for (j <- 0 until 8; i <- 0 until 64)
