@@ -135,6 +135,25 @@ object Main {
       println(s"Execution completed successfully: $outDir")
       spark.stop()
 
+    case "audit" :: projectDir :: dataDir :: Nil =>
+      // data-vs-declaration audit: every relation's unmatched lookups and
+      // *-1 fan-out violations, measured by the relation expressions
+      // themselves (see RelationAudit). Exit 1 on violations — the CI
+      // gate shape: a fanned-out *-1 silently inflates every downstream
+      // join, so a pipeline should refuse to run on top of it.
+      val spark = session()
+      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+      val runner = new Runner(cp, Runners.parquetDir(dataDir))
+      val result = graft.exec.RelationAudit.audit(cp, runner.hub)
+        .localCheckpoint() // audit twice-consumed (print + gate): run once
+      result.show(truncate = false)
+      val bad = graft.exec.RelationAudit.hasViolations(result)
+      spark.stop()
+      if (bad) {
+        System.err.println("cardinality violations found (see rows above)")
+        sys.exit(1)
+      }
+
     case _ =>
       System.err.println(
         """usage: graft.Main validate <projectDir> [--strict-types]
@@ -142,7 +161,8 @@ object Main {
           |       graft.Main plan     <projectDir> <dataDir>
           |       graft.Main emit     <projectDir> <outDir>
           |       graft.Main run      <projectDir> <dataDir> <outDir>
-          |       graft.Main import   <projectDir> <dataDir> <outDir>   — versioned re-import (C13)""".stripMargin)
+          |       graft.Main import   <projectDir> <dataDir> <outDir>   — versioned re-import (C13)
+          |       graft.Main audit    <projectDir> <dataDir>            — relation/data integrity audit""".stripMargin)
       sys.exit(2)
   }
 

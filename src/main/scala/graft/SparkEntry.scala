@@ -831,6 +831,15 @@ object SparkEntry {
     // vs a gaps-and-islands oracle with the matching strict-> break
     "q_session_window" -> ((s, dir) =>
       graft.streaming.Events.sessionWindowStats(events(s, dir))),
+    // the same session_window agg on the REAL streaming path (watermark +
+    // append mode + close sentinel) — Spark's built-in session state vs
+    // the hand-rolled flatMapGroupsWithState sibling, same oracle
+    "q_session_window_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      e.runAvailableNow(s,
+        e.sessionWindowStream(e.readEventsStream(s, stagedDir(s, dir, sentinel = true))),
+        complete = false)
+    }),
     // click→purchase attribution: batch form through the guarded bucketed
     // range join (hash join on (user, bucket), never per-key quadratic)
     "q_attribution" -> ((s, dir) =>
@@ -2525,6 +2534,26 @@ object SparkEntry {
     // oracle — spec-pinned against Spark), and session_end is last event
     // + gap. Microsecond-exact integer gap comparison.
     "q_session_window" ->
+      """WITH e AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        t AS (
+          SELECT user_id, ts, cents,
+            CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM t)
+        SELECT user_id, min(ts) AS session_start,
+          max(ts) + INTERVAL 30 MINUTE AS session_end,
+          count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sid""",
+    // streaming session_window emits the identical session set on a
+    // bounded close-sentinel run — same gaps-and-islands oracle
+    "q_session_window_stream" ->
       """WITH e AS (
           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
             CAST(round(value * 100) AS BIGINT) AS cents

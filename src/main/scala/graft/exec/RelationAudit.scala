@@ -37,11 +37,23 @@ object RelationAudit {
       .withColumn("__sid", monotonically_increasing_id())
     val r = prefixAll(hub(rd.relatedName), "__r_")
       .withColumn("__rmark", lit(true))
-    val cond = rel.expr.render { i =>
+    val rendered = rel.expr.render { i =>
       val p = rel.expr.params(i)
       val pfx = if (rel.sides(i) == "This") "__s_" else "__r_"
       q(pfx + p.attribute) + p.keys.map(k => "." + q(k)).mkString
     }
+    // unique-join guard parity (J6): the planner ANDs the `<rule>_uv_flag`
+    // companion into joins keyed on a unique_flag rule — the audit must
+    // measure the join the planner will RUN, not the bare expression
+    // (without this, a unique-filtered relation audits as a fan-out)
+    val guards = rel.expr.params.indices.flatMap { i =>
+      val p = rel.expr.params(i)
+      if (rel.sides(i) != "Related" || !rel.isRule(i)) None
+      else cp.project.source(rd.relatedName).rules
+        .find(_.name == p.attribute).filter(_.uniqueFlag)
+        .map(_ => q("__r_" + p.attribute + "_uv_flag"))
+    }.distinct
+    val cond = (s"($rendered)" +: guards).mkString(" AND ")
     val oneRelated = rd.cardinality.relatedOne
     s.join(r, expr(cond), "left")
       .groupBy(col("__sid"))

@@ -131,6 +131,31 @@ object Events {
         col("session_window.end").as("session_end"),
         col("n_events"), col("value_cents"))
 
+  /** STREAMING form of [[sessionWindowStats]]: Spark's native merging
+    * session-window aggregation under a watermark, append mode — the
+    * built-in-state counterpart to [[sessionizeStream]]'s hand-rolled
+    * flatMapGroupsWithState (same output contract, two different state
+    * machines, both oracle-gated against the one gaps-and-islands SQL).
+    * A session row emits once the watermark passes its end; state is
+    * bounded by sessions still inside the watermark horizon. On a
+    * bounded close-sentinel run ([[stageStreamDir]]) the final watermark
+    * (sentinel ts − delay) passes every REAL session while the sentinel
+    * sessions themselves — 10 days ahead of it — are withheld by append
+    * mode, so the emitted set is exactly the batch result.
+    */
+  def sessionWindowStream(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("sum(CAST(round(value * 100) AS LONG))").as("value_cents"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_cents"))
+
   /** Sessionization, batch form: a session breaks after `gapMinutes` of
     * user inactivity. Pure window functions — one shuffle on user_id.
     */

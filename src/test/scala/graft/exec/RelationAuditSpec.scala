@@ -48,6 +48,37 @@ class RelationAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oneM.getAs[Long]("cardinality_violations") == 0L)
   }
 
+  test("unique-guarded relation audits the PLANNER's join, not the bare expression") {
+    // the runtime project's solo relation joins on a unique_flag rule:
+    // the planner ANDs the `_uv_flag` companion, so only customers with
+    // exactly ONE order resolve — at sf0.01 that is exactly 2 of 1500.
+    // Without guard parity the bare key expression fans out (~18 orders
+    // per customer) and the M-1 declaration would misreport violations.
+    val files = Seq("meta.yaml", "relations.yaml",
+      "sources/customer2.yaml", "sources/events.yaml", "sources/orders2.yaml",
+      "sources/orders_self.yaml", "sources/part2.yaml",
+      "outputs/event_struct.yaml")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_audit_rt")
+    files.foreach { f =>
+      val in = getClass.getClassLoader.getResourceAsStream(s"runtime_project/$f")
+      assert(in != null, s"missing resource runtime_project/$f")
+      val target = tmp.resolve(f)
+      java.nio.file.Files.createDirectories(target.getParent)
+      java.nio.file.Files.copy(in, target)
+      in.close()
+    }
+    val _ = spark
+    val cp2 = new Compiler(graft.parse.YamlLoader.load(tmp.toString)).compile()
+    val runner = new Runner(cp2, Runners.parquetDir("/root/testdata/sf0.01"))
+    val audit = RelationAudit.audit(cp2, runner.hub)
+    val solo = audit.filter(col("relation").contains("solo")).collect().head
+    assert(solo.getAs[Long]("multi_match_source_rows") == 0L)
+    assert(solo.getAs[Long]("cardinality_violations") == 0L)
+    assert(solo.getAs[Long]("source_rows") -
+      solo.getAs[Long]("unmatched_source_rows") == 2L)
+    assert(solo.getAs[Long]("max_matches") == 1L)
+  }
+
   test("duplicated parent row: the M-1 declaration's fan-out is reported") {
     val base = Runners.parquetDir(sfDir)
     val reader: graft.core.SourceDef => DataFrame = s =>
