@@ -831,6 +831,19 @@ object SparkEntry {
     // vs a gaps-and-islands oracle with the matching strict-> break
     "q_session_window" -> ((s, dir) =>
       graft.streaming.Events.sessionWindowStats(events(s, dir))),
+    // semantic mislabel scrub: vectors anti-correlated with their own
+    // label centroid (exact micro-unit centroid → float → codegen cosine)
+    "q_label_outliers" -> ((s, dir) => Stats.labelOutliers(embeds(s, dir))),
+    // streaming activity outliers: ONE complete-mode streaming count
+    // (state = key space) + an all-integer 120%-of-mean cut on the
+    // bounded result — replication-stable, unlike an absolute support
+    "q_activity_outliers_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      e.aboveMeanActivity(e.runAvailableNow(s,
+        e.activityCountsStream(
+          e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
+        complete = true))
+    }),
     // the same session_window agg on the REAL streaming path (watermark +
     // append mode + close sentinel) — Spark's built-in session state vs
     // the hand-rolled flatMapGroupsWithState sibling, same oracle
@@ -2551,6 +2564,36 @@ object SparkEntry {
           max(ts) + INTERVAL 30 MINUTE AS session_end,
           count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
         FROM s GROUP BY user_id, sid""",
+    // identical centroid construction (micro-unit sums → round 6 →
+    // FLOAT[]) and the same fold-order cosine as the Spark codegen kernel
+    "q_label_outliers" ->
+      """WITH ex AS (
+          SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+            CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS um
+          FROM embeddings),
+        c AS (
+          SELECT label, dim,
+            round(CAST(sum(um) AS DOUBLE) / count(*) / 1000000.0, 6) AS ct
+          FROM ex GROUP BY 1, 2),
+        ca AS (
+          SELECT label, CAST(list(ct ORDER BY dim) AS FLOAT[]) AS cent
+          FROM c GROUP BY 1)
+        SELECT e.vec_id, e.label,
+          round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(ca.cent AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(ca.cent AS DOUBLE[]), CAST(ca.cent AS DOUBLE[])))), 6)
+            AS centroid_cos
+        FROM embeddings e JOIN ca USING (label)
+        WHERE round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(ca.cent AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(ca.cent AS DOUBLE[]), CAST(ca.cent AS DOUBLE[])))), 6) < 0.0""",
+    // integer 120%-of-mean activity cut over exact streaming counts
+    "q_activity_outliers_stream" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     count(*) AS n FROM c)
+        SELECT user_id, CAST(cnt AS BIGINT) AS cnt
+        FROM c, t WHERE cnt * n * 5 > total * 6""",
     // streaming session_window emits the identical session set on a
     // bounded close-sentinel run — same gaps-and-islands oracle
     "q_session_window_stream" ->

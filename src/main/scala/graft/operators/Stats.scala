@@ -157,6 +157,45 @@ object Stats {
       .withColumn("centroid",
         expr("round(CAST(sum_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)"))
 
+  /** Semantic mislabel scrub: flag vectors whose cosine to their OWN
+    * label's centroid falls below `minCos` — the embedding-space
+    * cleaning pass a labeled training set runs before fine-tuning (a
+    * vector anti-correlated with its class center is a labeling bug or
+    * an out-of-distribution sample). Default threshold 0: "flag what
+    * points AWAY from its own class".
+    *
+    * The centroid comes from [[labelCentroids]]' exact micro-unit sums
+    * (partitioning-independent), rounded to 6 decimals and narrowed to
+    * FLOAT — both engines build the identical array, so the cosine
+    * (codegen [[graft.functions]] vec_cosine; same left-to-right fold
+    * as DuckDB's list_dot_product) crosses the hash gate exactly.
+    *
+    * Plan: the centroid relation is labels × dim — broadcast-joined to
+    * the corpus, which is scanned ONCE and never shuffled; the only
+    * exchanges aggregate labels × dim partial rows. Self-inclusion is
+    * the standard convention (the vector contributes to its own
+    * centroid; at class sizes ≥ ~10 the self-term moves the cosine
+    * less than the quantization).
+    */
+  def labelOutliers(
+      emb: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      minCos: Double = 0.0): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val cents = labelCentroids(emb, labelCol, vecCol)
+      .groupBy(labelCol)
+      .agg(sort_array(collect_list(struct(col("dim"), col("centroid"))))
+        .as("__o"))
+      .select(col(labelCol),
+        expr("CAST(transform(__o, x -> x.centroid) AS ARRAY<FLOAT>)")
+          .as("__cent"))
+    emb.join(broadcast(cents), labelCol)
+      .withColumn("centroid_cos",
+        expr(s"round(vec_cosine(`$vecCol`, `__cent`), 6)"))
+      .filter(col("centroid_cos") < minCos)
+      .select(col(idCol), col(labelCol), col("centroid_cos"))
+  }
+
   /** Categorical distribution drift between two corpus slices — the
     * 2×K chi-square contingency decomposition a curation pipeline runs
     * to detect mix shift between snapshots (did the `source`/`lang`

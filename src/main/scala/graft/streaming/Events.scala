@@ -460,6 +460,40 @@ object Events {
       .toDF()
   }
 
+  /** Streaming per-key activity counts — the state side of a streaming
+    * heavy-hitter/outlier profile: ONE streaming aggregation whose state
+    * is bounded by the KEY SPACE (distinct users), not stream length.
+    * Run in COMPLETE mode on a bounded source ([[runAvailableNow]]) the
+    * counts are exact and equal the batch groupBy — the [[hourlyStatsStreamBounded]]
+    * evidence discipline. Thresholding happens downstream on the
+    * key-space-sized result ([[aboveMeanActivity]]) — chaining a second
+    * streaming agg is restricted, and the counts relation is the
+    * reusable production output anyway.
+    */
+  def activityCountsStream(events: DataFrame, keyCol: String = "user_id"): DataFrame =
+    events.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+
+  /** Keys whose activity exceeds `num/den` of the MEAN (default 6/5 =
+    * 120%) — all-integer comparison (`cnt · n_keys · den > total · num`),
+    * so the cut is engine- and partitioning-exact, and it is
+    * replication-STABLE: growing the corpus 10× with the same per-key
+    * distribution selects the same per-replica keys (a fixed absolute
+    * support threshold empties instead — the wrong invariant for a
+    * growing stream). Input is the already-aggregated counts relation —
+    * the 1-row totals attach as a broadcast scalar.
+    */
+  def aboveMeanActivity(
+      counts: DataFrame, keyCol: String = "user_id",
+      num: Long = 6L, den: Long = 5L): DataFrame = {
+    require(num > 0 && den > 0, "threshold ratio must be positive")
+    val totals = counts.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("__total"),
+      count(lit(1)).as("__n"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("cnt") * col("__n") * lit(den) > col("__total") * lit(num))
+      .select(col(keyCol), col("cnt"))
+  }
+
   /** Bounded-evidence streaming form of [[hourlyStatsBatch]]: the same
     * tumbling-window aggregation as [[hourlyStatsStream]] but with exact
     * counts and COMPLETE output mode semantics in mind — on a bounded

@@ -26,6 +26,33 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.createDataset(rows).toDF("k")
   }
 
+  // --------------------------------------------------------- labelOutliers
+
+  test("labelOutliers flags the vector pointing away from its label centroid") {
+    import spark.implicits._
+    // label 0: three vectors near +x, one at -x (the mislabel); label 1:
+    // two near +y — nothing flagged there
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f), 0), (2L, Array(0.9f, 0.0f), 0),
+      (3L, Array(1.0f, -0.1f), 0), (4L, Array(-1.0f, 0.0f), 0),
+      (10L, Array(0.0f, 1.0f), 1), (11L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Stats.labelOutliers(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((4L, 0)))
+  }
+
+  test("labelOutliers: threshold is exclusive and respects minCos") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // centroid = (0.5, 0.5): both vectors sit at cos ≈ 0.707 — nothing
+    // below 0, everything below 0.8
+    assert(Stats.labelOutliers(emb).count() == 0)
+    assert(Stats.labelOutliers(emb, minCos = 0.8).count() == 2)
+  }
+
   // ---------------------------------------------------------- heavyHitters
 
   test("heavyHitters emits exactly the above-threshold keys, all covered") {

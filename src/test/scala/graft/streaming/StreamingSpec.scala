@@ -182,6 +182,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("multibatch_sessions")
   }
 
+  test("streaming activity counts accumulate across micro-batches; outlier cut matches batch") {
+    // key-space-bounded streaming agg: per-user counts must accumulate
+    // over 4 chunked micro-batches, and the 120%-of-mean integer cut on
+    // the complete-mode result must equal the same cut on a batch groupBy
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = false)
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val got = Events.aboveMeanActivity(Events.runAvailableNow(spark,
+      Events.activityCountsStream(stream), complete = true))
+    val expected = Events.aboveMeanActivity(
+      events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
+    assert(got.count() > 0, "the cut should select someone on this fixture")
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "streaming outlier cut must equal the batch cut exactly")
+  }
+
   test("windowed aggregation state survives micro-batch boundaries (complete mode)") {
     // the sessionize multi-batch test exercises flatMapGroupsWithState's
     // user state; this one exercises Spark-managed streaming-aggregation
