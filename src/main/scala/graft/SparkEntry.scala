@@ -266,6 +266,10 @@ object SparkEntry {
     // the sf fixtures' threshold inside the token-count range.
     "q_heavy_hitters" -> ((s, dir) =>
       Stats.heavyHitters(TextAnalysis.tokenPairs(docs(s, dir)), "token", 60L)),
+    // Count-Min-Sketch envelope: exact hitter counts hash-gated, each
+    // CMS estimate asserted inside [cnt, cnt + ceil(eps*N)] in-plan
+    "q_cms_bounds" -> ((s, dir) =>
+      Stats.cmsBounds(TextAnalysis.tokenPairs(docs(s, dir)), "token", 60L)),
     // per-dimension embedding stats in exact fixed point: micro-unit
     // sums/sums-of-squares in DECIMAL(38,0) (a double sum over 1e11
     // floats is partitioning-dependent; these are not), mean derived by
@@ -2668,6 +2672,15 @@ object SparkEntry {
         c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
         t AS (SELECT sum(cnt) AS total FROM c)
         SELECT token, CAST(cnt AS BIGINT) AS cnt, TRUE AS covered
+        FROM c, t WHERE cnt * 60 > total""",
+    "q_cms_bounds" ->
+      """WITH tk AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+                        t -> t != '')) AS token
+          FROM documents),
+        c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1),
+        t AS (SELECT sum(cnt) AS total FROM c)
+        SELECT token, CAST(cnt AS BIGINT) AS cnt, TRUE AS cms_within
         FROM c, t WHERE cnt * 60 > total""",
     // Exact fixed-point moments (micro-units in DECIMAL) — identical
     // quantize-then-sum arithmetic on both engines; `mean` derived from

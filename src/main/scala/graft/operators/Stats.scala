@@ -157,6 +157,43 @@ object Stats {
       .withColumn("centroid",
         expr("round(CAST(sum_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6)"))
 
+  /** Count-Min-Sketch accuracy envelope — completes the mergeable-sketch
+    * family (HLL distinct counts, Greenwald-Khanna quantiles, freqItems
+    * majorities): a CMS is the fixed-size, mergeable frequency profile a
+    * single-pass 100 TB stream keeps when even the distinct key space is
+    * too large to count exactly. Raw estimates are engine-specific, so —
+    * the q_approx_bounds/q_quantile_bounds discipline — what crosses the
+    * hash gate is the EXACT heavy-hitter counts plus a boolean asserting
+    * each estimate sits inside the CMS one-sided guarantee
+    * (`cnt ≤ est ≤ cnt + ⌈eps·N⌉`, overestimates only — a hash sketch
+    * never undercounts).
+    *
+    * The ≤ invSupport hitter rows materialize on the driver to probe the
+    * sketch — the same bounded contract as [[heavyHitters]]' freqItems
+    * set; the sketch itself builds distributed (one treeAggregate-style
+    * merge of fixed-size tables).
+    */
+  def cmsBounds(
+      pairs: DataFrame, keyCol: String, invSupport: Long = 60L,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val cms = pairs.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val counts = pairs.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("__total"))
+    val hitters = counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(invSupport) > col("__total"))
+      .select(col(keyCol).cast("string"), col("cnt"), col("__total"))
+      .collect() // bounded: ≤ invSupport rows by the support arithmetic
+    val rows: Seq[(String, Long, Boolean)] = hitters.toSeq.map { r =>
+      val k = r.getString(0); val cnt = r.getLong(1); val tot = r.getLong(2)
+      val est = cms.estimateCount(k)
+      (k, cnt, est >= cnt && est <= cnt + math.ceil(eps * tot).toLong)
+    }
+    rows.toDF(keyCol, "cnt", "cms_within")
+  }
+
   /** Semantic mislabel scrub: flag vectors whose cosine to their OWN
     * label's centroid falls below `minCos` — the embedding-space
     * cleaning pass a labeled training set runs before fine-tuning (a

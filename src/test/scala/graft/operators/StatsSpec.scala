@@ -26,6 +26,20 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.createDataset(rows).toDF("k")
   }
 
+  // ------------------------------------------------------------ cmsBounds
+
+  test("cmsBounds: exact hitters carried, every CMS estimate inside the envelope") {
+    // same data shape as the heavyHitters spec: a(40) b(25) clear the
+    // invSupport=5 cut, c(20) exactly at 20% does not
+    val rows = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(20)("c") ++
+      (1 to 15).map(i => s"s$i")
+    val out = Stats.cmsBounds(pairsDf(rows), "k", invSupport = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("a", 40L), ("b", 25L)))
+    assert(out.forall(_._3), "CMS must not leave its one-sided error bound")
+  }
+
   // --------------------------------------------------------- labelOutliers
 
   test("labelOutliers flags the vector pointing away from its label centroid") {
