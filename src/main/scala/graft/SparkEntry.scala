@@ -380,6 +380,10 @@ object SparkEntry {
       TextAnalysis.assignSplit(docs(s, dir),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")),
+    // weight-proportional deterministic sample (P ∝ n_chars, all-integer
+    // bucket·W_total < 65536·target·w comparison, W_total broadcast)
+    "q_weighted_sample" -> ((s, dir) =>
+      TextAnalysis.weightedSampleHash(docs(s, dir), "n_chars", 300L)),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     // line-level boilerplate dedup (RefinedWeb/CCNet pass): the fixture
     // has no newlines, so both engines plant the same deterministic
@@ -577,6 +581,27 @@ object SparkEntry {
           concat(lit("ins "), col("text")).as("text"))
       CorpusPipeline.applyChanges(d, ups.unionAll(dels).unionAll(ins))
     }),
+    // SCD type-2 history from a 4-wave change log (base load, %5 upserts,
+    // %7 deletes, %10 re-upserts): every upsert version gets its validity
+    // interval from ONE lead window over the id key; the %35 overlap
+    // proves delete-closes-interval, the %70 overlap proves
+    // re-insert-after-delete opens a NEW current version
+    "q_scd2" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v1 = d.select(col("doc_id"), lit(1L).as("seq"),
+        lit("upsert").as("op"), col("text"))
+      val ups = d.filter(expr("doc_id % 5 = 0"))
+        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val dels = d.filter(expr("doc_id % 7 = 0"))
+        .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+      val re = d.filter(expr("doc_id % 10 = 0"))
+        .select(col("doc_id"), lit(4L).as("seq"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v4")).as("text"))
+      CorpusPipeline.scd2History(
+        v1.unionAll(ups).unionAll(dels).unionAll(re))
+    }),
     // prefix-filtered exact Jaccard (AllPairs/PPJoin): the oracle is the
     // UNCAPPED quadratic inverted self-join — the prefix filter must lose
     // NOTHING at the threshold for this row to stay hash-green
@@ -618,6 +643,28 @@ object SparkEntry {
     // them) — unmatched lookups and *-1 fan-out violations per relation
     "q_relation_audit" -> ((_, dir) =>
       graft.exec.RelationAudit.audit(compiled, runner(dir).hub)),
+    // ANALYZE-style column profile: per-column row/null/ndv/min/max from
+    // ONE aggregation over ONE scan per relation (exact ndv here — the
+    // oracle baseline; approx_count_distinct is the no-Expand scale
+    // path, rsd-gated in ProfileSpec); int/string columns only so
+    // min/max strings render identically cross-engine
+    "q_profile" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      Stats.profile(t("orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        "orders")
+        .unionAll(Stats.profile(docs(s, dir),
+          Seq("doc_id", "lang", "source", "n_chars"), "documents"))
+    }),
+    // 2-D Z-order (Morton) key over (user_id, epoch-hour): the codegen
+    // bit-interleave expression behind Layout.zOrderLayout, hash-gated
+    // against DuckDB running the identical five spread steps; the layout
+    // itself (range-partition + sort by this key) is pinned in LayoutSpec
+    "q_zorder" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      events(s, dir).selectExpr("event_id",
+        "zorder2(user_id, unix_micros(ts) DIV 3600000000) AS z")
+    }),
     // transitive duplicate groups, with MinHash-LSH as the edge generator —
     // the documented default/scale path (bounded fan-out); its pair set is
     // value-equal to the exact inverted-index sibling (oracle-proven by
@@ -902,6 +949,20 @@ object SparkEntry {
         .join(counts, Seq("stage_idx"), "left")
         .select(col("stage_idx"), col("stage"),
           coalesce(col("__n"), lit(0L)).as("n_users"))
+    }),
+
+    // the retention matrix as a stream: per-user calendar-bounded
+    // weeks-seen state emits a first-activity-in-week row exactly once
+    // per (user, week); the cohort matrix is a bounded agg over the
+    // advances (Events.retentionMatrix) — value-matched to the batch
+    // q_retention oracle on the bounded run, with NO in-order premise
+    // (set membership is arrival-order-insensitive)
+    "q_retention_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      e.retentionMatrix(e.runAvailableNow(s,
+        e.retentionStream(s,
+          e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
+        complete = false))
     }),
 
     // the Markov transition matrix as a stream: per-user O(1) last-event
@@ -1339,6 +1400,24 @@ object SparkEntry {
                WHEN bucket < 58982 THEN 'val'
                ELSE 'test' END AS split
         FROM b""",
+    // weighted sample mirrored: same md5-bucket arithmetic as q_split,
+    // same all-integer keep predicate, W_total from a 1-row scalar
+    "q_weighted_sample" ->
+      """WITH w AS (
+          SELECT doc_id, text, lang, source, n_chars,
+            CAST(n_chars AS BIGINT) AS wv,
+            md5(CAST(doc_id AS VARCHAR)) AS m
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        t AS (SELECT sum(wv) AS wt FROM w),
+        b AS (
+          SELECT w.*,
+            (((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+          FROM w)
+        SELECT doc_id, text, lang, source, n_chars FROM b, t
+        WHERE bucket * wt < 65536 * 300 * wv""",
     "q_token_histogram" ->
       """WITH t AS (
           SELECT len(list_filter(string_split_regex(lower(text), ' +'),
@@ -1853,6 +1932,28 @@ object SparkEntry {
                ELSE 'updated' END AS origin
         FROM documents b FULL OUTER JOIN w ON b.doc_id = w.doc_id
         WHERE NOT (w.doc_id IS NOT NULL AND w.op = 'delete')""",
+    // SCD2 intervals mirrored: same 4-wave log, same lead window; the
+    // (seq, op, text) tie order never fires (seq is unique per id in the
+    // synthetic log) but is written identically in both engines
+    "q_scd2" ->
+      """WITH log AS (
+          SELECT doc_id, 1 AS seq, 'upsert' AS op, text FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'upsert', text || ' v2'
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id, 3, 'delete', NULL FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, 4, 'upsert', text || ' v4'
+          FROM documents WHERE doc_id % 10 = 0),
+        o AS (
+          SELECT doc_id, seq, op, text,
+            lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op, text)
+              AS nxt
+          FROM log)
+        SELECT doc_id, text, seq AS valid_from_seq, nxt AS valid_to_seq,
+          (nxt IS NULL) AS is_current
+        FROM o WHERE op = 'upsert'""",
     // UNCAPPED brute-force quadratic Jaccard — the losslessness gate for
     // the prefix-filtered candidate generation
     "q_jaccard_prefix" ->
@@ -1916,6 +2017,45 @@ object SparkEntry {
                 sum(CASE WHEN $nullPred THEN 1 ELSE 0 END) AS n
               FROM $tbl GROUP BY ${ks.mkString(", ")}) g"""
       }.mkString("", "\nUNION ALL\n", ""),
+    // per-column profile mirrored: one SELECT per (relation, column) —
+    // the naive per-column form the Spark side's single-scan stack
+    // aggregation replaces
+    "q_profile" -> Seq(
+        ("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")),
+        ("documents", Seq("doc_id", "lang", "source", "n_chars")))
+      .flatMap { case (tbl, cs) => cs.map { c =>
+        s"""SELECT '$tbl' AS relation, '$c' AS column_name,
+          count(*) AS n_rows, count(*) - count($c) AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(min($c) AS VARCHAR) AS min_str,
+          CAST(max($c) AS VARCHAR) AS max_str
+        FROM $tbl"""
+      } }.mkString("", "\nUNION ALL\n", ""),
+    // the same five binary-magic-numbers spread steps, staged as CTEs
+    "q_zorder" ->
+      """WITH b AS (
+          SELECT event_id,
+            user_id & 2147483647 AS x,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+              & 2147483647 AS y
+          FROM events),
+        s1 AS (SELECT event_id,
+          (x | (x << 16)) & 281470681808895 AS x,
+          (y | (y << 16)) & 281470681808895 AS y FROM b),
+        s2 AS (SELECT event_id,
+          (x | (x << 8)) & 71777214294589695 AS x,
+          (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        s3 AS (SELECT event_id,
+          (x | (x << 4)) & 1085102592571150095 AS x,
+          (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        s4 AS (SELECT event_id,
+          (x | (x << 2)) & 3689348814741910323 AS x,
+          (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        s5 AS (SELECT event_id,
+          (x | (x << 1)) & 6148914691236517205 AS x,
+          (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+        SELECT event_id, x | (y << 1) AS z FROM s5""",
     // mirrors RelationAudit over the raw tables (hub row sets are the raw
     // rows; the sample-project join attrs are raw columns)
     "q_relation_audit" -> Seq(
@@ -2842,6 +2982,18 @@ object SparkEntry {
         UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
     // streaming funnel emits the identical stage counts on a bounded run
     // — same oracle text as q_funnel
+    // — same oracle text as q_retention (the streaming path is
+    // value-identical on a bounded run; only the state machine differs)
+    "q_retention_stream" ->
+      """WITH uw AS (
+          SELECT user_id,
+            CAST(floor(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+              / 604800000000) AS BIGINT) AS week
+          FROM events GROUP BY 1, 2),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT cohort_week, week - cohort_week AS week_offset,
+          count(*) AS n_users
+        FROM uw JOIN c USING (user_id) GROUP BY 1, 2""",
     "q_funnel_stream" ->
       """WITH s0 AS (
           SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t

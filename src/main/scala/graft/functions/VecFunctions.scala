@@ -251,7 +251,10 @@ object GraftFunctions {
       "vec_cosine_i8(a, b) - cosine of two int8-quantized ARRAY<TINYINT> vectors"),
     ("text_winnow",
       (es: Seq[Expression]) => TextWinnow(es(0), litInt(es(1)), litInt(es(2))),
-      "text_winnow(text, k, w) - winnowed k-gram fingerprint minima (MOSS)"))
+      "text_winnow(text, k, w) - winnowed k-gram fingerprint minima (MOSS)"),
+    ("zorder2",
+      (es: Seq[Expression]) => ZOrder2(es(0), es(1)),
+      "zorder2(x, y) - 2-D Z-order (Morton) interleave of two BIGINTs' low 31 bits"))
 
   /** k/w are structural parameters of the fingerprint (part of its
     * identity, like a hash seed), not data — they must be literals.

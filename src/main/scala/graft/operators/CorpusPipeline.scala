@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The standard pre-training corpus cleaning recipe, composed from the
@@ -146,5 +147,39 @@ object CorpusPipeline {
         when(col("__chg").isNull, "kept")
           .when(col("__in_base").isNull, "inserted")
           .otherwise("updated").as("origin"))
+  }
+
+  /** SCD type-2 history build — the third leg of the CDC family
+    * ([[snapshotDiff]] detects, [[applyChanges]] folds to the latest,
+    * this keeps EVERY version with its validity interval): from the same
+    * change-log contract (`idCol`, `seqCol`, `opCol` ∈ {upsert, delete},
+    * `textCol` payload), emit one row per upsert version with
+    * `valid_from_seq` = its seq, `valid_to_seq` = the NEXT change's seq
+    * for that id (null while no later change exists), and `is_current` —
+    * true only for an open interval (a trailing delete closes the last
+    * version, so a deleted id has no current row). Deletes emit no row
+    * of their own; they exist in the timeline only as the closer of the
+    * preceding interval.
+    *
+    * Plan: ONE window over the id key ordered by the same
+    * (seq, op, payload) total order [[applyChanges]] resolves ties with
+    * (struct-lexicographic, so concurrent same-seq ops produce the same
+    * history both engines). Per-partition window state is one id's
+    * version list — the bounded-per-entity premise (versions per entity
+    * ∝ that entity's change count, not corpus size); the id exchange is
+    * the one unavoidable shuffle, linear and AQE-splittable.
+    */
+  def scd2History(
+      changes: DataFrame, idCol: String = "doc_id", seqCol: String = "seq",
+      opCol: String = "op", textCol: String = "text"): DataFrame = {
+    val byId = Window.partitionBy(col(idCol))
+      .orderBy(col(seqCol), col(opCol), col(textCol))
+    changes
+      .withColumn("__next_seq", lead(seqCol, 1).over(byId))
+      .filter(col(opCol) === "upsert")
+      .select(col(idCol), col(textCol),
+        col(seqCol).as("valid_from_seq"),
+        col("__next_seq").as("valid_to_seq"),
+        col("__next_seq").isNull.as("is_current"))
   }
 }

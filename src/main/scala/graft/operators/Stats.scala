@@ -385,4 +385,51 @@ object Stats {
       .groupBy(g: _*)
       .agg(min("__score").as("median"), min("__total").as("n_rows"))
   }
+
+  /** Single-scan column profile — the ANALYZE-style statistics report
+    * (row count, null count, distinct count, min/max) for `cols` of one
+    * relation, emitted one row per column. The naive form (one
+    * `SELECT count(DISTINCT c), min(c), max(c)` per column) scans the
+    * table once PER COLUMN; this emits every statistic from ONE
+    * aggregation over one scan, then pivots the 1-row wide result to
+    * long form with `stack` — a driver-free constant-size projection.
+    *
+    * `exact = true` (the oracle-gated baseline) uses `count(DISTINCT)`:
+    * Spark plans multi-distinct aggregates via Expand, duplicating scan
+    * rows ×|cols| before the exchange — correct but the wrong trade at
+    * 100 TB. `exact = false` is the scale path: `approx_count_distinct`
+    * (HLL++, rsd 0.05 default) keeps ONE pass with no Expand and
+    * constant sketch state per column; everything else stays exact.
+    * ProfileSpec gates the approx mode's ndv within rsd bounds of the
+    * exact mode on the fixture (the q_approx_bounds discipline).
+    *
+    * min/max cross engines as strings (`CAST AS VARCHAR`): restrict
+    * `cols` to integer/string columns for hash-gated use — double and
+    * timestamp render formats are engine-specific (the q_part_decimal
+    * render lesson).
+    */
+  def profile(
+      df: DataFrame, cols: Seq[String], relation: String,
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __nn_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+    wide.selectExpr(
+      s"'$relation' AS relation",
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_non_null, n_distinct, min_str, max_str)",
+      "__n AS n_rows")
+      .select(col("relation"), col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_non_null")).as("n_nulls"),
+        col("n_distinct"), col("min_str"), col("max_str"))
+  }
 }

@@ -452,6 +452,46 @@ object TextAnalysis {
       .drop("__h", "__bucket")
   }
 
+  /** Deterministic weight-proportional sample: each row is kept with
+    * probability min(1, targetRows · w / W_total) — the
+    * sample-long-documents-proportionally-to-length (or
+    * quality-score-weighted) selection every curation pipeline needs —
+    * decided by ALL-INTEGER arithmetic over the row's content-derived
+    * md5 bucket: keep iff `bucket · W_total < 65536 · targetRows · w`.
+    * No floats anywhere, so the selection is exact and engine-portable
+    * (hash-gated, q_weighted_sample), stable across runs, engines, and
+    * partitionings, and shuffle-free per row (W_total attaches as a
+    * 1-row broadcast scalar — the [[topTerms]] discipline). Unlike
+    * [[assignSplit]] the decision is corpus-dependent ON PURPOSE — the
+    * target is a fixed expected SIZE, so growing the corpus re-weights
+    * everyone (use a fixed fraction-of-mass threshold instead when
+    * growth-stability matters more than size). E[sample size] =
+    * targetRows exactly when no row saturates (targetRows · w ≥ W_total
+    * clips at P=1 — those rows are always kept, making the realized size
+    * slightly below target; pick targetRows ≪ W_total/max(w) to avoid
+    * saturation).
+    *
+    * Rows with null or non-positive weight drop (they carry zero
+    * sampling mass). Overflow bound: `65536 · targetRows · max(w)` must
+    * stay under 2^63 — holds through targetRows ~1e9 at max weight ~1e5;
+    * beyond that, pre-scale the weights (the RELATIVE weights are all
+    * that matters).
+    */
+  def weightedSampleHash(
+      docs: DataFrame, weightExpr: String, targetRows: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val w = docs.withColumn("__w", expr(s"CAST($weightExpr AS BIGINT)"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+    val tot = w.agg(sum("__w").as("__wt"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("__h", expr(s"md5(CAST($idCol AS STRING))"))
+      .withColumn("__bucket", expr(md5Bucket16Expr))
+      .filter(col("__bucket") * col("__wt") <
+        lit(65536L) * lit(targetRows) * col("__w"))
+      .drop("__h", "__bucket", "__w", "__wt")
+  }
+
   /** BM25 keyword relevance ranking: score every document against a fixed
     * set of query terms and return the global top-k — the retrieval pass a
     * curation pipeline runs to seed quality classifiers or pull targeted

@@ -53,6 +53,19 @@ case class TransState(us: Long, eventId: Long, tpe: String)
   */
 case class Transition(from_type: String, to_type: String)
 
+/** Per-user retention state: the distinct epoch-weeks this user has been
+  * active in — bounded by the CALENDAR (a user active every week for 20
+  * years holds ~1000 longs), the same bound as the batch form's
+  * collect_set ([[graft.operators.Features.retentionCohorts]]).
+  */
+case class WeeksSeen(weeks: Vector[Long])
+
+/** A user's FIRST activity in an epoch-week — the streaming retention
+  * advance event; the cohort matrix is a bounded aggregation over these
+  * (≤ users × calendar-weeks rows).
+  */
+case class WeekActivity(user_id: Long, week: Long)
+
 /** Event-stream processing over the `events` table
   * (event_id, ts, user_id, event_type, value, props JSON).
   *
@@ -422,6 +435,59 @@ object Events {
       }
       .toDF()
   }
+
+  /** Streaming twin of `Features.retentionCohorts`'s activity collection:
+    * per-user calendar-bounded state (the set of epoch-weeks already
+    * seen) emits one [[WeekActivity]] row the FIRST time a user acts in
+    * a week — exactly-once per (user, week) regardless of event volume
+    * or arrival order (set membership is order-insensitive, so unlike
+    * [[funnelStream]] this stream needs NO in-order premise). The cohort
+    * matrix derives downstream via [[retentionMatrix]], a bounded
+    * aggregation over the advance rows (≤ users × calendar-weeks): the
+    * cohort week is min(week) per user, which is stable under any emit
+    * order. No timeout: a retention matrix needs the user's lifetime
+    * weeks (state ∝ distinct users × calendar — the same lower bound the
+    * batch collect_set carries); a time-boxed deployment would add an
+    * event-time timeout at the analysis horizon.
+    *
+    * Null user/ts rows drop (no key / no week to stand in) — the
+    * fixtures carry none, so the batch q_retention oracle applies
+    * unchanged on the bounded-evidence path.
+    */
+  def retentionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .selectExpr("user_id", "unix_micros(ts) DIV 604800000000 AS wk")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WeeksSeen, WeekActivity](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[WeeksSeen]) =>
+          val seen = state.getOption.map(_.weeks.toSet).getOrElse(Set.empty)
+          val fresh = rows.map(_._2).toSet -- seen
+          if (fresh.nonEmpty)
+            state.update(WeeksSeen((seen ++ fresh).toVector.sorted))
+          fresh.toVector.sorted.iterator.map(w => WeekActivity(user, w))
+      }
+      .toDF()
+  }
+
+  /** The (cohort_week, week_offset, n_users) matrix from distinct
+    * (user_id, week) activity rows — the bounded downstream aggregation
+    * shared by the batch and streaming retention paths (the batch form
+    * fuses this with its activity collection; the streaming form feeds
+    * it [[retentionStream]]'s advance rows). Input rows must be unique
+    * per (user, week) — both producers guarantee it.
+    */
+  def retentionMatrix(activity: DataFrame): DataFrame =
+    activity
+      .groupBy(col("user_id"))
+      .agg(min("week").as("cohort_week"), collect_set("week").as("__weeks"))
+      .select(col("cohort_week"), explode(col("__weeks")).as("__week"))
+      .groupBy(col("cohort_week"),
+        (col("__week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
 
   /** Streaming twin of `Features.eventTransitions`: per-user O(1) state
     * (the LAST event in the total (us, event_id) order) emits one

@@ -145,6 +145,42 @@ class IntegritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, "kept")))
   }
 
+  // --------------------------------------------------------- scd2History
+
+  private def scd2Rows(ch: DataFrame) =
+    CorpusPipeline.scd2History(ch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3)).toSeq
+
+  test("scd2History: versions chain, delete closes, re-insert opens a new current") {
+    val ch = changesDf(Seq(
+      (1L, 1L, "upsert", "a1"), (1L, 2L, "upsert", "a2"),
+      (2L, 1L, "upsert", "b1"), (2L, 2L, "delete", null),
+      (3L, 1L, "upsert", "c1"), (3L, 2L, "delete", null),
+      (3L, 3L, "upsert", "c3")))
+    assert(scd2Rows(ch) == Seq(
+      (1L, "a1", 1L, 2L, false), (1L, "a2", 2L, -1L, true),
+      (2L, "b1", 1L, 2L, false),
+      (3L, "c1", 1L, 2L, false), (3L, "c3", 3L, -1L, true)))
+  }
+
+  test("scd2History: a delete-only id emits nothing; intervals never overlap") {
+    val ch = changesDf(Seq(
+      (9L, 1L, "delete", null),
+      (1L, 1L, "upsert", "a1"), (1L, 3L, "upsert", "a3"),
+      (1L, 2L, "upsert", "a2")))
+    val rows = scd2Rows(ch)
+    assert(rows == Seq(
+      (1L, "a1", 1L, 2L, false), (1L, "a2", 2L, 3L, false),
+      (1L, "a3", 3L, -1L, true)))
+    // interval chain: each valid_to equals the next valid_from
+    rows.sliding(2).foreach {
+      case Seq((_, _, _, to, _), (_, _, from, _, _)) => assert(to == from)
+      case _ =>
+    }
+  }
+
   // -------------------------------------------------- jaccardPrefixPairs
 
   /** Brute-force distinct-3-gram Jaccard over a tiny corpus, in-process —

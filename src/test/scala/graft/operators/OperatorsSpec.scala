@@ -297,6 +297,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("lang") === "en").count() == 0)
   }
 
+  test("weightedSampleHash: deterministic, partition-invariant, weight-proportional") {
+    import spark.implicits._
+    // weights 1 vs 10: the heavy stratum must be kept ~10x as often
+    val docs = spark.createDataset(
+      (1L to 2000L).map(i => (i, if (i % 2 == 0) 10L else 1L)))
+      .toDF("doc_id", "w")
+    val s1 = TextAnalysis.weightedSampleHash(docs, "w", 400L)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = TextAnalysis.weightedSampleHash(
+      docs.repartition(7, col("w")), "w", 400L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    // E[size] = 400; binomial sd ~ 19 — allow 5 sigma
+    assert(math.abs(s1.size - 400) < 100, s"size ${s1.size} far from 400")
+    val heavy = s1.count(_ % 2 == 0).toDouble
+    val light = s1.count(_ % 2 != 0).toDouble.max(1.0)
+    assert(heavy / light > 5.0,
+      s"10x-weighted rows kept only ${heavy / light}x as often")
+    // zero/null weights carry no mass
+    val withZero = spark.createDataset(
+      (1L to 100L).map(i => (i, if (i <= 50) 0L else 5L)))
+      .toDF("doc_id", "w")
+    assert(TextAnalysis.weightedSampleHash(withZero, "w", 30L)
+      .filter(col("doc_id") <= 50).count() == 0)
+  }
+
   test("ngramContamination flags docs sharing n-gram runs with probes") {
     val corpus = docsDf(Seq(
       (100L, "alpha beta gamma delta epsilon zeta unique tail here"),

@@ -304,4 +304,40 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getDouble(0)
     assert(math.abs(exact - builtin) < 1e-6)
   }
+
+  // --------------------------------------------------------------- profile
+
+  private def profileDf = {
+    import spark.implicits._
+    spark.createDataset(Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("b")),
+      (4L, None), (5L, None), (6L, Some("c")))).toDF("id", "cat")
+  }
+
+  test("profile: exact row/null/ndv/min/max per column from one scan") {
+    val out = Stats.profile(profileDf, Seq("id", "cat"), "t")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("cat", 6L, 2L, 3L, "a", "c"),
+      ("id", 6L, 0L, 6L, "1", "6")))
+  }
+
+  test("profile: approx mode plans no Expand and stays inside HLL rsd") {
+    val exactPlan = Stats.profile(profileDf, Seq("id", "cat"), "t")
+      .queryExecution.executedPlan.toString
+    val approxDf = Stats.profile(profileDf, Seq("id", "cat"), "t",
+      exact = false)
+    val approxPlan = approxDf.queryExecution.executedPlan.toString
+    // exact multi-distinct pays Expand (row duplication x cols) — the
+    // documented trade; the scale path must NOT
+    assert(exactPlan.contains("Expand"))
+    assert(!approxPlan.contains("Expand"))
+    val nd = approxDf.collect()
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    // default rsd 0.05; tiny cardinalities are exact in practice — allow
+    // a generous envelope so the assertion pins sanity, not sketch noise
+    assert(math.abs(nd("id") - 6L) <= 2 && math.abs(nd("cat") - 3L) <= 2)
+  }
 }

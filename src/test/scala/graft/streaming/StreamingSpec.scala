@@ -396,6 +396,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.dropTempView("multibatch_trans")
   }
 
+  test("streaming retention advances aggregate to the batch cohort matrix exactly") {
+    val act = Events.runAvailableNow(spark,
+      Events.retentionStream(spark,
+        Events.readEventsStream(spark, stagedEventsDir)),
+      complete = false)
+    // exactly-once per (user, week) regardless of event volume
+    assert(act.groupBy("user_id", "week").count()
+      .filter(col("count") > 1).count() == 0)
+    val got = Events.retentionMatrix(act)
+    val batch = graft.operators.Features.retentionCohorts(events)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "streamed retention matrix must equal the batch form exactly")
+  }
+
+  test("retention weeks-seen state survives micro-batch boundaries (maxFilesPerTrigger=1)") {
+    // a user's weeks span chunks; the seen-set must carry across batches
+    // for both exactly-once emission AND the later-chunk new-week rows
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = false)
+    val ck = Files.createTempDirectory("graftretmb_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.retentionStream(spark, stream).writeStream
+      .format("memory").queryName("multibatch_ret")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      "expected one micro-batch per staged chunk")
+    val act = spark.table("multibatch_ret")
+    assert(act.groupBy("user_id", "week").count()
+      .filter(col("count") > 1).count() == 0,
+      "a (user, week) must emit exactly once across all micro-batches")
+    val got = Events.retentionMatrix(act)
+    val batch = graft.operators.Features.retentionCohorts(events)
+      .select(got.columns.map(col): _*)
+    assert(got.exceptAll(batch).count() == 0 && batch.exceptAll(got).count() == 0,
+      "multi-batch retention matrix must equal the batch form exactly")
+    spark.catalog.dropTempView("multibatch_ret")
+  }
+
   test("stream-stream attribution join state EXPIRES as the watermark advances") {
     // The scale claim behind attributionJoinStream is that the watermark +
     // time-range condition keep click state BOUNDED — but on a bounded
