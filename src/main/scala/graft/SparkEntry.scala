@@ -320,6 +320,17 @@ object SparkEntry {
         d.filter(expr("doc_id % 2 = 0")),
         d.filter(expr("doc_id % 2 = 1")), "source")
     }),
+    // numeric drift: baseline-decile bins (histogram-side cumBefore, no
+    // corpus window) broadcast to both slices, chi-square per bin; the
+    // +20 shift on the current slice makes the drift signal real
+    "q_numeric_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Stats.numericDrift(
+        d.filter(expr("doc_id % 2 = 0")),
+        d.filter(expr("doc_id % 2 = 1"))
+          .withColumn("n_chars", col("n_chars") + lit(20L)),
+        "n_chars", 10)
+    }),
     // quality-threshold filter: keep the top 20% of documents by n_chars,
     // ties included — cutoff selected on the score histogram, the corpus
     // itself never sorted or windowed (see Stats.topFraction)
@@ -416,6 +427,12 @@ object SparkEntry {
     // BOTH total joins are oracle-exercised
     "q_bigram_surprise" -> ((s, dir) =>
       TextAnalysis.bigramSurprise(docs(s, dir), headMin = 10L)),
+    // windowed PMI collocations: per-row pair fan-out (≤ window), one
+    // pair aggregation, vocab-level marginals joined back; the PMI ratio
+    // crosses the gate ln-free in micro-units
+    "q_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCooccurrence(docs(s, dir), window = 3,
+        minPairCount = 5L)),
     // winnowing (MOSS) fingerprints: codegen rolling-hash Expression,
     // integer arithmetic mirrored exactly in the DuckDB oracle
     // (k=20 chars, w=16 — fixture-sparse, see winnowPairs density)
@@ -2529,6 +2546,33 @@ object SparkEntry {
           round(CAST(sum(tf_doc * ip_micro) AS DOUBLE)
             / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6) AS surprise2
         FROM q GROUP BY 1""",
+    // windowed PMI mirrored: DuckDB list slice tk[i+1:i+3] == Spark
+    // slice(t, i+1, 3); same marginal derivation, same (n/c1)*(N/c2)
+    // association order
+    "q_pmi" ->
+      """WITH tl AS (
+          SELECT list_filter(string_split_regex(lower(text), ' +'),
+            t -> t != '') AS tk
+          FROM documents),
+        p AS (
+          SELECT unnest(flatten(list_transform(range(1, len(tk)),
+            i -> list_transform(tk[i+1:i+3], u -> tk[i] || ' ' || u))))
+            AS token
+          FROM tl WHERE len(tk) >= 2),
+        pc AS (
+          SELECT token, count(*) AS n_pair,
+            split_part(token, ' ', 1) AS w1,
+            split_part(token, ' ', 2) AS w2
+          FROM p GROUP BY 1),
+        c1 AS (SELECT w1, sum(n_pair) AS c1 FROM pc GROUP BY 1),
+        c2 AS (SELECT w2, sum(n_pair) AS c2 FROM pc GROUP BY 1),
+        t AS (SELECT sum(n_pair) AS n FROM pc)
+        SELECT token, CAST(n_pair AS BIGINT) AS n_pair,
+          CAST(CAST(round(1e6 * ((CAST(n_pair AS DOUBLE) / CAST(c1 AS DOUBLE))
+            * (CAST(n AS DOUBLE) / CAST(c2 AS DOUBLE))))
+            AS DECIMAL(38,0)) AS VARCHAR) AS pmi_ratio_micro
+        FROM pc JOIN c1 USING (w1) JOIN c2 USING (w2), t
+        WHERE n_pair >= 5""",
     // Winnowing: identical rolling-hash fold ((acc*257 + c) mod 2^31-1,
     // seeded with the first codepoint — list_reduce semantics), w-window
     // minima, sorted distinct. All integer arithmetic — exact.
@@ -2921,6 +2965,50 @@ object SparkEntry {
           FROM a FULL OUTER JOIN b ON a.source = b.source),
         t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j)
         SELECT source, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+          round(
+            pow(CAST(n_a AS DOUBLE) - (CAST(n_a + n_b AS DOUBLE)
+              * CAST(tot_a AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE)), 2)
+            / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_a AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE))
+            + pow(CAST(n_b AS DOUBLE) - (CAST(n_a + n_b AS DOUBLE)
+              * CAST(tot_b AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE)), 2)
+            / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
+              / CAST(tot_a + tot_b AS DOUBLE)), 6) AS chi2_term
+        FROM j, t""",
+    // numeric drift mirrored: identical cumBefore edge derivation,
+    // identical count-of-edges bin assignment, identical chi2 text
+    "q_numeric_drift" ->
+      """WITH sa AS (
+          SELECT CAST(n_chars AS BIGINT) AS s FROM documents
+          WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+        sb AS (
+          SELECT CAST(n_chars + 20 AS BIGINT) AS s FROM documents
+          WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+        h AS (SELECT s, count(*) AS c FROM sa GROUP BY 1),
+        cum AS (
+          SELECT s, COALESCE(sum(c) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+          FROM h),
+        n AS (SELECT sum(c) AS n FROM h),
+        e AS (
+          SELECT bin, min(s) AS edge FROM (
+            SELECT s, least(9, (10 * cumb) // n) AS bin FROM cum, n) q
+          WHERE bin >= 1 GROUP BY 1),
+        ba AS (SELECT (SELECT count(*) FROM e WHERE edge <= sa.s) AS bin
+          FROM sa),
+        bb AS (SELECT (SELECT count(*) FROM e WHERE edge <= sb.s) AS bin
+          FROM sb),
+        a2 AS (SELECT bin, count(*) AS n_a FROM ba GROUP BY 1),
+        b2 AS (SELECT bin, count(*) AS n_b FROM bb GROUP BY 1),
+        j AS (
+          SELECT COALESCE(a2.bin, b2.bin) AS bin,
+            COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM a2 FULL OUTER JOIN b2 ON a2.bin = b2.bin),
+        t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b FROM j)
+        SELECT CAST(bin AS INT) AS bin,
+          CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
           round(
             pow(CAST(n_a AS DOUBLE) - (CAST(n_a + n_b AS DOUBLE)
               * CAST(tot_a AS DOUBLE)

@@ -278,6 +278,57 @@ object Stats {
       .select(col(keyCol), col("n_a"), col("n_b"), col("chi2_term"))
   }
 
+  /** Numeric distribution drift between two corpus slices — the
+    * PSI-report shape (equi-depth bins from the BASELINE, per-bin counts
+    * on both sides) with [[categoricalDrift]]'s chi-square statistic per
+    * bin instead of PSI's `ln` term: the chi-square decomposition is
+    * rational in the exact integer counts, so it hash-gates
+    * engine-to-engine, where `ln`'s last-ulp behavior does not (the BM25
+    * rational-idf lesson). Answers "did document length / quality-score
+    * distribution move between snapshots?" for any quantized-integer
+    * score.
+    *
+    * Bin edges come from the baseline's score HISTOGRAM exactly as
+    * [[quantileBins]] derives them (cumBefore arithmetic — no corpus
+    * ntile window); the ≤ bins−1 edge values collapse to a ONE-ROW
+    * sorted array that broadcasts to both slices, and every row's bin is
+    * `size(filter(edges, e -> score >= e))` — a per-row projection over
+    * a constant-size array, covering current-slice scores the baseline
+    * never saw (below-min → bin 0, above-max → top bin). Empty baseline
+    * bins (a mega-tie can jump the cumulative count past several bin
+    * boundaries) simply produce fewer edges — bin ids stay contiguous
+    * and IDENTICAL on both sides, which is all the chi-square needs.
+    * Baseline must be non-empty (no bins can be derived from nothing).
+    *
+    * Plan: one two-phase histogram on the baseline, a bounded
+    * histogram-side window (the [[topFraction]] discipline), two
+    * broadcast-assign projections, then [[categoricalDrift]]'s
+    * key-space-bounded join — the corpus is never sorted or windowed.
+    */
+  def numericDrift(
+      a: DataFrame, b: DataFrame, scoreExpr: String, bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    def scored(df: DataFrame) = df
+      .withColumn("__score", expr(s"CAST($scoreExpr AS BIGINT)"))
+      .filter(col("__score").isNotNull)
+    val sa = scored(a)
+    val hist = sa.groupBy("__score").agg(count(lit(1)).as("__cnt"))
+    val w = Window.orderBy(col("__score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edges = hist
+      .withColumn("__cumb", coalesce(sum("__cnt").over(w), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum("__cnt").as("__n"))))
+      .selectExpr("__score",
+        s"least(${bins - 1}L, CAST($bins * __cumb AS BIGINT) DIV __n) AS __bin")
+      .filter(col("__bin") >= 1)
+      .groupBy("__bin").agg(min("__score").as("__edge"))
+      .agg(sort_array(collect_list("__edge")).as("__edges"))
+    def assign(s: DataFrame) = s.crossJoin(broadcast(edges))
+      .selectExpr(
+        "CAST(size(filter(__edges, e -> __score >= e)) AS INT) AS bin")
+    categoricalDrift(assign(sa), assign(scored(b)), "bin")
+  }
+
   /** Keep the top `frac` fraction of rows by an integer score, ties
     * included — quality-threshold filtering ("keep the best 20% by
     * quality score") computed WITHOUT a global sort.

@@ -677,6 +677,63 @@ object TextAnalysis {
           " / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6)").as("surprise2"))
   }
 
+  /** Windowed PMI co-occurrence — the skip-gram collocation table
+    * ("new york", "machine learning") behind phrase mining and static
+    * embedding pipelines: every ORDERED token pair within `window`
+    * positions is counted corpus-wide, and each surviving pair carries
+    * its PMI ratio `P(w1,w2) / (P(w1)·P(w2))` — the `exp(PMI)` argument
+    * — in integer micro-units. ln-free BY CHOICE (the BM25 rational-idf
+    * and [[bigramSurprise]] lesson: transcendentals don't hash-gate;
+    * monotone in PMI, so ranking/thresholding is unaffected), with the
+    * marginals taken over the pair relation itself (w1-slot and w2-slot
+    * counts), so everything derives from ONE (pair → count) table.
+    *
+    * Plan: pair generation is a per-row projection (nested transform
+    * over the row's own token array — fan-out ≤ window, never a join);
+    * one (pair) two-phase aggregation; marginals and the grand total are
+    * TYPE-level aggregations over the pair-count table (vocab-bounded,
+    * not corpus-bounded) joined back to the `minPairCount`-filtered
+    * pairs — the [[bigramSurprise]] totals discipline, including
+    * substring_index (non-nullable) for the slot keys so the joins
+    * cannot de-canonicalize the shared exchange. `minPairCount` bounds
+    * the emitted relation (and kills the PMI-of-rare-pair noise every
+    * collocation pipeline filters anyway).
+    */
+  def pmiCooccurrence(
+      docs: DataFrame, window: Int = 3, minPairCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    val toks = tokensExpr(textCol)
+    val pairs = docs
+      .select(expr(toks).as("__t"))
+      .filter(expr("size(__t) >= 2"))
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, size(__t) - 1), i -> " +
+          s"transform(slice(__t, i + 1, $window), u -> " +
+          s"concat(element_at(__t, i), ' ', u))))")).as("token"))
+    val pairCounts = pairs.groupBy("token")
+      .agg(count(lit(1)).as("n_pair"))
+      .withColumn("__w1", expr("substring_index(token, ' ', 1)"))
+      .withColumn("__w2", expr("substring_index(token, ' ', -1)"))
+    val c1 = pairCounts.groupBy("__w1").agg(sum("n_pair").as("__c1"))
+    val c2 = pairCounts.groupBy("__w2").agg(sum("n_pair").as("__c2"))
+    val tot = pairCounts.agg(sum("n_pair").as("__n"))
+    pairCounts
+      .filter(col("n_pair") >= minPairCount)
+      .join(c1, Seq("__w1"), "left")
+      .join(c2, Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      // lockstep association order with the oracle: (n/c1) * (N/c2);
+      // DECIMAL(38,0) crosses the gate as digit strings (the
+      // embeddingDimStats discipline — BIGINT can overflow at 1e20-scale
+      // micro ratios, and engines render DECIMAL differently)
+      .select(col("token"), col("n_pair"),
+        expr("CAST(CAST(round(1e6 * ((CAST(n_pair AS DOUBLE) / CAST(__c1 AS DOUBLE))" +
+          " * (CAST(__n AS DOUBLE) / CAST(__c2 AS DOUBLE)))) AS DECIMAL(38,0)) AS STRING)")
+          .as("pmi_ratio_micro"))
+  }
+
   /** Resample a corpus to target mixture proportions — the rebalancing
     * pass multilingual / multi-source pipelines run ("make the kept set
     * 40% en / 20% de / …"). Strata absent from `targets` are dropped.

@@ -297,6 +297,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("lang") === "en").count() == 0)
   }
 
+  test("pmiCooccurrence: window bounds distance, closed-form micro ratios, min-count filter") {
+    import spark.implicits._
+    val docs = spark.createDataset((1L to 10L).map(i => (i, "a b c")))
+      .toDF("doc_id", "text")
+    // window 2: pairs (a b), (a c), (b c) x10; N=30, c1={a:20,b:10},
+    // c2={b:10,c:20} => pmi(a b)=(10/20)*(30/10)=1.5, (a c)=0.75, (b c)=1.5
+    val w2 = TextAnalysis.pmiCooccurrence(docs, window = 2, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(w2 == Seq(("a b", 10L, "1500000"), ("a c", 10L, "750000"),
+      ("b c", 10L, "1500000")))
+    // window 1: only adjacent pairs; N=20 => both pmi = 2.0
+    val w1 = TextAnalysis.pmiCooccurrence(docs, window = 1, minPairCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(2))).sortBy(_._1).toSeq
+    assert(w1 == Seq(("a b", "2000000"), ("b c", "2000000")))
+    // min-count filter: everything is below 11
+    assert(TextAnalysis.pmiCooccurrence(docs, window = 2,
+      minPairCount = 11L).count() == 0)
+    // single-token and empty docs contribute nothing (and don't error)
+    val edge = spark.createDataset(Seq((1L, "solo"), (2L, ""), (3L, "x y")))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.pmiCooccurrence(edge, window = 3, minPairCount = 1L)
+      .collect().map(_.getString(0)).toSeq == Seq("x y"))
+  }
+
   test("weightedSampleHash: deterministic, partition-invariant, weight-proportional") {
     import spark.implicits._
     // weights 1 vs 10: the heavy stratum must be kept ~10x as often

@@ -305,6 +305,44 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(exact - builtin) < 1e-6)
   }
 
+  // ---------------------------------------------------------- numericDrift
+
+  private def scoresDf(vs: Seq[Long]) = {
+    import spark.implicits._
+    vs.toDF("score")
+  }
+
+  test("numericDrift: identical slices are zero-drift in equi-depth bins") {
+    val a = scoresDf(1L to 100L)
+    val out = Stats.numericDrift(a, scoresDf(1L to 100L), "score", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2, 3))
+    assert(out.forall(t => t._2 == 25L && t._3 == 25L && t._4 == 0.0))
+  }
+
+  test("numericDrift: baseline edges cover unseen current scores at both ends") {
+    val a = scoresDf(1L to 100L)
+    val b = scoresDf(Seq(-50L, -1L, 1000L, 2000L, 3000L))
+    val out = Stats.numericDrift(a, b, "score", 4)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    // below-baseline-min lands in bin 0, above-max in the top bin
+    assert(out(0) == 2L && out(3) == 3L)
+  }
+
+  test("numericDrift: a mega-tie skips bins but ids stay contiguous on both sides") {
+    // 90 copies of 5 jump the cumulative count past several boundaries:
+    // fewer edges, contiguous ids, both slices binned identically
+    val a = scoresDf(Seq.fill(90)(5L) ++ (6L to 15L))
+    val out = Stats.numericDrift(a, a, "score", 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(out.map(_._1) == out.indices.map(identity).toSeq,
+      s"bin ids must be contiguous, got ${out.map(_._1)}")
+    assert(out.map(_._2).sum == 100L)
+    assert(out.forall(t => t._2 == t._3 && t._4 == 0.0))
+  }
+
   // --------------------------------------------------------------- profile
 
   private def profileDf = {
