@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Features, Integrity, Json, Multimodal, Packing, Ranking, Similarity, Stats, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit}
 
@@ -693,6 +693,17 @@ object SparkEntry {
         d.select(col("doc_id").as("id")),
         Dedup.minhashPairs(d, threshold = 0.5)
           .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+    }),
+    // PageRank centrality over the same dup graph: 3 iterations of
+    // all-integer damped rank flow — join + agg per round, no GraphX;
+    // template hubs outrank cluster members (see Graph.pageRank)
+    "q_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Graph.pageRank(
+        d.select(col("doc_id").as("id")),
+        Dedup.minhashPairs(d, threshold = 0.5)
+          .select(col("doc_a").as("id_a"), col("doc_b").as("id_b")),
+        iterations = 3)
     }),
     // MinHash-LSH verified pairs: every candidate is verified with EXACT
     // Jaccard, so precision is 1 by construction, and at these banding
@@ -2147,6 +2158,49 @@ object SparkEntry {
           least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component_id
         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
         GROUP BY d.doc_id""",
+    // PageRank over the identical edge derivation, 3 unrolled
+    // all-integer damped iterations (same truncating division order)
+    "q_pagerank" ->
+      """WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        capped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
+          WHERE f <= 100),
+        prs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5),
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+              UNION ALL SELECT doc_b, doc_a FROM prs),
+        deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents),
+        c1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS s
+               FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+        r1 AS (SELECT r0.id, 150000 + ((85 * coalesce(c1.s, 0)) // 100) AS r
+               FROM r0 LEFT JOIN c1 USING (id)),
+        c2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS s
+               FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+        r2 AS (SELECT r1.id, 150000 + ((85 * coalesce(c2.s, 0)) // 100) AS r
+               FROM r1 LEFT JOIN c2 USING (id)),
+        c3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS s
+               FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+               GROUP BY 1),
+        r3 AS (SELECT r2.id, 150000 + ((85 * coalesce(c3.s, 0)) // 100) AS r
+               FROM r2 LEFT JOIN c3 USING (id))
+        SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3""",
     "q_similarity_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 16),
         sc AS (

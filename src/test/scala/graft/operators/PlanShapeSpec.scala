@@ -571,6 +571,68 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("weightedSampleHash: corpus filtered in place, total a broadcast scalar") {
+    val ws = TextAnalysis.weightedSampleHash(docs, "n_chars", 300L)
+    // the ONE exchange is the 1-row weight-total aggregation; the corpus
+    // itself is never shuffled — the keep predicate runs scan-side
+    assert(shuffles(ws) == 1, "only the W_total scalar may shuffle")
+    assert(ws.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin") ||
+      ws.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "W_total must attach as a broadcast")
+  }
+
+  test("scd2History: one id-key exchange carries the whole interval build") {
+    val ch = docs.selectExpr("doc_id", "1L AS seq", "'upsert' AS op", "text")
+    assert(shuffles(CorpusPipeline.scd2History(ch)) == 1)
+  }
+
+  test("numericDrift: windows only over the baseline histogram, never a slice") {
+    val d = docs.select("doc_id", "n_chars")
+    val nd = Stats.numericDrift(d, d, "n_chars", 10)
+    nd.collect()
+    val nodes = walk(nd.queryExecution.executedPlan)
+    val corpusWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if !w.child.toString.contains("HashAggregate") => w
+    }
+    assert(corpusWindows.isEmpty, "only the histogram may be windowed")
+    // histogram + cum window + total + edge-bin agg + edges collect +
+    // two slice bin-counts + drift totals — all bounded relations except
+    // the two slice counts, which are two-phase
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size <= 9,
+      "shuffle budget exceeded")
+  }
+
+  test("pmiCooccurrence: one corpus pair-scan, type-level joins, no windows") {
+    val pm = TextAnalysis.pmiCooccurrence(docs, window = 3, minPairCount = 5L)
+    pm.collect()
+    val nodes = walk(pm.queryExecution.executedPlan)
+    assert(!nodes.exists(_.nodeName.contains("Window")),
+      "no window anywhere in the PMI plan")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // pair agg + marginal aggs + their join alignments + total scalar;
+    // every exchange carries the vocab-level pair-count relation (or the
+    // 1-row total), never corpus positions
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size <= 8,
+      "shuffle budget exceeded")
+    assert(nodes.exists(n => n.getClass.getSimpleName == "ReusedExchangeExec"),
+      "marginals must reuse the pair-count exchange, not re-scan the corpus")
+  }
+
+  test("pageRank: two exchanges per iteration plus the static degree build") {
+    import spark.implicits._
+    val nodes10 = (1L to 10L).toDF("id")
+    val edges10 = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val p1 = Graph.pageRank(nodes10, edges10, iterations = 1)
+    val p3 = Graph.pageRank(nodes10, edges10, iterations = 3)
+    val s1 = shuffles(p1); val s3 = shuffles(p3)
+    // growth must be linear in iterations (the join+agg pair), not
+    // quadratic via replanned edge subtrees
+    assert(s3 - s1 <= 2 * 2 + 2, s"per-iteration shuffle growth too high: $s1 -> $s3")
+  }
+
   test("IvfIndex lifecycle: caller-owned persist is released by close()") {
     val idx = Similarity.ivfFit(embeds, nLists = 4, seed = 42L)
     val cached = idx.copy(assigned = idx.assigned.persist())
