@@ -331,6 +331,17 @@ object SparkEntry {
           .withColumn("n_chars", col("n_chars") + lit(20L)),
         "n_chars", 10)
     }),
+    // robust per-language length outliers: median/MAD double histogram
+    // pass, all-integer k·MAD cut. The fixture's length distribution is
+    // light-tailed (zero rows clear 3·MAD), so every %211th doc gets a
+    // planted +5000 spike — the cut must flag exactly the spikes while
+    // the medians stay anchored by the 210/211 clean mass (the
+    // robustness property under test)
+    "q_mad_outliers" -> ((s, dir) =>
+      Stats.madOutliers(
+        docs(s, dir).withColumn("n_chars",
+          expr("n_chars + CASE WHEN doc_id % 211 = 0 THEN 5000 ELSE 0 END")),
+        Seq("lang"), "n_chars", "doc_id", k = 5L)),
     // quality-threshold filter: keep the top 20% of documents by n_chars,
     // ties included — cutoff selected on the score histogram, the corpus
     // itself never sorted or windowed (see Stats.topFraction)
@@ -452,6 +463,12 @@ object SparkEntry {
     // both expression chains generated from TextAnalysis.defaultBpeMerges
     "q_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(docs(s, dir))),
+    // one BPE TRAINING step mid-table (4 merges learned): weighted
+    // adjacent-pair counts over the word-frequency table, top-25
+    // candidates — the argmax is the next merge rule
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMergeCandidates(docs(s, dir),
+        TextAnalysis.defaultBpeMerges.take(4), topN = 25)),
     // trigram repetition (Gopher/RefinedWeb duplicate-n-gram filter):
     // n=3 exercises the generalized lambda-free n-gram build, not just
     // the bigram case the surprise query covers
@@ -2768,6 +2785,10 @@ object SparkEntry {
     // BPE token counting: oracle chain generated from the SAME merge
     // table as the Spark expression (TextAnalysis.bpeOracleSql).
     "q_bpe_tokens" -> TextAnalysis.bpeOracleSql(),
+    // generated from the SAME 4-merge prefix as the Spark side
+    "q_bpe_merges" ->
+      TextAnalysis.bpeMergeOracleSql(
+        TextAnalysis.defaultBpeMerges.take(4), topN = 25),
     // Hopping windows: each event contributes to the 4 windows whose
     // epoch-aligned starts are bucket15(ts) - k*15min, k = 0..3.
     "q_hop_window" ->
@@ -3031,6 +3052,45 @@ object SparkEntry {
             / (CAST(n_a + n_b AS DOUBLE) * CAST(tot_b AS DOUBLE)
               / CAST(tot_a + tot_b AS DOUBLE)), 6) AS chi2_term
         FROM j, t""",
+    // median/MAD outliers mirrored: the q_grouped_median lower-median
+    // CTE twice (score, then absolute deviation), same planted spikes,
+    // same integer cut
+    "q_mad_outliers" ->
+      """WITH spiked AS (
+          SELECT doc_id, lang,
+            n_chars + CASE WHEN doc_id % 211 = 0 THEN 5000 ELSE 0 END
+              AS n_chars
+          FROM documents),
+        h AS (
+          SELECT lang, CAST(n_chars AS BIGINT) AS score, count(*) AS cnt
+          FROM spiked WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        c AS (
+          SELECT lang, score,
+            sum(cnt) OVER (PARTITION BY lang ORDER BY score ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY lang) AS total
+          FROM h),
+        med AS (
+          SELECT lang, CAST(min(score) AS BIGINT) AS med
+          FROM c WHERE cum * 2 >= total GROUP BY 1),
+        d AS (
+          SELECT d0.lang, d0.doc_id, CAST(d0.n_chars AS BIGINT) AS score,
+            abs(CAST(d0.n_chars AS BIGINT) - med.med) AS dev
+          FROM spiked d0 JOIN med USING (lang)
+          WHERE d0.n_chars IS NOT NULL),
+        h2 AS (SELECT lang, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+        c2 AS (
+          SELECT lang, dev,
+            sum(cnt) OVER (PARTITION BY lang ORDER BY dev ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            sum(cnt) OVER (PARTITION BY lang) AS total
+          FROM h2),
+        mad AS (
+          SELECT lang, CAST(min(dev) AS BIGINT) AS mad
+          FROM c2 WHERE cum * 2 >= total GROUP BY 1)
+        SELECT d.lang, d.doc_id, d.score, d.dev AS abs_dev, mad.mad
+        FROM d JOIN mad USING (lang)
+        WHERE d.dev > 5 * mad.mad""",
     // numeric drift mirrored: identical cumBefore edge derivation,
     // identical count-of-edges bin assignment, identical chi2 text
     "q_numeric_drift" ->

@@ -437,6 +437,43 @@ object Stats {
       .agg(min("__score").as("median"), min("__total").as("n_rows"))
   }
 
+  /** Robust per-group outlier cut — median/MAD, the estimator that
+    * survives the contamination it is hunting (mean/stddev z-scores move
+    * WITH the outliers; the median and the median absolute deviation
+    * have a 50% breakdown point). Flags every row whose integer score
+    * deviates from its group's lower median by more than `k` times the
+    * group's MAD — all comparisons exact integers, so the flagged SET is
+    * deterministic and hash-gated (q_mad_outliers).
+    *
+    * Composed from TWO [[groupedMedian]] passes (score, then absolute
+    * deviation) — each histogram-side only, no corpus windows — with the
+    * group-cardinality median/MAD relations attached as broadcast joins.
+    * Degenerate groups (≥ half the rows at one value ⇒ MAD = 0) flag
+    * every nonzero deviation — the textbook MAD caveat; callers wanting
+    * slack there should floor the MAD or raise `k`.
+    */
+  def madOutliers(
+      df: DataFrame, groupCols: Seq[String], scoreExpr: String,
+      idCol: String, k: Long = 5L): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(k >= 1, "k must be >= 1")
+    val g = groupCols.map(col)
+    val scored = df
+      .withColumn("__score", expr(s"CAST($scoreExpr AS BIGINT)"))
+      .filter(col("__score").isNotNull)
+      .select(g :+ col(idCol) :+ col("__score"): _*)
+    val med = groupedMedian(scored, groupCols, "__score")
+      .select(g :+ col("median").as("__med"): _*)
+    val dev = scored.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col("__score") - col("__med")))
+    val mad = groupedMedian(dev, groupCols, "__dev")
+      .select(g :+ col("median").as("__mad"): _*)
+    dev.join(broadcast(mad), groupCols)
+      .filter(col("__dev") > lit(k) * col("__mad"))
+      .select(g ++ Seq(col(idCol), col("__score").as("score"),
+        col("__dev").as("abs_dev"), col("__mad").as("mad")): _*)
+  }
+
   /** Single-scan column profile — the ANALYZE-style statistics report
     * (row count, null count, distinct count, min/max) for `cols` of one
     * relation, emitted one row per column. The naive form (one

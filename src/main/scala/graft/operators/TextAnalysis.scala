@@ -891,6 +891,75 @@ object TextAnalysis {
           "0, (a, x) -> a + x) AS BIGINT)").as("n_bpe_tokens"))
   }
 
+  /** One BPE TRAINING step — the discovery dual of [[bpeTokenCounts]]'s
+    * apply: spell every alphabetic word into symbols, apply the merges
+    * learned SO FAR (`merges` — empty for step zero), count adjacent
+    * symbol pairs weighted by corpus word frequency, and emit the top
+    * `topN` candidates in (count desc, pair asc) total order — the
+    * argmax is the next merge rule. Iterating this (append winner,
+    * rerun) IS the BPE training loop; each step is one bounded Spark
+    * job.
+    *
+    * The scale property is the classic one: after the first (word)
+    * aggregation everything runs on the WORD-FREQUENCY table — vocab-
+    * bounded, not corpus-bounded — exactly how sentencepiece/HF train.
+    * Pair generation is a per-row transform over each word's own symbol
+    * array (fan-out = word length); the pair aggregation is symbol-
+    * vocab-bounded; the top-N is a TakeOrderedAndProject heap, never a
+    * global sort. Alternate-pair-merge artifact of the replace chain is
+    * inherited from [[bpeTokenCounts]] (documented there) — both sides
+    * of the oracle share the generated chain, so it cannot drift.
+    */
+  def bpeMergeCandidates(
+      docs: DataFrame, merges: Seq[(String, String)] = Nil,
+      topN: Int = 20, textCol: String = "text"): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    require(merges.forall { case (f, t) =>
+      !f.contains("'") && !t.contains("'") }, "merge symbols must not quote")
+    val applied = merges.foldLeft(
+      "concat(' ', concat_ws(' ', split(w, '')), ' ')") {
+      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+    }
+    val wf = docs
+      .withColumn("__w", expr(
+        s"filter(split(lower(trim(`$textCol`)), ' +'), w -> w rlike '^[a-z]+$$')"))
+      .select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__wf"))
+    wf.withColumn("__s", expr(s"split(trim($applied), ' ')"))
+      .filter(expr("size(__s) >= 2"))
+      .select(explode(expr(
+        "transform(sequence(1, size(__s) - 1), i -> " +
+          "concat(element_at(__s, i), ' ', element_at(__s, i + 1)))"))
+        .as("pair"), col("__wf"))
+      .groupBy("pair").agg(sum("__wf").as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topN)
+  }
+
+  /** DuckDB equivalent of [[bpeMergeCandidates]], generated from the
+    * SAME merge table (the [[bpeOracleSql]] discipline).
+    */
+  def bpeMergeOracleSql(
+      merges: Seq[(String, String)] = Nil, topN: Int = 20): String = {
+    val applied = merges.foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+    }
+    s"""WITH ws AS (
+        SELECT list_filter(string_split_regex(lower(trim(text)), ' +'),
+          w -> regexp_full_match(w, '[a-z]+')) AS w
+        FROM documents),
+      w1 AS (SELECT unnest(w) AS w FROM ws),
+      wf AS (SELECT w, count(*) AS wf FROM w1 GROUP BY 1),
+      sym AS (SELECT wf, string_split(trim($applied), ' ') AS s FROM wf),
+      pr AS (
+        SELECT unnest(list_transform(range(1, len(s)),
+          i -> s[i] || ' ' || s[i+1])) AS pair, wf
+        FROM sym WHERE len(s) >= 2),
+      pc AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM pr GROUP BY 1)
+      SELECT pair, n FROM pc ORDER BY n DESC, pair ASC LIMIT $topN"""
+  }
+
   /** DuckDB equivalent of [[bpeTokenCounts]], generated from the SAME
     * merge table so the two expression chains cannot diverge.
     */

@@ -297,6 +297,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("lang") === "en").count() == 0)
   }
 
+  test("bpeMergeCandidates: weighted pair counts, learned merges change the frontier") {
+    import spark.implicits._
+    val docs = spark.createDataset(Seq((1L, "aaab aaab ab")))
+      .toDF("doc_id", "text")
+    // step 0: wf = {aaab:2, ab:1}; pairs: 'a a' x2 per aaab (weighted 2
+    // => 4), 'a b' from aaab (2) and ab (1) => 3
+    val s0 = TextAnalysis.bpeMergeCandidates(docs, Nil, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(s0 == Seq(("a a", 4L), ("a b", 3L)))
+    // after learning 'a a' -> 'aa': aaab spells aa|a|b (alternate-merge
+    // replace-chain artifact) => pairs 'aa a' (2), 'a b' (2+1)
+    val s1 = TextAnalysis.bpeMergeCandidates(docs,
+      Seq("a a" -> "aa"), topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(s1 == Seq(("a b", 3L), ("aa a", 2L)))
+    // the argmax is the next rule — iterating IS the training loop
+    assert(s0.head._1 == "a a" && s1.head._1 == "a b")
+  }
+
   test("pmiCooccurrence: window bounds distance, closed-form micro ratios, min-count filter") {
     import spark.implicits._
     val docs = spark.createDataset((1L to 10L).map(i => (i, "a b c")))

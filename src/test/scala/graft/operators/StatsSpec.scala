@@ -343,6 +343,33 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(t => t._2 == t._3 && t._4 == 0.0))
   }
 
+  // ----------------------------------------------------------- madOutliers
+
+  test("madOutliers flags planted spikes; medians stay anchored by clean mass") {
+    import spark.implicits._
+    // clean mass 1..100 (median 50, MAD 25), two planted spikes
+    val df = ((1L to 100L).map(i => (i, "g", i)) ++
+      Seq((900L, "g", 10000L), (901L, "g", -10000L)))
+      .toDF("id", "grp", "v")
+    val out = Stats.madOutliers(df, Seq("grp"), "v", "id", k = 5L)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // lower median of 102 values stays 50; MAD stays 25; only the spikes
+    // clear 5*25
+    assert(out.map(_._1) == Seq(900L, 901L))
+    assert(out.forall(_._3 == 25L))
+  }
+
+  test("madOutliers: degenerate MAD=0 flags any nonzero deviation; nulls drop") {
+    import spark.implicits._
+    val df = (Seq.fill(10)(7L).zipWithIndex.map { case (v, i) => (i.toLong, "g", Some(v)) } ++
+      Seq((100L, "g", Some(8L)), (101L, "g", Option.empty[Long])))
+      .toDF("id", "grp", "v")
+    val out = Stats.madOutliers(df, Seq("grp"), "v", "id", k = 5L)
+      .collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(100L))
+  }
+
   // --------------------------------------------------------------- profile
 
   private def profileDf = {
