@@ -2181,16 +2181,16 @@ object SparkEntry {
       """WITH toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
           FROM documents),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
           FROM toks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
           WHERE len(tk) >= 3),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        capped AS (
+        capped AS MATERIALIZED (
           SELECT doc_id, shingle FROM (
             SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM sh)
           WHERE f <= 100),
-        prs AS (
+        prs AS MATERIALIZED (
           SELECT doc_a, doc_b FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
             FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -2198,9 +2198,9 @@ object SparkEntry {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
           WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5),
-        e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM prs
               UNION ALL SELECT doc_b, doc_a FROM prs),
-        deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+        deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY 1),
         r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents),
         c1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS s
                FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
