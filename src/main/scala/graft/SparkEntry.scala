@@ -672,6 +672,16 @@ object SparkEntry {
         (events(s, dir), Seq("event_id"), "events(event_id)"),
         (events(s, dir), Seq("user_id"), "events(user_id)")))
     }),
+    // join-key skew pre-flight over three differently-shaped keys: the
+    // frequency-histogram Gini/p99/top-share numbers that pick between
+    // plain hash join, AQE skew split, salting, and hot-set caps
+    "q_skew_audit" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      Integrity.skewAuditAll(Seq(
+        (events(s, dir), Seq("user_id"), "events(user_id)"),
+        (t("lineitem"), Seq("l_orderkey"), "lineitem(l_orderkey)"),
+        (t("orders"), Seq("o_custkey"), "orders(o_custkey)")))
+    }),
     // project-level relation audit: the YAML-declared relation expressions
     // themselves drive the joins (rendered exactly as the planner renders
     // them) — unmatched lookups and *-1 fan-out violations per relation
@@ -953,6 +963,11 @@ object SparkEntry {
     // range join (hash join on (user, bucket), never per-key quadratic)
     "q_attribution" -> ((s, dir) =>
       graft.streaming.Events.attributionJoinBatch(events(s, dir))),
+    // U-shaped (40/20/40) multi-touch credit over the same matched
+    // pairs: exact micro-weights, one purchase-key exchange
+    "q_attribution_multitouch" -> ((s, dir) =>
+      graft.streaming.Events.multiTouchAttribution(events(s, dir),
+        model = "u")),
     // the same join as a real STREAM-STREAM inner self-join (watermarks
     // both sides + time-range condition bounding the join state); on the
     // bounded AvailableNow run the emitted set is exactly the batch join,
@@ -2062,6 +2077,43 @@ object SparkEntry {
                 sum(CASE WHEN $nullPred THEN 1 ELSE 0 END) AS n
               FROM $tbl GROUP BY ${ks.mkString(", ")}) g"""
       }.mkString("", "\nUNION ALL\n", ""),
+    // skew audit mirrored: same frequency histogram, same tie-grouped
+    // rank closed form, same lockstep-double gini
+    "q_skew_audit" -> Seq(
+        ("events", "user_id", "events(user_id)"),
+        ("lineitem", "l_orderkey", "lineitem(l_orderkey)"),
+        ("orders", "o_custkey", "orders(o_custkey)"))
+      .map { case (tbl, kc, name) =>
+        s"""SELECT '$name' AS relation, CAST(t.n AS BIGINT) AS n_rows,
+          CAST(t.nk AS BIGINT) AS n_keys, CAST(t.maxf AS BIGINT) AS max_freq,
+          CAST((1000000 * t.maxf) // t.n AS BIGINT) AS top1_share_micro,
+          p.p99 AS p99_freq,
+          round(CAST(2 * t.s - (t.nk + 1) * t.n AS DOUBLE)
+            / CAST(t.nk * t.n AS DOUBLE), 6) AS gini
+        FROM (
+          SELECT sum(f * k) AS n, sum(k) AS nk, max(f) AS maxf,
+            sum(f * (k * cumb + (k * (k + 1)) // 2)) AS s
+          FROM (
+            SELECT f, k, COALESCE(sum(k) OVER (ORDER BY f ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+            FROM (SELECT f, count(*) AS k FROM
+              (SELECT $kc, count(*) AS f FROM $tbl GROUP BY 1) kf
+              GROUP BY 1) h) st0) t
+        CROSS JOIN (
+          SELECT CAST(min(f) AS BIGINT) AS p99
+          FROM (
+            SELECT f, k, COALESCE(sum(k) OVER (ORDER BY f ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+            FROM (SELECT f, count(*) AS k FROM
+              (SELECT $kc, count(*) AS f FROM $tbl GROUP BY 1) kf
+              GROUP BY 1) h) st1
+          CROSS JOIN (
+            SELECT sum(k) AS nk FROM
+              (SELECT f, count(*) AS k FROM
+                (SELECT $kc, count(*) AS f FROM $tbl GROUP BY 1) kf
+                GROUP BY 1) h2) tk
+          WHERE (cumb + k) * 100 >= 99 * tk.nk) p"""
+      }.mkString("", "\nUNION ALL\n", ""),
     // per-column profile mirrored: one SELECT per (relation, column) —
     // the naive per-column form the Spark side's single-scan stack
     // aggregation replaces
@@ -2889,6 +2941,36 @@ object SparkEntry {
           ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    // multi-touch mirrored: same matched pairs, same (click_ts,
+    // click_id) touch order, same U-shaped CASE and truncating division
+    "q_attribution_multitouch" ->
+      """WITH m AS (
+          SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+            p.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+            CAST(round(p.value * 100) AS BIGINT) AS value_cents
+          FROM events c JOIN events p
+            ON c.user_id = p.user_id
+            AND c.event_type = 'click' AND p.event_type = 'purchase'
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY purchase_id
+              ORDER BY click_ts, click_id) AS pos,
+            count(*) OVER (PARTITION BY purchase_id) AS n
+          FROM m),
+        wgt AS (
+          SELECT *,
+            CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 OR pos = n THEN 400000
+                 ELSE 200000 // (n - 2) END AS weight_micro
+          FROM r)
+        SELECT purchase_id, click_id, user_id,
+          CAST(n AS BIGINT) AS n_clicks, CAST(pos AS INT) AS touch_pos,
+          CAST(weight_micro AS BIGINT) AS weight_micro,
+          CAST((value_cents * weight_micro) // 1000000 AS BIGINT)
+            AS attributed_cents
+        FROM wgt""",
     "q_attribution_stream" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
           CAST(c.ts AS TIMESTAMP) AS click_ts,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity audit across the star schema — the data-quality
@@ -102,5 +103,69 @@ object Integrity {
   /** Multi-table key audit, one row per (table, declared key). */
   def pkAuditAll(keys: Seq[(DataFrame, Seq[String], String)]): DataFrame =
     keys.map { case (df, kc, name) => pkAudit(df, kc, name) }
+      .reduce(_.unionAll(_))
+
+  /** Join-key skew audit — the pre-flight a 100 TB join runs BEFORE
+    * choosing its strategy: per-key frequency distribution summarized as
+    * max frequency, the heaviest key's share, the p99 frequency, and the
+    * Gini coefficient of the key-frequency distribution (0 = uniform,
+    * →1 = one key owns everything). These are exactly the numbers that
+    * decide between a plain hash join, AQE skew splitting, and explicit
+    * salting (the `Skew.saltedAgg` knob) — and whether a broadcast
+    * anti-join hot-set cap (the Dedup/TextAnalysis routing discipline)
+    * is worth building.
+    *
+    * Scale shape: one two-phase key count, then EVERYTHING runs on the
+    * FREQUENCY HISTOGRAM (freq → #keys at that freq) — bounded by
+    * distinct frequency VALUES, which Zipf keeps tiny — never a rank
+    * window over the key space (1e9 join keys would make that one
+    * task's partition; the [[graft.operators.Stats.quantileBins]]
+    * histogram-side discipline). Rank sums come from the tie-grouped
+    * closed form: keys at frequency f occupy ranks
+    * (cumBefore, cumBefore + k], contributing f·(k·cumBefore +
+    * k(k+1)/2) to Σ rank·freq — tie-invariant, so the Gini
+    * `(2·S − (K+1)·N) / (K·N)` is deterministic. Sums accumulate in
+    * DECIMAL(38,0) (rank·freq products pass BIGINT range at petabyte
+    * key spaces); the emitted gini derives in lockstep doubles (the
+    * chi-square discipline). NULL keys group like any other key — a
+    * null-heavy fk IS a skew source.
+    */
+  def skewAudit(
+      df: DataFrame, keyCols: Seq[String], relation: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val hist = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__f"))
+      .groupBy("__f").agg(count(lit(1)).as("__k"))
+    val w = Window.orderBy(col("__f").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = hist
+      .withColumn("__cumb", coalesce(sum("__k").over(w), lit(0L)))
+    val totals = staged.agg(
+      expr("CAST(sum(__f * __k) AS DECIMAL(38,0))").as("__n"),
+      coalesce(sum("__k"), lit(0L)).as("__keys"),
+      coalesce(max("__f"), lit(0L)).as("__maxf"),
+      expr("CAST(sum(__f * (__k * __cumb + (__k * (__k + 1)) DIV 2)) " +
+        "AS DECIMAL(38,0))").as("__s"))
+    staged.crossJoin(broadcast(totals))
+      .agg(
+        min(when(expr("(__cumb + __k) * 100 >= 99 * __keys"), col("__f")))
+          .as("__p99"),
+        min("__n").as("__n"), min("__keys").as("__keys"),
+        min("__maxf").as("__maxf"), min("__s").as("__s"))
+      .select(lit(relation).as("relation"),
+        expr("CAST(__n AS BIGINT)").as("n_rows"),
+        col("__keys").as("n_keys"),
+        col("__maxf").as("max_freq"),
+        expr("CAST(1000000 * CAST(__maxf AS DECIMAL(38,0)) DIV __n AS BIGINT)")
+          .as("top1_share_micro"),
+        col("__p99").as("p99_freq"),
+        expr("round(CAST(2 * __s - CAST(__keys + 1 AS DECIMAL(38,0)) * __n " +
+          "AS DOUBLE) / CAST(CAST(__keys AS DECIMAL(38,0)) * __n AS DOUBLE), 6)")
+          .as("gini"))
+  }
+
+  /** Multi-relation skew audit, one row per (table, join key). */
+  def skewAuditAll(keys: Seq[(DataFrame, Seq[String], String)]): DataFrame =
+    keys.map { case (df, kc, name) => skewAudit(df, kc, name) }
       .reduce(_.unionAll(_))
 }

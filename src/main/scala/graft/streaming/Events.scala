@@ -214,6 +214,53 @@ object Events {
         "purchase_ts", "value_cents")
   }
 
+  /** Multi-touch attribution over [[attributionJoinBatch]]'s matched
+    * (click, purchase) pairs: split each purchase's value across ALL its
+    * attributed clicks instead of last-touch's winner-take-all. Two
+    * models, both in exact integer micro-weights (hash-gated,
+    * q_attribution_multitouch):
+    *  - `linear`: every touch gets `1e6 DIV n` micro (equal credit);
+    *  - `u` (position-based 40/20/40): first and last touch get 400000
+    *    each, the middle touches split the remaining 200000 — the
+    *    standard U-shaped model (n=1 → 1e6, n=2 → 500000/500000).
+    * Truncating integer division under-allocates by < n micro per
+    * purchase (documented, deterministic) — the price of an
+    * engine-exact result; a payout system would assign the remainder to
+    * a canonical touch.
+    *
+    * Touch order is (click_ts, click_id) — a TOTAL order (the
+    * rollingEventFeatures tie rule). Both window specs share ONE
+    * purchase-key exchange; per-partition window state is one purchase's
+    * clicks, bounded by the attribution window's minutes × the user's
+    * click rate — the bounded-per-entity premise.
+    */
+  def multiTouchAttribution(
+      events: DataFrame, attrMinutes: Int = 30,
+      model: String = "linear"): DataFrame = {
+    require(Set("linear", "u").contains(model),
+      s"unknown attribution model: $model")
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("click_ts").asc, col("click_id").asc)
+    val weightSql = model match {
+      case "linear" => "1000000L DIV __n"
+      case "u" =>
+        """CASE WHEN __n = 1 THEN 1000000L
+                WHEN __n = 2 THEN 500000L
+                WHEN __pos = 1 OR __pos = __n THEN 400000L
+                ELSE 200000L DIV (__n - 2) END"""
+    }
+    attributionJoinBatch(events, attrMinutes)
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("purchase_id")))
+      .withColumn("weight_micro", expr(weightSql))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("__n").as("n_clicks"),
+        expr("CAST(__pos AS INT)").as("touch_pos"),
+        col("weight_micro"),
+        expr("(value_cents * weight_micro) DIV 1000000")
+          .as("attributed_cents"))
+  }
+
   /** Streaming form of [[attributionJoinBatch]]: a real STREAM-STREAM
     * inner self-join — the one Structured Streaming join shape with
     * cross-stream state. Both branches of the same event stream carry a

@@ -145,6 +145,31 @@ class IntegritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((1L, "kept")))
   }
 
+  // ----------------------------------------------------------- skewAudit
+
+  private def keyedDf(keys: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    keys.toDF("k")
+  }
+
+  test("skewAudit: uniform keys are gini 0; a hot key moves every statistic") {
+    // uniform: 5 keys x2 rows
+    val uni = Integrity.skewAudit(
+      keyedDf((1L to 5L).flatMap(i => Seq(i, i))), Seq("k"), "u").head()
+    assert(uni.getAs[Long]("n_rows") == 10L && uni.getAs[Long]("n_keys") == 5L)
+    assert(uni.getAs[Long]("max_freq") == 2L &&
+      uni.getAs[Long]("p99_freq") == 2L)
+    assert(uni.getAs[Double]("gini") == 0.0)
+    // hot: freqs [1,1,1,7] => S = 1*(1+2+3) + 7*4 = 34, K=4, N=10,
+    // gini = (68-50)/40 = 0.45; top1 = 700000
+    val hot = Integrity.skewAudit(
+      keyedDf(Seq(1L, 2L, 3L) ++ Seq.fill(7)(9L)), Seq("k"), "h").head()
+    assert(hot.getAs[Long]("max_freq") == 7L)
+    assert(hot.getAs[Long]("top1_share_micro") == 700000L)
+    assert(hot.getAs[Long]("p99_freq") == 7L)
+    assert(hot.getAs[Double]("gini") == 0.45)
+  }
+
   // --------------------------------------------------------- scd2History
 
   private def scd2Rows(ch: DataFrame) =

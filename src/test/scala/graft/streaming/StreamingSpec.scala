@@ -551,6 +551,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "dedup dropped non-duplicate rows")
   }
 
+  test("multiTouchAttribution: U-model closed-form weights for n=1,2,3; credit conserves minus truncation") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-06-01 10:$m%02d:00")
+    // user 1: three clicks then a $10 purchase — U weights 40/20/40
+    // user 2: two clicks  -> 50/50; user 3: one click -> 100%
+    val e = Seq(
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(5), 1L, "click", 0.0),
+      (3L, ts(10), 1L, "click", 0.0), (4L, ts(15), 1L, "purchase", 10.0),
+      (5L, ts(0), 2L, "click", 0.0), (6L, ts(5), 2L, "click", 0.0),
+      (7L, ts(10), 2L, "purchase", 8.0),
+      (8L, ts(0), 3L, "click", 0.0), (9L, ts(5), 3L, "purchase", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.multiTouchAttribution(e, model = "u")
+      .collect().map(r => (r.getLong(1), r.getInt(4), r.getLong(5), r.getLong(6)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 1, 400000L, 400L), (2L, 2, 200000L, 200L), (3L, 3, 400000L, 400L),
+      (5L, 1, 500000L, 400L), (6L, 2, 500000L, 400L),
+      (8L, 1, 1000000L, 600L)), s"got $out")
+    // linear model: equal thirds with deterministic truncation (333333x3)
+    val lin = Events.multiTouchAttribution(e, model = "linear")
+      .filter(col("user_id") === 1L)
+      .collect().map(_.getLong(5)).toSeq
+    assert(lin == Seq(333333L, 333333L, 333333L))
+  }
+
   test("hopping windows assign each event to exactly 4 hour windows") {
     import spark.implicits._
     val e = Seq((1L, java.sql.Timestamp.valueOf("2025-06-01 10:07:00"),
