@@ -633,6 +633,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s3 - s1 <= 2 * 2 + 2, s"per-iteration shuffle growth too high: $s1 -> $s3")
   }
 
+  test("multiTouchAttribution: rangeJoin pairs + ONE purchase-key window exchange") {
+    val mt = graft.streaming.Events.multiTouchAttribution(events, model = "u")
+    val plan = mt.queryExecution.executedPlan.toString
+    // both window specs (row_number + count) must share one exchange on
+    // purchase_id, added on top of the bucketed range-join's budget
+    val base = shuffles(graft.streaming.Events.attributionJoinBatch(events))
+    assert(shuffles(mt) == base + 1,
+      s"expected exactly one extra exchange over the range join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "attribution must stay a guarded hash range join")
+  }
+
+  test("skewAudit: the audit obeys the discipline it polices — no key-space window") {
+    val sa = Integrity.skewAudit(events, Seq("user_id"), "events(user_id)")
+    sa.collect()
+    val nodes = walk(sa.queryExecution.executedPlan)
+    // AQE can rewrite the histogram exchange under the window into a
+    // ReusedExchange of the aggregation's exchange — still the bounded
+    // histogram relation, just deduplicated
+    val corpusWindows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if !w.child.toString.contains("HashAggregate") &&
+          !w.child.toString.contains("ReusedExchange") => w
+    }
+    assert(corpusWindows.isEmpty,
+      "the only window may run over the frequency histogram")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // key count + freq histogram + cum window + totals scalar + final
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size <= 6,
+      "shuffle budget exceeded")
+  }
+
   test("IvfIndex lifecycle: caller-owned persist is released by close()") {
     val idx = Similarity.ivfFit(embeds, nLists = 4, seed = 42L)
     val cached = idx.copy(assigned = idx.assigned.persist())
