@@ -154,6 +154,29 @@ object Main {
         sys.exit(1)
       }
 
+    case "skew" :: projectDir :: dataDir :: Nil =>
+      // join-key skew pre-flight over every declared relation: the
+      // source-side join attributes' frequency distribution (Gini, p99,
+      // top-key share — Integrity.skewAudit) per relation. Advisory
+      // output, no exit gate: skew thresholds are workload decisions
+      // (salting vs AQE vs broadcast caps), unlike the audit
+      // subcommand's hard *-1 contract.
+      val spark = session()
+      val cp = new Compiler(YamlLoader.load(projectDir)).compile()
+      val runner = new Runner(cp, Runners.parquetDir(dataDir))
+      val rows = cp.project.relations.flatMap { r =>
+        val rel = cp.relations(r.name)
+        val thisKeys = rel.expr.params.indices.collect {
+          case i if rel.sides(i) == "This" => rel.expr.params(i).path
+        }.distinct
+        if (thisKeys.isEmpty) None
+        else Some(graft.operators.Integrity.skewAudit(
+          runner.hub(rel.relation.sourceName), thisKeys,
+          s"${r.name}(${thisKeys.mkString(",")})"))
+      }
+      rows.reduce(_.unionAll(_)).show(truncate = false)
+      spark.stop()
+
     case _ =>
       System.err.println(
         """usage: graft.Main validate <projectDir> [--strict-types]
@@ -162,7 +185,8 @@ object Main {
           |       graft.Main emit     <projectDir> <outDir>
           |       graft.Main run      <projectDir> <dataDir> <outDir>
           |       graft.Main import   <projectDir> <dataDir> <outDir>   — versioned re-import (C13)
-          |       graft.Main audit    <projectDir> <dataDir>            — relation/data integrity audit""".stripMargin)
+          |       graft.Main audit    <projectDir> <dataDir>            — relation/data integrity audit
+          |       graft.Main skew     <projectDir> <dataDir>            — join-key skew pre-flight (advisory)""".stripMargin)
       sys.exit(2)
   }
 
