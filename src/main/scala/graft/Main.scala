@@ -174,7 +174,11 @@ object Main {
           runner.hub(rel.relation.sourceName), thisKeys,
           s"${r.name}(${thisKeys.mkString(",")})"))
       }
-      rows.reduce(_.unionAll(_)).show(truncate = false)
+      rows.reduceOption(_.unionAll(_)) match {
+        case Some(all) => all.show(truncate = false)
+        case None =>
+          println("no relations with source-side join keys to audit")
+      }
       spark.stop()
 
     case _ =>

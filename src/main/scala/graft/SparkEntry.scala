@@ -1968,7 +1968,10 @@ object SparkEntry {
                WHEN o.h = n.h THEN 'unchanged'
                ELSE 'changed' END AS status
         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
-    // same change-log derivation; last-writer-wins = max (seq, op)
+    // same change-log derivation; last-writer-wins = max (seq, op, text):
+    // the payload joins the tie-break (NULLS LAST = Spark's null-smallest
+    // struct order) so duplicate (id, seq, op) rows with different
+    // payloads resolve identically in both engines
     "q_cdc_merge" ->
       """WITH ch AS (
           SELECT doc_id, 2 AS seq, 'upsert' AS op, text || ' v2' AS text
@@ -1982,7 +1985,7 @@ object SparkEntry {
           SELECT doc_id, op, text FROM (
             SELECT doc_id, op, text,
               row_number() OVER (PARTITION BY doc_id
-                ORDER BY seq DESC, op DESC) AS rn
+                ORDER BY seq DESC, op DESC, text DESC NULLS LAST) AS rn
             FROM ch)
           WHERE rn = 1)
         SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,

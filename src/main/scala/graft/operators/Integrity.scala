@@ -140,12 +140,21 @@ object Integrity {
       .rowsBetween(Window.unboundedPreceding, -1)
     val staged = hist
       .withColumn("__cumb", coalesce(sum("__k").over(w), lit(0L)))
+    // Lift every product to DECIMAL(38,0) BEFORE multiplying and keep
+    // the sum() buffer itself decimal: a BIGINT-side sum(__f * __k)
+    // wraps silently (non-ANSI) or throws (ANSI) at petabyte-scale key
+    // counts, which is exactly the regime this audit exists for. The
+    // triangle k(k+1)/2 splits on parity so neither factor's product
+    // ever forms in BIGINT (k itself can exceed 3e9 keys-per-frequency).
+    val triangle =
+      "CASE WHEN __k % 2 = 0 THEN CAST(__k DIV 2 AS DECIMAL(38,0)) * (__k + 1) " +
+      "ELSE CAST((__k + 1) DIV 2 AS DECIMAL(38,0)) * __k END"
     val totals = staged.agg(
-      expr("CAST(sum(__f * __k) AS DECIMAL(38,0))").as("__n"),
+      expr("sum(CAST(__f AS DECIMAL(38,0)) * __k)").as("__n"),
       coalesce(sum("__k"), lit(0L)).as("__keys"),
       coalesce(max("__f"), lit(0L)).as("__maxf"),
-      expr("CAST(sum(__f * (__k * __cumb + (__k * (__k + 1)) DIV 2)) " +
-        "AS DECIMAL(38,0))").as("__s"))
+      expr("sum(CAST(__f AS DECIMAL(38,0)) * " +
+        s"(CAST(__k AS DECIMAL(38,0)) * __cumb + ($triangle)))").as("__s"))
     staged.crossJoin(broadcast(totals))
       .agg(
         min(when(expr("(__cumb + __k) * 100 >= 99 * __keys"), col("__f")))

@@ -179,7 +179,12 @@ object Stats {
       seed: Int = 42): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val cms = pairs.stat.countMinSketch(keyCol, eps, confidence, seed)
+    // Build the sketch over the key pre-cast to STRING so the insert
+    // type matches the string probe below: CountMinSketch hashes a
+    // String's UTF-8 bytes but a numeric column through the long path,
+    // and a type mismatch would silently void the one-sided guarantee.
+    val cms = pairs.select(col(keyCol).cast("string").as(keyCol))
+      .stat.countMinSketch(keyCol, eps, confidence, seed)
     val counts = pairs.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)).as("__total"))
     val hitters = counts.crossJoin(broadcast(total))

@@ -317,7 +317,13 @@ object Events {
             sorted.foreach { case (_, ts, cents) =>
               cur match {
                 case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
-                  cur = Some(SessionAgg(s.start, ts, s.nEvents + 1, s.valueCents + cents))
+                  // max(): a later micro-batch can deliver an event that
+                  // is within the watermark but OLDER than state.last
+                  // (negative gap) — it must extend the session's
+                  // counts without moving session_end or the timeout
+                  // anchor backwards.
+                  val newLast = if (ts.getTime > s.last.getTime) ts else s.last
+                  cur = Some(SessionAgg(s.start, newLast, s.nEvents + 1, s.valueCents + cents))
                 case Some(s) =>
                   closed ::= ((user, s.start, s.last, s.nEvents, s.valueCents))
                   cur = Some(SessionAgg(ts, ts, 1L, cents))

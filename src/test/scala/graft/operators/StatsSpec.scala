@@ -40,6 +40,23 @@ class StatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_._3), "CMS must not leave its one-sided error bound")
   }
 
+  test("cmsBounds: numeric key columns keep insert/probe type parity") {
+    // regression (ADVICE r9): the sketch used to build over the raw LONG
+    // column (long hash path) but probe with the key cast to string
+    // (UTF-8 hash path) — estimates were garbage for any non-string key.
+    import spark.implicits._
+    val rows: Seq[Long] = Seq.fill(40)(1000000007L) ++ Seq.fill(25)(42L) ++
+      (1 to 15).map(i => 100L + i)
+    val out = Stats.cmsBounds(spark.createDataset(rows).toDF("k"), "k",
+        invSupport = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("1000000007", 40L), ("42", 25L)))
+    assert(out.forall(_._3),
+      "one-sided envelope must hold for numeric keys too")
+  }
+
   // --------------------------------------------------------- labelOutliers
 
   test("labelOutliers flags the vector pointing away from its label centroid") {

@@ -107,6 +107,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed sessions must equal batch sessions exactly")
   }
 
+  test("in-watermark but out-of-order event cannot shrink session_end") {
+    // regression (ADVICE r9): an event admitted in a LATER micro-batch
+    // with ts within the watermark but older than state.last used to set
+    // last = ts (negative gap ≤ gapMs), regressing session_end below the
+    // true max and shortening the timeout anchor. The fix extends with
+    // max(state.last, ts).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftooo")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def stage(i: Int,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graftooo$i").resolve("out")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(f"chunk_$i%02d.parquet")
+      Files.copy(part.toPath, dest)
+      assert(dest.toFile.setLastModified(System.currentTimeMillis() + i * 2000L))
+    }
+    val noProps = null.asInstanceOf[String]
+    // batch 1: user 7 at minute 0 and 10 → state.last = minute 10
+    stage(1, Seq((1L, at(0), 7L, "view", 1.0, noProps),
+      (2L, at(10), 7L, "view", 1.0, noProps)))
+    // batch 2: a minute-5 event (older than last, inside gap AND
+    // watermark) plus a far-future closer that flushes the session
+    stage(2, Seq((3L, at(5), 7L, "view", 1.0, noProps),
+      (-1L, at(60 * 24 * 10), 7L, "__close", 0.0, noProps)))
+    val got = Events.runAvailableNow(spark,
+      Events.sessionizeStream(spark,
+        Events.readEventsStream(spark, dir.toString, maxFilesPerTrigger = 1)),
+      complete = false)
+      .filter(col("n_events") === 3)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((7L, at(0), at(10), 3L, 300L)),
+      "session_end must stay at the max event time; the old event only adds counts")
+  }
+
   /** Stages the fixture into `nChunks` contiguous TIME-ordered part files
     * (plus optionally the per-user close sentinel, last) with sequenced
     * modification times, so `maxFilesPerTrigger = 1` yields one
