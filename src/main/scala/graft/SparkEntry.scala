@@ -744,11 +744,11 @@ object SparkEntry {
     // gates that premise; see Dedup.verifyJaccard scaladoc).
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), threshold = 0.5)),
-    // rows-only: the 64-bit signature is engine-specific (Spark XXH64) and
-    // Hamming proximity is a genuinely different similarity notion from
-    // n-gram Jaccard (it misses 2 of the 25 jaccard≥0.5 pairs here), so no
-    // cross-engine oracle exists; accuracy is driver-gated by
-    // q_simhash_bounds below (the q_approx_bounds pattern)
+    // fully hash-gated since r10: the 64-bit XXH64 signature fold is
+    // integer arithmetic end to end, so [[SimhashOracleSql]] mirrors it
+    // in DuckDB (mod-2^64 emulated in HUGEINT) and the pair relation
+    // crosses the driver's hash gate exactly; q_simhash_bounds below
+    // additionally keeps the semantic accuracy envelope
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     // SimHash accuracy envelope, oracle-backed: n_exact_pairs is
     // value-matched against the DuckDB exact inverted index, and two
@@ -1203,6 +1203,120 @@ object SparkEntry {
     s.read.parquet(s"$dir/embeddings.parquet")
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Events.readEvents(s, s"$dir/events.parquet")
+
+  /** DuckDB mirror of the SimHash pair query ([[graft.operators.Dedup
+    * .simhash]] / [[graft.operators.Dedup.simhashPairs]]) — the q_winnow
+    * discipline applied to XXH64: the token hash is Spark's xxhash64
+    * (standard XXH64, seed 42), re-implemented arithmetic-for-arithmetic
+    * in ONE DuckDB statement so the whole pair relation crosses the hash
+    * gate (graduating q_simhash_pairs from its accuracy envelope, VERDICT
+    * r9 #1).
+    *
+    * 64-bit wrap-around arithmetic is emulated in HUGEINT: a mod-2^64
+    * multiply splits the left operand into 32-bit limbs so no
+    * intermediate exceeds 2^97; rotations are (x·2^r mod 2^64) + x>>64−r
+    * (disjoint bit ranges, so + is |); xor/bit_count come native. Each
+    * fold step lives in its OWN nested subquery — DuckDB inlines lateral
+    * column aliases by textual substitution, so chaining steps through
+    * aliases in one SELECT re-expands every predecessor exponentially.
+    * The short-input path (< 32 bytes: ≤3 8-byte chunks, one optional
+    * 4-byte chunk, ≤3 tail bytes — statically unrolled CASEs) covers all
+    * fixture tokens (max 10 ASCII bytes; `unicode(c)` = UTF-8 byte only
+    * for ASCII, which the fixtures are). Signatures are carried as two
+    * 32-bit halves so banding/Hamming stay in BIGINT; token-less docs
+    * keep signature 0 via the left join, matching the engine's all-zero
+    * vote fold.
+    */
+  private object SimhashOracleSql {
+    private val M = "18446744073709551616"
+    private val P1 = "11400714785074694791"
+    private val P2 = "14029467366897019727"
+    private val P3 = "1609587929392839161"
+    private val P4 = "9650029242287828579"
+    private val P5 = "2870177450012600261"
+    private def pow2(r: Int): String = java.math.BigInteger.TWO.pow(r).toString
+    private def mul64(a: String, b: String): String =
+      s"((($a) % 4294967296) * ($b) + " +
+        s"((($a) // 4294967296) * ($b)) % 4294967296 * 4294967296) % $M"
+    private def rotl(x: String, r: Int): String =
+      s"((($x) * ${pow2(r)}) % $M + ($x) // ${pow2(64 - r)})"
+    private def xor(a: String, b: String): String =
+      s"xor(CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+
+    /** Nested-subquery pipeline: (doc_id, w) → (doc_id, w, hash). */
+    private def tokenHash: String = {
+      def le8(i: Int): String =
+        (0 until 8).map(j => s"bl[${i * 8 + j + 1}] * ${pow2(8 * j)}").mkString(" + ")
+      val le4 =
+        (0 until 4).map(j => s"bl[n8*8+${j + 1}] * ${pow2(8 * j)}").mkString(" + ")
+      val tl0 = "n8*8 + CASE WHEN n - n8*8 >= 4 THEN 4 ELSE 0 END"
+      val layers = scala.collection.mutable.ArrayBuffer[String]()
+      layers += ("SELECT doc_id, w, strlen(w) AS n, strlen(w) // 8 AS n8, " +
+        "list_transform(string_split(w,''), c -> CAST(unicode(c) AS HUGEINT)) AS bl " +
+        "FROM @TOKS@")
+      layers += ("SELECT doc_id, w, n, n8, " +
+        (0 until 3).map(i =>
+          s"CASE WHEN n8 >= ${i + 1} THEN ${le8(i)} ELSE 0 END AS k${i + 1}").mkString(", ") +
+        s", CASE WHEN n - n8*8 >= 4 THEN $le4 ELSE 0 END AS k4" +
+        s", $tl0 AS tl0, " +
+        (0 until 3).map(j =>
+          s"CASE WHEN n > $tl0 + $j THEN bl[$tl0 + ${j + 1}] ELSE 0 END AS tb${j + 1}")
+          .mkString(", ") +
+        s", CAST(42 + $P5 + n AS HUGEINT) AS h0 FROM (@INNER@)")
+      var h = "h0"
+      for (i <- 0 until 3) {
+        val rr = mul64(rotl(mul64(s"k${i + 1}", P2), 31), P1)
+        val step = s"(${mul64(rotl(xor(h, rr), 27), P1)} + $P4) % $M"
+        layers += s"SELECT *, CASE WHEN n8 >= ${i + 1} THEN $step ELSE $h END AS h${i + 1} FROM (@INNER@)"
+        h = s"h${i + 1}"
+      }
+      val step4 = s"(${mul64(rotl(xor(h, mul64("k4", P1)), 23), P2)} + $P3) % $M"
+      layers += s"SELECT *, CASE WHEN n - n8*8 >= 4 THEN $step4 ELSE $h END AS h4s FROM (@INNER@)"
+      h = "h4s"
+      for (j <- 0 until 3) {
+        val stepb = mul64(rotl(xor(h, mul64(s"tb${j + 1}", P5)), 11), P1)
+        layers += s"SELECT *, CASE WHEN n > tl0 + $j THEN $stepb ELSE $h END AS hb${j + 1} FROM (@INNER@)"
+        h = s"hb${j + 1}"
+      }
+      layers += s"SELECT *, ${xor(h, s"$h // ${pow2(33)}")} AS a1 FROM (@INNER@)"
+      layers += s"SELECT *, ${mul64("a1", P2)} AS a2 FROM (@INNER@)"
+      layers += s"SELECT *, ${xor("a2", s"a2 // ${pow2(29)}")} AS a3 FROM (@INNER@)"
+      layers += s"SELECT *, ${mul64("a3", P3)} AS a4 FROM (@INNER@)"
+      layers += s"SELECT doc_id, w, ${xor("a4", s"a4 // ${pow2(32)}")} AS hash FROM (@INNER@)"
+      layers.tail.foldLeft(layers.head)((inner, l) => l.replace("@INNER@", inner))
+    }
+
+    /** The full q_simhash_pairs oracle statement. */
+    def sql: String = {
+      val votes = (0 until 64).map(b =>
+        s"sum(CASE WHEN (hash // ${pow2(b)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val lo = (0 until 32).map(b =>
+        s"CASE WHEN v$b > 0 THEN ${pow2(b)} ELSE 0 END").mkString(" + ")
+      val hi = (0 until 32).map(b =>
+        s"CASE WHEN v${b + 32} > 0 THEN ${pow2(b)} ELSE 0 END").mkString(" + ")
+      s"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t != '')) AS w
+          FROM documents WHERE lower(text) IS NOT NULL),
+        th AS (${tokenHash.replace("@TOKS@", "toks")}),
+        v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+        sg AS (SELECT doc_id, CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi FROM v),
+        sig AS (
+          SELECT d.doc_id, coalesce(sg.lo, 0) AS lo, coalesce(sg.hi, 0) AS hi
+          FROM (SELECT doc_id FROM documents WHERE lower(text) IS NOT NULL) d
+          LEFT JOIN sg USING (doc_id)),
+        band AS (
+          SELECT doc_id, lo, hi,
+            unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bucket,
+            unnest([0, 1, 2, 3]) AS band
+          FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+        FROM band a JOIN band b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"""
+    }
+  }
 
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -2319,6 +2433,9 @@ object SparkEntry {
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY cosine DESC, match_id) AS rn FROM sc)
         WHERE rn <= 5""",
+    // SimHash pair relation, exact: XXH64 re-implemented in DuckDB —
+    // machine-generated nested-subquery SQL (see SimhashOracleSql).
+    "q_simhash_pairs" -> SimhashOracleSql.sql,
     // SimHash envelope: the exact-pair count is the same relation as
     // q_ngram_jaccard; the two accuracy booleans are engine-side claims the
     // oracle states as literals (a violated floor breaks the hash match).
