@@ -755,17 +755,29 @@ object Dedup {
     * truncates the growing lineage so round N does not replan rounds
     * 1..N-1.
     *
+    * `checkpointDir` picks the truncation mechanism: None (default) uses
+    * `localCheckpoint` — blocks live on executors, fine single-JVM and
+    * fastest — while Some(dir) uses a RELIABLE checkpoint
+    * (`setCheckpointDir` + `checkpoint()`, dir should be HDFS/S3): at
+    * 1000-executor scale a lost executor kills a localCheckpoint'd
+    * lineage mid-iteration, whereas reliable blocks recompute from the
+    * checkpoint files. Same labels either way (spec-pinned); the knob
+    * trades per-round write cost for executor-loss survival.
+    *
     * @param vertices one column `id` (every id to label, matched or not)
     * @param pairs    columns `id_a`, `id_b`
     */
   def components(
-      vertices: DataFrame, pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+      vertices: DataFrame, pairs: DataFrame, maxIterations: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component_id"))
-      .localCheckpoint()
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -773,12 +785,11 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("component_id").as("__nl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("__nl").as("__nmin"))
-      val next = labels
+      val next = truncate(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component_id"), coalesce(col("__nmin"), col("component_id")))
-            .as("component_id"))
-        .localCheckpoint()
+            .as("component_id")))
       val changed = next.join(labels.withColumnRenamed("component_id", "__old"), "id")
         .filter(col("component_id") =!= col("__old")).count()
       labels = next

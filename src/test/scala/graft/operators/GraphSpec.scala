@@ -44,4 +44,21 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(10L) > r(20L) && r(10L) > r(1L),
       s"hub must outrank both pair members and its own leaves: $r")
   }
+
+  test("pageRank: reliable-checkpoint knob yields identical ranks") {
+    import spark.implicits._
+    // checkpointEvery=2 fires the mid-run checkpoint at iteration 2 of 5;
+    // ranks must be bit-identical to the unchopped lineage
+    val nodes = ((1L to 5L) ++ Seq(10L, 20L, 21L)).toDF("id")
+    val edges = ((1L to 5L).map(i => (10L, i)) ++ Seq((20L, 21L))).toDF("id_a", "id_b")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_pr_ck").toString
+    val reliable = Graph.pageRank(nodes, edges, iterations = 5,
+        checkpointDir = Some(ckDir), checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.pageRank(nodes, edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == plain)
+    assert(new java.io.File(ckDir).listFiles().nonEmpty,
+      "reliable checkpoint files must actually be written under the dir")
+  }
 }

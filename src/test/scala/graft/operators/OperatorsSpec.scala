@@ -483,6 +483,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("components: reliable-checkpoint knob yields identical labels") {
+    import spark.implicits._
+    // knob-on vs knob-off parity — the checkpointDir option only changes
+    // WHERE truncated lineage blocks live (reliable files vs executor
+    // memory), never the labels
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    val reliable = Dedup.components(vertices, pairs, checkpointDir = Some(ckDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.components(vertices, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(new java.io.File(ckDir).listFiles().nonEmpty,
+      "reliable checkpoint files must actually be written under the dir")
+  }
+
   test("semanticDedup keeps one representative per planted cluster") {
     val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
     val kept = Dedup.semanticDedup(vecDf(vecs), nClusters = 8, threshold = 0.95)
