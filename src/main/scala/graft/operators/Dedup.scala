@@ -90,27 +90,39 @@ object Dedup {
     * its candidate-join fan-out grows with duplicate density (superlinear
     * on adversarial corpora); MinHash bounds fan-out at #bands per
     * document. Use this form to validate MinHash parameter choices on a
-    * sample, not to sweep a 100 TB corpus.
+    * sample, not to sweep a 100 TB corpus. (Since r10 every plan stage is
+    * scale-safe — the historical count-window cap is gone — so the
+    * superlinear candidate volume is the ONLY remaining scale caveat.)
     *
     * Explodes distinct shingles and, per shingle, emits every doc pair
     * sharing it (skipping shingles shared by more than `maxShingleFreq`
-    * docs — stopword-gram blowup guard — and by fewer than 2 docs, which
-    * is most of them); Jaccard ≥ threshold is then verified from the
-    * intersection size. Emits (doc_a, doc_b, jaccard), doc_a < doc_b.
+    * docs — stopword-gram blowup guard); Jaccard ≥ threshold is then
+    * verified from the intersection size. Emits (doc_a, doc_b, jaccard),
+    * doc_a < doc_b.
     * The metric is precisely "Jaccard with the intersection counted over
     * NON-capped shingles" (denominators use full set sizes): shingles
     * hotter than the cap neither generate candidates nor count toward the
     * intersection — the standard boilerplate-gram suppression; see
     * [[verifyJaccard]] for when this coincides with full-set Jaccard.
     *
-    * Plan shape — 3 exchanges total, no cache, no self-join:
-    *  1. one exchange on shingle for the frequency window, whose cap
-    *    filter both kills hot shingles AND bounds every surviving group to
-    *    ≤ `maxShingleFreq` rows;
-    *  2. the per-shingle doc-list aggregation right after it reuses that
-    *    partitioning (same key, same partition count → NO new exchange),
-    *    and `collect_list` is safe because the cap already bounded the
-    *    group (never collect-then-filter on an uncapped group at scale);
+    * The hot-shingle cap is the df-routed head/tail form ([[lineDedup]] /
+    * [[withDupStats]] discipline), NOT a count window: a shingle-
+    * partitioned window buffers a boilerplate shingle's corpus-scale row
+    * group in ONE sorted task, whereas the frequency aggregation here is
+    * two-phase (map-side combine eats the hot key), the head set
+    * (freq ≥ `headMinFreq`, at most rows/headMinFreq entries) broadcasts,
+    * and the mid-range set anti-marks through a JOIN that AQE can split.
+    * Routing never changes answers (spec'd): singleton shingles survive to
+    * the grouping stage but 1-element groups emit no pairs, so the pair
+    * relation is identical to the historical windowed form.
+    *
+    * Plan shape — no window, no cache, no self-join:
+    *  1. one two-phase frequency aggregation on shingle (its output is
+    *    shingle-distinct and collapses before the exchange);
+    *  2. index rows anti-mark against the head (broadcast) and tail
+    *    (join) hot sets, then the per-shingle doc-list aggregation groups
+    *    rows the cap already bounded to ≤ `maxShingleFreq` (never
+    *    collect-then-filter on an uncapped group at scale);
     *  3. pair expansion runs compiled (mapPartitions — a SQL HOF here
     *    would be interpreted AND quadratic per shingle), then one exchange
     *    aggregates pair intersections.
@@ -120,13 +132,24 @@ object Dedup {
     */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String = "text", n: Int = 3,
-      threshold: Double = 0.5, maxShingleFreq: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxShingleFreq: Int = 100,
+      headMinFreq: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
-    val idx = shingleRows(docs, textCol, n)
-      .withColumn("__f", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("__f") <= maxShingleFreq && col("__f") >= 2)
+    require(headMinFreq > maxShingleFreq,
+      "headMinFreq must exceed the cap (head/tail routing partitions the hot set)")
+    val sh = shingleRows(docs, textCol, n)
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
+      .filter(col("__f") > maxShingleFreq)
+    val headHot = hot.filter(col("__f") >= headMinFreq)
+      .select(col("shingle"), lit(1).as("__hot_h"))
+    val tailHot = hot.filter(col("__f") < headMinFreq)
+      .select(col("shingle"), lit(1).as("__hot_t"))
+    val idx = sh
+      .join(broadcast(headHot), Seq("shingle"), "left")
+      .join(tailHot, Seq("shingle"), "left")
+      .filter(col("__hot_h").isNull && col("__hot_t").isNull)
       .select("doc_id", "n_sh", "shingle")
     val idType = idx.schema("doc_id").dataType
     val grouped = idx.groupBy("shingle")

@@ -403,14 +403,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "one corpus scan feeds every branch")
   }
 
-  test("exact ngram pairs: cap window + pair agg, nothing else") {
-    // 1: exchange on shingle for the frequency window; the per-shingle
-    //    doc-list groupBy reuses that partitioning (same key, same
-    //    partition count -> no exchange between them);
-    // 2: pair-intersection aggregate after the compiled pair expansion.
-    // The r2 self-join form planned 4+ (join sides + sorts) and needed a
-    // scoped cache.
-    assert(shuffles(Dedup.ngramJaccardPairs(docs, threshold = 0.5)) == 2)
+  test("exact ngram pairs: df-routed cap, NO corpus window, bounded budget") {
+    // VERDICT r9 #6: the default n-gram-Jaccard API must be scale-safe —
+    // the hot-shingle cap is a two-phase frequency agg + head-broadcast /
+    // tail-join anti-mark, never a shingle-partitioned count window (a
+    // boilerplate shingle's corpus-scale group would buffer in one task).
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val df = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "hot-shingle cap must not window over the corpus shingle key")
+    assert(nodes.collect { case b: BroadcastExchangeLike => b }.nonEmpty,
+      "the head hot set must broadcast")
+    // budget: the shingle frequency agg (statically planned once per
+    // hot-set branch — the identical subtrees collapse to a
+    // ReusedExchange at runtime, same accepted shape as lineDedup) +
+    // index side of the tail anti-mark join + pair-intersection agg
+    assert(shuffles(df) <= 4)
   }
 
   test("LSH candidate generation never exceeds its banded budget") {
