@@ -603,17 +603,35 @@ object SparkEntry {
     // folded into the base snapshot with one agg + one full-outer join
     "q_cdc_merge" -> ((s, dir) => {
       val d = docs(s, dir)
-      val ups = d.filter(expr("doc_id % 5 = 0"))
-        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" v2")).as("text"))
-      val dels = d.filter(expr("doc_id % 7 = 0"))
-        .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
-          lit(null).cast("string").as("text"))
-      val ins = d.filter(expr("doc_id % 13 = 0"))
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          lit(1L).as("seq"), lit("upsert").as("op"),
-          concat(lit("ins "), col("text")).as("text"))
-      CorpusPipeline.applyChanges(d, ups.unionAll(dels).unionAll(ins))
+      CorpusPipeline.applyChanges(d,
+        cdcWaves(d).map(_.drop("ts")).reduce(_.unionAll(_)))
+    }),
+    // Streaming CDC twin (VERDICT r9 #5): the SAME change waves replay as
+    // one micro-batch each — deliberately OUT of seq order (seq 2, 3,
+    // then 1) so the retained-state winner comparison is what keeps the
+    // stale seq-1 wave from winning — through the watermarked
+    // last-writer-wins upsert (Events.applyChangesStream); the emitted
+    // compaction frames are folded to the final per-id frame and applied
+    // to the base with the shared mergeWinners, so the row value-matches
+    // the batch q_cdc_merge oracle exactly.
+    "q_cdc_merge_stream" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = stagedCdcDirs.computeIfAbsent(dir, { _ =>
+        val sentinel = s.sql(
+          "SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS seq, " +
+            "'__close' AS op, CAST(NULL AS STRING) AS text, " +
+            "timestamp_seconds(1704067200 + 864000) AS ts")
+        graft.streaming.Events.stageChunkedStream(cdcWaves(d) :+ sentinel)
+      })
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val winners = graft.streaming.Events.runAvailableNow(s,
+        graft.streaming.Events.applyChangesStream(s, stream), complete = false)
+      val fin = winners.groupBy("doc_id")
+        .agg(expr("max(struct(seq AS s, op AS o, text AS t))").as("__w"))
+        .select(col("doc_id"), col("__w.o").as("__op"), col("__w.t").as("__new"))
+      CorpusPipeline.mergeWinners(d, fin)
     }),
     // SCD type-2 history from a 4-wave change log (base load, %5 upserts,
     // %7 deletes, %10 re-upserts): every upsert version gets its validity
@@ -1190,6 +1208,30 @@ object SparkEntry {
     * immutable; only the checkpoint/sink must be fresh per run, and
     * runAvailableNow creates those per invocation).
     */
+  private val stagedCdcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q_cdc_merge change waves — upserts (%5, seq 2), deletes (%7,
+    * seq 3), inserts (%13, fresh ids, seq 1) — each with a deterministic
+    * event-time column (`ts` = 2024-01-01 + seq minutes) so the same
+    * relation serves both the batch fold (ts dropped) and the streaming
+    * twin's watermark.
+    */
+  private def cdcWaves(d: DataFrame): Seq[DataFrame] = {
+    val ups = d.filter(expr("doc_id % 5 = 0"))
+      .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val dels = d.filter(expr("doc_id % 7 = 0"))
+      .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
+        lit(null).cast("string").as("text"))
+    val ins = d.filter(expr("doc_id % 13 = 0"))
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        lit(1L).as("seq"), lit("upsert").as("op"),
+        concat(lit("ins "), col("text")).as("text"))
+    Seq(ups, dels, ins)
+      .map(_.withColumn("ts", expr("timestamp_seconds(1704067200 + seq * 60)")))
+  }
+
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
   private def stagedDir(s: SparkSession, dir: String, sentinel: Boolean): String =
@@ -1317,6 +1359,33 @@ object SparkEntry {
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"""
     }
   }
+
+  /** Shared by q_cdc_merge and q_cdc_merge_stream (the stream compaction
+    * folds to the identical final image, so one oracle serves both).
+    */
+  private val cdcMergeOracle: String =
+    """WITH ch AS (
+          SELECT doc_id, 2 AS seq, 'upsert' AS op, text || ' v2' AS text
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id, 3, 'delete', NULL FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id + 1000000, 1, 'upsert', 'ins ' || text
+          FROM documents WHERE doc_id % 13 = 0),
+        w AS (
+          SELECT doc_id, op, text FROM (
+            SELECT doc_id, op, text,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY seq DESC, op DESC, text DESC NULLS LAST) AS rn
+            FROM ch)
+          WHERE rn = 1)
+        SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
+          CASE WHEN w.doc_id IS NOT NULL THEN w.text ELSE b.text END AS text,
+          CASE WHEN w.doc_id IS NULL THEN 'kept'
+               WHEN b.doc_id IS NULL THEN 'inserted'
+               ELSE 'updated' END AS origin
+        FROM documents b FULL OUTER JOIN w ON b.doc_id = w.doc_id
+        WHERE NOT (w.doc_id IS NOT NULL AND w.op = 'delete')"""
 
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -2086,29 +2155,10 @@ object SparkEntry {
     // the payload joins the tie-break (NULLS LAST = Spark's null-smallest
     // struct order) so duplicate (id, seq, op) rows with different
     // payloads resolve identically in both engines
-    "q_cdc_merge" ->
-      """WITH ch AS (
-          SELECT doc_id, 2 AS seq, 'upsert' AS op, text || ' v2' AS text
-          FROM documents WHERE doc_id % 5 = 0
-          UNION ALL
-          SELECT doc_id, 3, 'delete', NULL FROM documents WHERE doc_id % 7 = 0
-          UNION ALL
-          SELECT doc_id + 1000000, 1, 'upsert', 'ins ' || text
-          FROM documents WHERE doc_id % 13 = 0),
-        w AS (
-          SELECT doc_id, op, text FROM (
-            SELECT doc_id, op, text,
-              row_number() OVER (PARTITION BY doc_id
-                ORDER BY seq DESC, op DESC, text DESC NULLS LAST) AS rn
-            FROM ch)
-          WHERE rn = 1)
-        SELECT coalesce(b.doc_id, w.doc_id) AS doc_id,
-          CASE WHEN w.doc_id IS NOT NULL THEN w.text ELSE b.text END AS text,
-          CASE WHEN w.doc_id IS NULL THEN 'kept'
-               WHEN b.doc_id IS NULL THEN 'inserted'
-               ELSE 'updated' END AS origin
-        FROM documents b FULL OUTER JOIN w ON b.doc_id = w.doc_id
-        WHERE NOT (w.doc_id IS NOT NULL AND w.op = 'delete')""",
+    "q_cdc_merge" -> cdcMergeOracle,
+    // the streaming twin's micro-batched compaction frames fold to the
+    // SAME final image — one oracle serves both rows
+    "q_cdc_merge_stream" -> cdcMergeOracle,
     // SCD2 intervals mirrored: same 4-wave log, same lead window; the
     // (seq, op, text) tie order never fires (seq is unique per id in the
     // synthetic log) but is written identically in both engines

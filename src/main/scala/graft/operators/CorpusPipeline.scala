@@ -136,8 +136,23 @@ object CorpusPipeline {
       .groupBy(col(idCol))
       .agg(max(struct(col(seqCol).as("s"), col(opCol).as("o"),
         col(textCol).as("t"))).as("__w"))
-      .select(col(idCol), col("__w.o").as("__op"), col("__w.t").as("__new"),
-        lit(true).as("__chg"))
+      .select(col(idCol), col("__w.o").as("__op"), col("__w.t").as("__new"))
+    mergeWinners(base, win, idCol, textCol)
+  }
+
+  /** The merge half of [[applyChanges]], shared with the streaming twin
+    * ([[graft.streaming.Events.applyChangesStream]]): apply an
+    * ALREADY-RESOLVED winner relation (`idCol`, `__op`, `__new` — exactly
+    * one row per id) to the base snapshot. Same one full-outer join on
+    * unique ids, same delete/origin semantics; only the winner
+    * resolution differs between the batch fold (one max-struct agg) and
+    * the stream (per-id state compacted by watermark timeout).
+    */
+  def mergeWinners(
+      base: DataFrame, winners: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val win = winners.select(col(idCol), col("__op"), col("__new"),
+      lit(true).as("__chg"))
     base.select(col(idCol), col(textCol).as("__base"), lit(true).as("__in_base"))
       .join(win, Seq(idCol), "full_outer")
       .filter(!(col("__chg").isNotNull && col("__op") === "delete"))

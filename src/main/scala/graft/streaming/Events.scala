@@ -43,6 +43,20 @@ case class FunnelState(nextIdx: Int, lastUs: Long)
   */
 case class FunnelAdvance(user_id: Long, stage_idx: Int)
 
+/** Per-id CDC state for [[Events.applyChangesStream]]: the running
+  * (seq, op, text) winner in the batch fold's total order, the max event
+  * time seen (the quiescence anchor — max so disorder can't shorten it,
+  * the sessionize lesson), and whether the winner changed since the last
+  * emission. O(1) per id.
+  */
+case class CdcState(
+    seq: Long, op: String, text: Option[String], lastMs: Long, dirty: Boolean)
+
+/** One emitted CDC compaction frame: the per-id winner as of a
+  * quiescence epoch (field names are the public column contract).
+  */
+case class CdcWinner(doc_id: Long, seq: Long, op: String, text: Option[String])
+
 /** Per-user transition-chain state: the last event seen, in the total
   * (us, eventId) order — O(1) per user regardless of history length.
   */
@@ -339,6 +353,105 @@ object Events {
           }
       }
       .toDF("user_id", "session_start", "session_end", "n_events", "value_cents")
+  }
+
+  /** Streaming CDC compaction — the stream twin of
+    * [[graft.operators.CorpusPipeline.applyChanges]]'s winner fold: a
+    * watermarked last-writer-wins upsert over a change-log stream
+    * (`doc_id`, `seq`, `op` ∈ {upsert, delete}, `text`, event-time `ts`).
+    * Per id the state is ONE (seq, op, text) winner in exactly the batch
+    * fold's struct total order (seq, then op — 'upsert' > 'delete' —
+    * then payload, None/null smallest), so out-of-order delivery across
+    * micro-batches cannot let a stale change win: a seq-1 row arriving
+    * AFTER seq-3 compares against the retained winner and loses, same as
+    * the batch max-struct aggregation.
+    *
+    * Emission (append mode): when the watermark passes an id's last
+    * change + `settleMinutes` — the id has gone quiet — its current
+    * winner emits as one compaction frame. State is RETAINED after
+    * emission (removed state would let a late-but-in-watermark stale row
+    * found a fresh epoch and win it); re-emission happens only if the
+    * winner actually changed since the last frame (`dirty`), so a
+    * quiet id costs nothing downstream. The compacted final image is the
+    * max-(seq, op, text) frame per id — [[graft.operators.CorpusPipeline
+    * .mergeWinners]] applies it to a base snapshot, which is how
+    * q_cdc_merge_stream value-matches the batch q_cdc_merge oracle.
+    *
+    * State is O(ids with at least one change in the retention horizon) —
+    * the bounded-per-entity premise, same as retention cohorts; rows
+    * with op `__close` are watermark-advancing sentinels and never enter
+    * the fold.
+    */
+  def applyChangesStream(
+      spark: SparkSession, changes: DataFrame,
+      settleMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val settleMs = settleMinutes * 60L * 1000L
+    // the batch fold's struct order: (seq, op, text), null text smallest
+    val ord: Ordering[(Long, String, Option[String])] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.Option(Ordering.String))
+    changes
+      .selectExpr("doc_id", "seq", "op", "text", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, Option[String], Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CdcState, CdcWinner](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (id, rows, state: GroupState[CdcState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            if (s.dirty) {
+              state.update(s.copy(dirty = false))
+              Iterator.single(CdcWinner(id, s.seq, s.op, s.text))
+            } else Iterator.empty
+          } else {
+            val real = rows.filter(_._3 != "__close").toSeq
+            if (real.isEmpty) Iterator.empty
+            else {
+              val batchBest = real.iterator.map(r => (r._2, r._3, r._4)).max(ord)
+              val batchLastMs = real.iterator.map(_._5.getTime).max
+              val prev = state.getOption
+              val prevKey = prev.map(s => (s.seq, s.op, s.text))
+              val winner = prevKey match {
+                case Some(pk) if ord.gteq(pk, batchBest) => pk
+                case _ => batchBest
+              }
+              val dirty = prev.isEmpty || prev.exists(_.dirty) ||
+                !prevKey.contains(winner)
+              val anchor = math.max(prev.map(_.lastMs).getOrElse(0L), batchLastMs)
+              state.update(CdcState(winner._1, winner._2, winner._3, anchor, dirty))
+              if (dirty)
+                state.setTimeoutTimestamp(
+                  math.max(anchor + settleMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+      .toDF("doc_id", "seq", "op", "text")
+  }
+
+  /** Stage an ORDERED sequence of bounded DataFrames as one parquet file
+    * each (sequenced modification times) so `maxFilesPerTrigger = 1`
+    * replays them as one micro-batch per chunk in order — the generic
+    * multi-batch state-handoff harness (the events fixture has a
+    * specialized sibling in the spec suite; this one serves the CDC
+    * change-log twin, where chunk = change wave).
+    */
+  def stageChunkedStream(chunks: Seq[DataFrame]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk_src")
+    val base = System.currentTimeMillis()
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_chunk$i").resolve("out")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = Option(new java.io.File(tmp.toString).listFiles()).get
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written under $tmp"))
+      val dest = dir.resolve(f"chunk_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dest)
+      require(dest.toFile.setLastModified(base + i * 2000L),
+        s"cannot sequence modification time of $dest")
+    }
+    dir.toString
   }
 
   /** Streaming form of [[graft.operators.Features.rollingEventFeatures]]:

@@ -736,6 +736,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cleaned streamed window not present in cleaned batch result")
   }
 
+  test("streaming CDC compaction folds to the batch applyChanges image") {
+    import spark.implicits._
+    def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    // waves staged deliberately OUT of seq order (2, 3, then the stale 1):
+    // the retained-state winner comparison across micro-batches is what
+    // keeps the late seq-1 rows from winning
+    val w2 = Seq(
+      (1L, 2L, "upsert", Option("one v2"), at(2)),
+      (2L, 2L, "upsert", Option("two v2"), at(2)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val w3 = Seq((2L, 3L, "delete", Option.empty[String], at(3)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val w1 = Seq(
+      (1L, 1L, "upsert", Option("one STALE"), at(1)),
+      (5L, 1L, "upsert", Option("five ins"), at(1)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val sentinel = Seq((-1L, 0L, "__close", Option.empty[String],
+      new java.sql.Timestamp(at(0).getTime + 10L * 86400 * 1000)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val staged = Events.stageChunkedStream(Seq(w2, w3, w1, sentinel))
+    val ck = Files.createTempDirectory("graftcdc_ck")
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val q = Events.applyChangesStream(spark, stream).writeStream
+      .format("memory").queryName("cdc_frames")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      "each staged wave must replay as its own micro-batch")
+    val frames = spark.table("cdc_frames")
+    val fin = frames.groupBy("doc_id")
+      .agg(expr("max(struct(seq AS s, op AS o, text AS t))").as("__w"))
+      .select(col("doc_id"), col("__w.o").as("__op"), col("__w.t").as("__new"))
+    val streamed = graft.operators.CorpusPipeline.mergeWinners(base, fin)
+    val batch = graft.operators.CorpusPipeline.applyChanges(
+      base, w2.unionAll(w3).unionAll(w1).drop("ts"))
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream compaction must fold to the batch CDC image exactly")
+    // the stale seq-1 wave must not have produced a 'one STALE' frame as
+    // the FINAL image (an intermediate frame for id 5 is fine)
+    assert(streamed.filter(col("text") === "one STALE").count() == 0)
+    assert(streamed.count() == 4) // 1 updated, 3+4 kept, 5 inserted; 2 deleted
+  }
+
   test("multimodal decode extracts fake-header metadata partition-wise") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val decoded = Multimodal.decode(Multimodal.fakeMediaFromDocs(docs))
