@@ -996,6 +996,20 @@ object SparkEntry {
         e.attributionJoinStream(e.readEventsStream(s, stagedDir(s, dir, sentinel = false))),
         complete = false)
     }),
+    // multi-touch as a stream (VERDICT r9 #7): the credit split needs the
+    // COMPLETE touch set, so purchases emit only once the watermark
+    // passes their event time (every attributable click precedes the
+    // purchase); the close sentinel flushes the tail, making the bounded
+    // run equal the batch q_attribution_multitouch image exactly — same
+    // oracle
+    "q_attribution_multitouch_stream" -> ((s, dir) => {
+      val e = graft.streaming.Events
+      e.runAvailableNow(s,
+        e.multiTouchAttributionStream(s,
+          e.readEventsStream(s, stagedDir(s, dir, sentinel = true)),
+          model = "u"),
+        complete = false)
+    }),
     // per-event rolling features as a REAL stateful stream
     // (flatMapGroupsWithState trailing-window buffer): on the bounded
     // AvailableNow run the emitted set is exactly the batch window-function
@@ -1386,6 +1400,38 @@ object SparkEntry {
                ELSE 'updated' END AS origin
         FROM documents b FULL OUTER JOIN w ON b.doc_id = w.doc_id
         WHERE NOT (w.doc_id IS NOT NULL AND w.op = 'delete')"""
+
+  /** Shared by q_attribution_multitouch and its streaming twin (the
+    * watermark-closed stream emission equals the batch credit split).
+    */
+  private val multiTouchOracle: String =
+    """WITH m AS (
+          SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+            p.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+            CAST(round(p.value * 100) AS BIGINT) AS value_cents
+          FROM events c JOIN events p
+            ON c.user_id = p.user_id
+            AND c.event_type = 'click' AND p.event_type = 'purchase'
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        r AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY purchase_id
+              ORDER BY click_ts, click_id) AS pos,
+            count(*) OVER (PARTITION BY purchase_id) AS n
+          FROM m),
+        wgt AS (
+          SELECT *,
+            CASE WHEN n = 1 THEN 1000000
+                 WHEN n = 2 THEN 500000
+                 WHEN pos = 1 OR pos = n THEN 400000
+                 ELSE 200000 // (n - 2) END AS weight_micro
+          FROM r)
+        SELECT purchase_id, click_id, user_id,
+          CAST(n AS BIGINT) AS n_clicks, CAST(pos AS INT) AS touch_pos,
+          CAST(weight_micro AS BIGINT) AS weight_micro,
+          CAST((value_cents * weight_micro) // 1000000 AS BIGINT)
+            AS attributed_cents
+        FROM wgt"""
 
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -3113,34 +3159,10 @@ object SparkEntry {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
     // multi-touch mirrored: same matched pairs, same (click_ts,
     // click_id) touch order, same U-shaped CASE and truncating division
-    "q_attribution_multitouch" ->
-      """WITH m AS (
-          SELECT c.event_id AS click_id, p.event_id AS purchase_id,
-            p.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
-            CAST(round(p.value * 100) AS BIGINT) AS value_cents
-          FROM events c JOIN events p
-            ON c.user_id = p.user_id
-            AND c.event_type = 'click' AND p.event_type = 'purchase'
-            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
-        r AS (
-          SELECT *,
-            row_number() OVER (PARTITION BY purchase_id
-              ORDER BY click_ts, click_id) AS pos,
-            count(*) OVER (PARTITION BY purchase_id) AS n
-          FROM m),
-        wgt AS (
-          SELECT *,
-            CASE WHEN n = 1 THEN 1000000
-                 WHEN n = 2 THEN 500000
-                 WHEN pos = 1 OR pos = n THEN 400000
-                 ELSE 200000 // (n - 2) END AS weight_micro
-          FROM r)
-        SELECT purchase_id, click_id, user_id,
-          CAST(n AS BIGINT) AS n_clicks, CAST(pos AS INT) AS touch_pos,
-          CAST(weight_micro AS BIGINT) AS weight_micro,
-          CAST((value_cents * weight_micro) // 1000000 AS BIGINT)
-            AS attributed_cents
-        FROM wgt""",
+    "q_attribution_multitouch" -> multiTouchOracle,
+    // the streaming twin's watermark-closed emission converges to the
+    // identical credited-touch relation — one oracle serves both
+    "q_attribution_multitouch_stream" -> multiTouchOracle,
     "q_attribution_stream" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
           CAST(c.ts AS TIMESTAMP) AS click_ts,

@@ -43,6 +43,26 @@ case class FunnelState(nextIdx: Int, lastUs: Long)
   */
 case class FunnelAdvance(user_id: Long, stage_idx: Int)
 
+/** One buffered click touch for streaming multi-touch attribution. */
+case class TouchClick(clickId: Long, ts: Long)
+
+/** One purchase waiting for its attribution window to close under the
+  * watermark (streaming multi-touch attribution).
+  */
+case class PendingPurchase(purchaseId: Long, ts: Long, valueCents: Long)
+
+/** Per-user streaming attribution state: the trailing click buffer
+  * (bounded by the attribution window × click rate) plus the purchases
+  * whose windows the watermark has not yet closed.
+  */
+case class AttribState(clicks: Seq[TouchClick], pending: Seq[PendingPurchase])
+
+/** One credited touch — field names are the public column contract,
+  * identical to [[Events.multiTouchAttribution]].
+  */
+case class TouchOut(purchase_id: Long, click_id: Long, user_id: Long,
+    n_clicks: Long, touch_pos: Int, weight_micro: Long, attributed_cents: Long)
+
 /** Per-id CDC state for [[Events.applyChangesStream]]: the running
   * (seq, op, text) winner in the batch fold's total order, the max event
   * time seen (the quiescence anchor — max so disorder can't shorten it,
@@ -273,6 +293,91 @@ object Events {
         col("weight_micro"),
         expr("(value_cents * weight_micro) DIV 1000000")
           .as("attributed_cents"))
+  }
+
+  /** Streaming multi-touch attribution — the stream twin of
+    * [[multiTouchAttribution]] (VERDICT r9 #7). A purchase's credit split
+    * needs its COMPLETE touch set (n and position decide the weights), so
+    * unlike [[attributionJoinStream]]'s incremental inner join, emission
+    * must wait until the watermark passes the purchase's event time: every
+    * attributable click has click_ts ≤ purchase_ts, so once the watermark
+    * clears purchase_ts any still-missing click is late-beyond-watermark
+    * and excluded by the streaming contract — exactly when the per-
+    * purchase (n, pos) become final facts.
+    *
+    * One flatMapGroupsWithState keyed by user: state is the trailing
+    * click buffer (pruned once click_ts + window < watermark — no future
+    * in-watermark purchase can reach it) plus the pending purchases;
+    * both bounded per entity. On each batch (and on event-time timeout)
+    * purchases with ts ≤ watermark emit their credited touches with the
+    * SAME integer weight arithmetic as the batch form — linear
+    * 1e6 DIV n, or U-shaped 40/20/40 — so a bounded AvailableNow run
+    * value-matches the batch q_attribution_multitouch oracle exactly.
+    * The watermark is applied BEFORE the click/purchase filter so the
+    * close sentinel (any other event type) advances it without entering
+    * state.
+    */
+  def multiTouchAttributionStream(
+      spark: SparkSession, events: DataFrame, attrMinutes: Int = 30,
+      model: String = "u", watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    require(Set("linear", "u").contains(model),
+      s"unknown attribution model: $model")
+    val attrMs = attrMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("event_id", "user_id", "ts", "event_type",
+        "CAST(round(value * 100) AS LONG) AS cents")
+      .as[(Long, Long, Timestamp, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AttribState, TouchOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[AttribState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption
+            .getOrElse(AttribState(Vector.empty, Vector.empty))
+          var clicks = st.clicks.toVector
+          var pending = st.pending.toVector
+          if (!state.hasTimedOut) {
+            rows.foreach { case (eid, _, ts, tpe, cents) =>
+              if (tpe == "click") clicks :+= TouchClick(eid, ts.getTime)
+              else pending :+= PendingPurchase(eid, ts.getTime, cents)
+            }
+          }
+          val (ripe, waiting) = pending.partition(_.ts <= wm)
+          val out = ripe.iterator.flatMap { p =>
+            val touches = clicks
+              .filter(c => c.ts >= p.ts - attrMs && c.ts <= p.ts)
+              .sortBy(c => (c.ts, c.clickId))
+            val n = touches.size.toLong
+            touches.iterator.zipWithIndex.map { case (c, i) =>
+              val pos = i + 1L
+              val weight = model match {
+                case "linear" => 1000000L / n
+                case "u" =>
+                  if (n == 1L) 1000000L
+                  else if (n == 2L) 500000L
+                  else if (pos == 1L || pos == n) 400000L
+                  else 200000L / (n - 2L)
+              }
+              TouchOut(p.purchaseId, c.clickId, user, n, pos.toInt, weight,
+                p.valueCents * weight / 1000000L)
+            }
+          }.toVector
+          val live = clicks.filter(_.ts + attrMs >= wm)
+          if (waiting.isEmpty && live.isEmpty) state.remove()
+          else {
+            state.update(AttribState(live, waiting))
+            val anchor =
+              if (waiting.nonEmpty) waiting.iterator.map(_.ts).min + 1
+              else live.iterator.map(_.ts + attrMs).max + 1
+            state.setTimeoutTimestamp(math.max(anchor, wm + 1))
+          }
+          out.iterator
+      }
+      .toDF("purchase_id", "click_id", "user_id", "n_clicks", "touch_pos",
+        "weight_micro", "attributed_cents")
   }
 
   /** Streaming form of [[attributionJoinBatch]]: a real STREAM-STREAM

@@ -736,6 +736,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cleaned streamed window not present in cleaned batch result")
   }
 
+  test("streaming multi-touch attribution equals batch across micro-batches") {
+    // 4 time-ordered chunks + close sentinel, one file per trigger: click
+    // buffers and pending purchases must hand off across batches, and the
+    // final credited-touch relation must equal the batch U-shaped split
+    // EXACTLY (the sentinel closes every purchase's window)
+    val dir = stageChunkedDir(nChunks = 4, withSentinel = true)
+    val ck = Files.createTempDirectory("graftmt_ck")
+    val stream = Events.readEventsStream(spark, dir, maxFilesPerTrigger = 1)
+    val q = Events.multiTouchAttributionStream(spark, stream, model = "u")
+      .writeStream
+      .format("memory").queryName("mt_touches")
+      .outputMode("append")
+      .option("checkpointLocation", ck.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 5)
+    val got = spark.table("mt_touches")
+    val batch = Events.multiTouchAttribution(events, model = "u")
+    assert(got.count() > 0, "no touches credited")
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "streamed credit split must equal the batch relation exactly")
+  }
+
   test("streaming CDC compaction folds to the batch applyChanges image") {
     import spark.implicits._
     def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
