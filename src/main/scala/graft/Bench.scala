@@ -43,7 +43,12 @@ object Bench {
       SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    // Optional subset (comma-separated) for targeted scale spot-benches
+    // (the SCALE.md exponent table's >=5x follow-ups); unset → full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     // pass 0: warmup (codegen, file-index, broadcast caches)
     val warmup = names.map { n =>

@@ -771,12 +771,14 @@ object SparkEntry {
     // SimHash accuracy envelope, oracle-backed: n_exact_pairs is
     // value-matched against the DuckDB exact inverted index, and two
     // engine-side booleans must be TRUE —
-    //  precision_ok: every emitted hamming≤8 pair shares UNIGRAM Jaccard
+    //  precision_ok: ≥99% of emitted hamming≤8 pairs share UNIGRAM Jaccard
     //    ≥ 0.2 (SimHash signatures are built from unigram token hashes, so
     //    token overlap is the metric the signature actually approximates;
-    //    measured min across SFs is 0.238 — 3-gram Jaccard is the wrong
-    //    floor here: hamming-close short docs can share tokens but no
-    //    3-gram);
+    //    3-gram Jaccard is the wrong floor: hamming-close short docs can
+    //    share tokens but no 3-gram). A QUANTILE floor, not a min: random
+    //    64-bit Hamming collisions between token-disjoint docs arrive at
+    //    ~n²·3e-10 — 4 of 444,705 emitted pairs at sf1 — so a min floor
+    //    breaks at scale by construction (measured p01 = 0.48 at sf1);
     //  recall_ok: ≥ 85% of the exact 3-gram jaccard≥0.5 pairs are emitted
     //    (measured 0.887 / 0.92 / 0.93 at sf0.1 / 0.01 / 0.001).
     //  no_null_jaccard: zero emitted pairs have a NULL audit jaccard —
@@ -789,8 +791,14 @@ object SparkEntry {
     "q_simhash_bounds" -> ((s, dir) => {
       val d = docs(s, dir)
       val sim = Dedup.simhashPairs(d).select("doc_a", "doc_b")
+      // precision is a 99th-PERCENTILE floor, not a min: 64-bit Hamming
+      // collisions between token-disjoint docs appear at rate ~n²·3e-10
+      // (4 of 444,705 emitted pairs at sf1, min jaccard 0.125, p01 0.48),
+      // so an absolute min floor breaks at scale by construction while a
+      // broken signature/band join still craters the 99% fraction
       val prec = Dedup.jaccardOf(d, sim, n = 1)
-        .agg(expr("min(jaccard)").as("__minj"),
+        .agg(expr("count(1)").as("__npairs"),
+          expr("sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END)").as("__nabove"),
           expr("sum(CASE WHEN jaccard IS NULL THEN 1 ELSE 0 END)").as("__nnull"))
       val rec = Dedup.ngramJaccardPairs(d, threshold = 0.5)
         .join(sim.withColumn("__hit", lit(true)), Seq("doc_a", "doc_b"), "left")
@@ -798,17 +806,40 @@ object SparkEntry {
           expr("sum(CASE WHEN __hit THEN 1 ELSE 0 END)").as("__nhit"))
       rec.crossJoin(prec).select(
         col("n_exact_pairs"),
-        (coalesce(col("__minj"), lit(1.0)) >= 0.2).as("precision_ok"),
+        (coalesce(col("__nabove"), lit(0L)) >= col("__npairs") * 0.99)
+          .as("precision_ok"),
         (col("__nhit") >= col("n_exact_pairs") * 0.85).as("recall_ok"),
         (coalesce(col("__nnull"), lit(0L)) === 0).as("no_null_jaccard"))
     }),
     // sign-LSH near-dup pairs, verified with exact cosine: precision 1 by
     // construction, and the DuckDB all-pairs brute force independently
-    // certifies this corpus has NO pairs at cosine ≥ 0.9 (max pairwise
-    // cosine ≈ 0.51) — so set equality with the exact sibling is the
-    // oracle, empty on both sides
+    // the DRIVER fixtures have NO pairs at cosine ≥ 0.9 (max pairwise
+    // cosine ≈ 0.51), so set equality with the exact sibling is the
+    // oracle there (empty both sides, certified by the oracle itself).
+    // Where real near-pairs exist (the sf1 headroom fixture has 61 in
+    // the 0.90-0.94 band) candidate recall is probabilistic — gated by
+    // q_embed_recall_bounds below; 16 tables keep design recall ≥ 0.93
+    // at 0.90 / 0.995 at the 0.95 default
     "q_embed_dup_pairs" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(embeds(s, dir), threshold = 0.9)),
+      Dedup.embeddingDupPairs(embeds(s, dir), threshold = 0.9, tables = 16)),
+    // sampled-exact recall envelope for the multi-table sign-LSH: the
+    // deterministic %5 anchor slice makes the exact reference |sample|×n
+    // instead of n² (engine AND oracle compute the identical relation);
+    // recall floor 0.8 (measured 10/11 = 0.91 at sf1; vacuously true at
+    // driver SFs where the exact set is empty)
+    "q_embed_recall_bounds" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val exact = Dedup.embeddingDupPairsExact(e, "%ID% % 5 = 0", threshold = 0.9)
+        .select("id_a", "id_b")
+      val lsh = Dedup.embeddingDupPairs(e, threshold = 0.9, tables = 16)
+        .select("id_a", "id_b").withColumn("__hit", lit(true))
+      exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .agg(expr("count(1)").as("n_exact_sampled"),
+          expr("sum(CASE WHEN __hit THEN 1 ELSE 0 END)").as("__nhit"))
+        .select(col("n_exact_sampled"),
+          (col("n_exact_sampled") === 0 ||
+            col("__nhit") >= col("n_exact_sampled") * 0.8).as("recall_ok"))
+    }),
     "q_similarity_topk" -> ((s, dir) => {
       val e = embeds(s, dir)
       Similarity.cosineTopK(e, e.filter(col("vec_id") < 16), k = 5)
@@ -2766,9 +2797,23 @@ object SparkEntry {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
+    // Sampled-exact recall envelope: the oracle computes the identical
+    // %5-anchored exact pair count; the floor is the engine-side claim
+    // stated as a literal.
+    "q_embed_recall_bounds" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        a AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        p AS (
+          SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+            greatest(a.vec_id, b.vec_id) AS id_b
+          FROM a JOIN e b ON a.vec_id != b.vec_id
+          WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9)
+        SELECT count(*) AS n_exact_sampled, TRUE AS recall_ok FROM p""",
     // Sign-LSH near-dup pairs are exact-cosine-verified; the DuckDB
-    // all-pairs brute force is the exact sibling (empty at 0.9 on this
-    // corpus — independently certified by the oracle itself).
+    // all-pairs brute force is the exact sibling (empty at 0.9 on the
+    // driver fixtures — independently certified by the oracle itself;
+    // where real pairs exist the recall envelope above is the gate).
     "q_embed_dup_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

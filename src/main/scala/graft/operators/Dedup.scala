@@ -993,22 +993,84 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
-  /** Embedding cosine near-dup pairs via sign-LSH: `nBits` deterministic
-    * hyperplanes (seeded client-side, inlined as literals) bucket the
-    * vectors; same-bucket pairs are verified with exact cosine ≥ threshold.
+  /** Embedding cosine near-dup pairs via MULTI-TABLE sign-LSH: `tables`
+    * independent sets of `nBits` deterministic hyperplanes bucket the
+    * vectors; candidates are the union of same-(table, bucket) pairs and
+    * every emitted pair is verified with exact cosine ≥ threshold —
+    * precision 1.0 by construction, recall 1 − (1 − p^nBits)^tables with
+    * p = 1 − acos(cos)/π per hyperplane.
+    *
+    * Multi-table is NOT optional hardening: a single 12-bit table keeps
+    * only p^12 ≈ 16% of true pairs at cosine 0.90 (28% at 0.95) — the
+    * sf1 gate caught exactly this (10 of 61 real pairs survived one
+    * table). Defaults (12 bits × 8 tables) give ~74% at 0.90 / ~93% at
+    * 0.95; callers needing more raise `tables` (16 → 93% / 99.5%).
+    * Recall is driver-gated by the sampled-exact envelope
+    * (q_embed_recall_bounds); the exact-equality sibling applies only
+    * where the true pair set is empty.
+    *
+    * Plan: the candidate join carries IDS ONLY (the minhash band-join
+    * discipline — vectors ×tables through the exchange would multiply
+    * wire volume); vectors rejoin once on each side of the DISTINCT
+    * candidate relation. Bucket occupancy² bounds per-table candidate
+    * volume via nBits; table count multiplies candidates linearly.
     */
   def embeddingDupPairs(
       embeddings: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
-      dim: Int = 64, nBits: Int = 12, threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
-    val b = Similarity.withSignBuckets(
-        embeddings, vecCol, idCol, dim, nBits, tables = 1, seed)
-      .select(col(idCol), col(vecCol), expr("__buckets[0]").as("__bucket"))
-    val pairs = b.as("a").join(b.as("b"),
-        col("a.__bucket") === col("b.__bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$vecCol").as("__av"), col(s"b.$vecCol").as("__bv"))
+      dim: Int = 64, nBits: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
+      tables: Int = 8): DataFrame = {
+    require(tables >= 1, "at least one hash table")
+    val bandRows = Similarity.withSignBuckets(
+        embeddings, vecCol, idCol, dim, nBits, tables, seed)
+      .select(col(idCol), posexplode(col("__buckets")).as(Seq("__t", "__bucket")))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+    val pairs = cand
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__av")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__bv")), "id_b")
     Similarity.withCosine(pairs, "__av", "__bv", Seq("id_a", "id_b"))
       .withColumn("cosine", expr("round(cosine, 6)"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact cosine pairs RESTRICTED to anchors satisfying `anchorPred`
+    * (id_a side): the deterministic sampled-exact reference for the
+    * [[embeddingDupPairs]] recall envelope. Brute force is quadratic, so
+    * the envelope anchors on a fixed id-slice (e.g. `vec_id % 5 = 0`):
+    * cost drops to |sample| × n broadcast-side dot products while the
+    * anchored exact pair set stays a faithful, engine-portable subsample
+    * of the true pair relation (both engines compute it identically —
+    * no randomness). Emits (id_a, id_b, cosine) with id_a < id_b and
+    * id_a OR id_b matching the predicate.
+    */
+  def embeddingDupPairsExact(
+      embeddings: DataFrame, anchorPred: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.95): DataFrame = {
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+    val anchors = vecs.filter(expr(anchorPred.replace("%ID%", idCol)))
+    // cosine filters BEFORE the pair-order normalization + distinct: the
+    // threshold kills ~all of the |sample|×n cross rows scan-side, so the
+    // dedup exchange carries a handful of survivors, never the cross
+    // product (an early dropDuplicates here shuffled sample×n full
+    // vector payloads — tens of GB at 20k vectors)
+    val crossed = broadcast(anchors
+        .select(col(idCol).as("__aid"), col(vecCol).as("__av")))
+      .join(vecs.select(col(idCol).as("__bid"), col(vecCol).as("__bv")),
+        col("__aid") =!= col("__bid"))
+    Similarity.withCosine(
+        crossed.select(col("__aid"), col("__bid"), col("__av"), col("__bv")),
+        "__av", "__bv", Seq("__aid", "__bid"))
+      .withColumn("cosine", expr("round(cosine, 6)"))
+      .filter(col("cosine") >= threshold)
+      .select(
+        least(col("__aid"), col("__bid")).as("id_a"),
+        greatest(col("__aid"), col("__bid")).as("id_b"),
+        col("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -313,9 +313,13 @@ object Events {
     * SAME integer weight arithmetic as the batch form — linear
     * 1e6 DIV n, or U-shaped 40/20/40 — so a bounded AvailableNow run
     * value-matches the batch q_attribution_multitouch oracle exactly.
-    * The watermark is applied BEFORE the click/purchase filter so the
-    * close sentinel (any other event type) advances it without entering
-    * state.
+    * The event-type filter RETAINS `__close` sentinel rows: Catalyst
+    * pushes a deterministic non-event-time predicate BELOW the
+    * EventTimeWatermark node, so a filter that dropped sentinels would
+    * drop them before they could advance the watermark — purchases in
+    * the final watermark-delay would then never ripen (caught by the sf1
+    * gate: the one purchase inside the last hour went unemitted). The
+    * fold skips `__close` rows; only their event time matters.
     */
   def multiTouchAttributionStream(
       spark: SparkSession, events: DataFrame, attrMinutes: Int = 30,
@@ -326,7 +330,7 @@ object Events {
     val attrMs = attrMinutes * 60000L
     events
       .withWatermark("ts", watermark)
-      .filter(col("event_type").isin("click", "purchase"))
+      .filter(col("event_type").isin("click", "purchase", "__close"))
       .selectExpr("event_id", "user_id", "ts", "event_type",
         "CAST(round(value * 100) AS LONG) AS cents")
       .as[(Long, Long, Timestamp, String, Long)]
@@ -342,7 +346,9 @@ object Events {
           if (!state.hasTimedOut) {
             rows.foreach { case (eid, _, ts, tpe, cents) =>
               if (tpe == "click") clicks :+= TouchClick(eid, ts.getTime)
-              else pending :+= PendingPurchase(eid, ts.getTime, cents)
+              else if (tpe == "purchase")
+                pending :+= PendingPurchase(eid, ts.getTime, cents)
+              // "__close" sentinels advance the watermark only
             }
           }
           val (ripe, waiting) = pending.partition(_.ts <= wm)

@@ -432,7 +432,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Dedup.minhashPairsAgainst(
       docs, docs.filter(col("doc_id") < 25), threshold = 0.5, maxBandFreq = 10)) <= 4)
     assert(shuffles(Dedup.simhashPairs(docs)) <= 3)
-    assert(shuffles(Dedup.embeddingDupPairs(embeds, threshold = 0.9)) <= 2)
+    // multi-table form: band-rows candidate join (ids only) + distinct +
+    // two vector rejoins — tables multiplies candidate ROWS, not exchanges
+    assert(shuffles(Dedup.embeddingDupPairs(embeds, threshold = 0.9)) <= 5)
+    assert(shuffles(Dedup.embeddingDupPairs(embeds, threshold = 0.9, tables = 16)) <= 5)
     // bipartite decontamination: corpus cap window + overlap agg; the
     // probe index joins via broadcast (asserted non-shuffle)
     assert(shuffles(Dedup.ngramContamination(docs,

@@ -761,6 +761,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed credit split must equal the batch relation exactly")
   }
 
+  test("multi-touch: purchase inside the final watermark delay still emits") {
+    // regression (sf1 gate): the event-type filter used to drop the
+    // __close sentinel BEFORE the EventTimeWatermark node (Catalyst
+    // pushes non-event-time predicates below it), so the watermark never
+    // passed the last real purchases and anything in the final
+    // watermark-delay went unemitted
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val noProps = null.asInstanceOf[String]
+    val ev = Seq(
+      (1L, at(0), 7L, "click", 10.0, noProps),
+      (2L, at(10), 7L, "purchase", 50.0, noProps))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = Files.createTempDirectory("graftmt2").resolve("ev").toString
+    ev.coalesce(1).write.parquet(tmp)
+    val staged = Events.stageStreamDir(spark, tmp, closeSentinel = true)
+    val got = Events.runAvailableNow(spark,
+      Events.multiTouchAttributionStream(spark,
+        Events.readEventsStream(spark, staged), model = "u"),
+      complete = false).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)),
+      "the sentinel must flush the purchase sitting in the final watermark delay")
+  }
+
   test("streaming CDC compaction folds to the batch applyChanges image") {
     import spark.implicits._
     def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
