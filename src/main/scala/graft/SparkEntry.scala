@@ -469,6 +469,10 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeMergeCandidates(docs(s, dir),
         TextAnalysis.defaultBpeMerges.take(4), topN = 25)),
+    // piece vocabulary under the tokenizer (the BPE family's INSPECT
+    // leg): one row per distinct post-merge piece with corpus frequency
+    "q_bpe_pieces" -> ((s, dir) =>
+      TextAnalysis.bpePieceCounts(docs(s, dir))),
     // trigram repetition (Gopher/RefinedWeb duplicate-n-gram filter):
     // n=3 exercises the generalized lambda-free n-gram build, not just
     // the bigram case the surprise query covers
@@ -638,21 +642,36 @@ object SparkEntry {
     // interval from ONE lead window over the id key; the %35 overlap
     // proves delete-closes-interval, the %70 overlap proves
     // re-insert-after-delete opens a NEW current version
-    "q_scd2" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val v1 = d.select(col("doc_id"), lit(1L).as("seq"),
-        lit("upsert").as("op"), col("text"))
-      val ups = d.filter(expr("doc_id % 5 = 0"))
-        .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" v2")).as("text"))
-      val dels = d.filter(expr("doc_id % 7 = 0"))
-        .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
-          lit(null).cast("string").as("text"))
-      val re = d.filter(expr("doc_id % 10 = 0"))
-        .select(col("doc_id"), lit(4L).as("seq"), lit("upsert").as("op"),
-          concat(col("text"), lit(" v4")).as("text"))
+    "q_scd2" -> ((s, dir) =>
       CorpusPipeline.scd2History(
-        v1.unionAll(ups).unionAll(dels).unionAll(re))
+        scd2Waves(docs(s, dir)).map(_.drop("ts")).reduce(_.unionAll(_)))),
+    // Streaming SCD2 twin: the SAME 4-wave log replays one micro-batch
+    // per wave, deliberately OUT of seq order (2, 1, 4, 3) — the
+    // quiescence-epoch sort is what restores the version timeline — and
+    // the emitted frames fold (closed-beats-open per (id, valid_from))
+    // to exactly the batch history, so the q_scd2 oracle serves both.
+    "q_scd2_stream" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val staged = stagedScd2Dirs.computeIfAbsent(dir, { _ =>
+        val waves = scd2Waves(d)
+        val sentinel = s.sql(
+          "SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS seq, " +
+            "'__close' AS op, CAST(NULL AS STRING) AS text, " +
+            "timestamp_seconds(1704067200 + 864000) AS ts")
+        graft.streaming.Events.stageChunkedStream(
+          Seq(waves(1), waves(0), waves(3), waves(2), sentinel))
+      })
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val frames = graft.streaming.Events.runAvailableNow(s,
+        graft.streaming.Events.scd2HistoryStream(s, stream), complete = false)
+      frames.groupBy("doc_id", "valid_from_seq")
+        .agg(expr("max(struct(valid_to_seq IS NOT NULL AS closed, " +
+          "valid_to_seq, text, is_current))").as("__f"))
+        .select(col("doc_id"), col("__f.text").as("text"),
+          col("valid_from_seq"), col("__f.valid_to_seq").as("valid_to_seq"),
+          col("__f.is_current").as("is_current"))
     }),
     // prefix-filtered exact Jaccard (AllPairs/PPJoin): the oracle is the
     // UNCAPPED quadratic inverted self-join — the prefix filter must lose
@@ -1277,6 +1296,29 @@ object SparkEntry {
       .map(_.withColumn("ts", expr("timestamp_seconds(1704067200 + seq * 60)")))
   }
 
+  private val stagedScd2Dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The q_scd2 change waves — base load (seq 1), %5 upserts (seq 2),
+    * %7 deletes (seq 3), %10 re-upserts (seq 4) — each with the same
+    * deterministic seq-derived event time as [[cdcWaves]].
+    */
+  private def scd2Waves(d: DataFrame): Seq[DataFrame] = {
+    val v1 = d.select(col("doc_id"), lit(1L).as("seq"),
+      lit("upsert").as("op"), col("text"))
+    val ups = d.filter(expr("doc_id % 5 = 0"))
+      .select(col("doc_id"), lit(2L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val dels = d.filter(expr("doc_id % 7 = 0"))
+      .select(col("doc_id"), lit(3L).as("seq"), lit("delete").as("op"),
+        lit(null).cast("string").as("text"))
+    val re = d.filter(expr("doc_id % 10 = 0"))
+      .select(col("doc_id"), lit(4L).as("seq"), lit("upsert").as("op"),
+        concat(col("text"), lit(" v4")).as("text"))
+    Seq(v1, ups, dels, re)
+      .map(_.withColumn("ts", expr("timestamp_seconds(1704067200 + seq * 60)")))
+  }
+
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
   private def stagedDir(s: SparkSession, dir: String, sentinel: Boolean): String =
@@ -1463,6 +1505,29 @@ object SparkEntry {
           CAST((value_cents * weight_micro) // 1000000 AS BIGINT)
             AS attributed_cents
         FROM wgt"""
+
+  /** Shared by q_scd2 and q_scd2_stream (the stream epoch frames fold to
+    * the identical version history).
+    */
+  private val scd2Oracle: String =
+    """WITH log AS (
+          SELECT doc_id, 1 AS seq, 'upsert' AS op, text FROM documents
+          UNION ALL
+          SELECT doc_id, 2, 'upsert', text || ' v2'
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id, 3, 'delete', NULL FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, 4, 'upsert', text || ' v4'
+          FROM documents WHERE doc_id % 10 = 0),
+        o AS (
+          SELECT doc_id, seq, op, text,
+            lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op, text)
+              AS nxt
+          FROM log)
+        SELECT doc_id, text, seq AS valid_from_seq, nxt AS valid_to_seq,
+          (nxt IS NULL) AS is_current
+        FROM o WHERE op = 'upsert'"""
 
   /** DuckDB equivalents over the same parquet tables. */
   def oracleSql: Map[String, String] = Map(
@@ -2239,25 +2304,10 @@ object SparkEntry {
     // SCD2 intervals mirrored: same 4-wave log, same lead window; the
     // (seq, op, text) tie order never fires (seq is unique per id in the
     // synthetic log) but is written identically in both engines
-    "q_scd2" ->
-      """WITH log AS (
-          SELECT doc_id, 1 AS seq, 'upsert' AS op, text FROM documents
-          UNION ALL
-          SELECT doc_id, 2, 'upsert', text || ' v2'
-          FROM documents WHERE doc_id % 5 = 0
-          UNION ALL
-          SELECT doc_id, 3, 'delete', NULL FROM documents WHERE doc_id % 7 = 0
-          UNION ALL
-          SELECT doc_id, 4, 'upsert', text || ' v4'
-          FROM documents WHERE doc_id % 10 = 0),
-        o AS (
-          SELECT doc_id, seq, op, text,
-            lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op, text)
-              AS nxt
-          FROM log)
-        SELECT doc_id, text, seq AS valid_from_seq, nxt AS valid_to_seq,
-          (nxt IS NULL) AS is_current
-        FROM o WHERE op = 'upsert'""",
+    "q_scd2" -> scd2Oracle,
+    // the streaming twin's quiescence-epoch frames fold to the SAME
+    // version history — one oracle serves both rows
+    "q_scd2_stream" -> scd2Oracle,
     // UNCAPPED brute-force quadratic Jaccard — the losslessness gate for
     // the prefix-filtered candidate generation
     "q_jaccard_prefix" ->
@@ -3102,6 +3152,8 @@ object SparkEntry {
     "q_bpe_merges" ->
       TextAnalysis.bpeMergeOracleSql(
         TextAnalysis.defaultBpeMerges.take(4), topN = 25),
+    // piece vocabulary, chain generated from the same full merge table
+    "q_bpe_pieces" -> TextAnalysis.bpePieceOracleSql(),
     // Hopping windows: each event contributes to the 4 windows whose
     // epoch-aligned starts are bucket15(ts) - k*15min, k = 0..3.
     "q_hop_window" ->

@@ -891,6 +891,61 @@ object TextAnalysis {
           "0, (a, x) -> a + x) AS BIGINT)").as("n_bpe_tokens"))
   }
 
+  /** Corpus piece vocabulary under the BPE tokenizer — the third leg of
+    * the BPE family ([[bpeTokenCounts]] budgets, [[bpeMergeCandidates]]
+    * trains, this INSPECTS): every alphabetic word is encoded with the
+    * merge table (same generated replace chain as the count form — the
+    * two cannot drift) and the result is one row per distinct PIECE with
+    * its corpus frequency — the "what does my token distribution look
+    * like after tokenization" question a data pipeline asks before
+    * committing a tokenizer (fertile pieces, singleton tail, coverage).
+    *
+    * Scale shape inherited from the trainer: after the first word
+    * aggregation everything runs on the WORD-FREQUENCY table
+    * (vocab-bounded, not corpus-bounded); piece explosion fans out by
+    * word length over vocab rows; the final aggregation is
+    * piece-vocab-bounded with map-side combine. Zero windows.
+    */
+  def bpePieceCounts(
+      docs: DataFrame, merges: Seq[(String, String)] = defaultBpeMerges,
+      textCol: String = "text"): DataFrame = {
+    require(merges.forall { case (f, t) =>
+      !f.contains("'") && !t.contains("'") }, "merge symbols must not quote")
+    val applied = merges.foldLeft(
+      "concat(' ', concat_ws(' ', split(w, '')), ' ')") {
+      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+    }
+    val wf = docs
+      .withColumn("__w", expr(
+        s"filter(split(lower(trim(`$textCol`)), ' +'), w -> w rlike '^[a-z]+$$')"))
+      .select(explode(col("__w")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("__wf"))
+    wf.select(explode(expr(s"split(trim($applied), ' ')")).as("piece"),
+        col("__wf"))
+      .groupBy("piece").agg(sum("__wf").as("n"))
+  }
+
+  /** DuckDB equivalent of [[bpePieceCounts]], generated from the SAME
+    * merge table (the [[bpeOracleSql]] discipline).
+    */
+  def bpePieceOracleSql(
+      merges: Seq[(String, String)] = defaultBpeMerges): String = {
+    val applied = merges.foldLeft(
+      "' ' || array_to_string(string_split(w, ''), ' ') || ' '") {
+      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+    }
+    s"""WITH ws AS (
+        SELECT list_filter(string_split_regex(lower(trim(text)), ' +'),
+          w -> regexp_full_match(w, '[a-z]+')) AS w
+        FROM documents),
+      w1 AS (SELECT unnest(w) AS w FROM ws),
+      wf AS (SELECT w, count(*) AS wf FROM w1 GROUP BY 1),
+      pc AS (
+        SELECT unnest(string_split(trim($applied), ' ')) AS piece, wf
+        FROM wf)
+      SELECT piece, CAST(sum(wf) AS BIGINT) AS n FROM pc GROUP BY 1"""
+  }
+
   /** One BPE TRAINING step — the discovery dual of [[bpeTokenCounts]]'s
     * apply: spell every alphabetic word into symbols, apply the merges
     * learned SO FAR (`merges` — empty for step zero), count adjacent

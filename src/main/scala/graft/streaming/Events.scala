@@ -77,6 +77,24 @@ case class CdcState(
   */
 case class CdcWinner(doc_id: Long, seq: Long, op: String, text: Option[String])
 
+/** One change-log entry buffered in streaming SCD2 state. */
+case class CdcChange(seq: Long, op: String, text: Option[String])
+
+/** Per-id streaming SCD2 state: the changes of the current quiescence
+  * epoch plus (after an emission) only the still-open version — bounded
+  * by per-entity change count within an epoch, the batch form's own
+  * premise.
+  */
+case class Scd2State(
+    versions: Seq[CdcChange], lastMs: Long, dirty: Boolean)
+
+/** One emitted SCD2 version frame — field names are the public column
+  * contract, identical to [[graft.operators.CorpusPipeline.scd2History]].
+  */
+case class Scd2Out(
+    doc_id: Long, text: Option[String], valid_from_seq: Long,
+    valid_to_seq: Option[Long], is_current: Boolean)
+
 /** Per-user transition-chain state: the last event seen, in the total
   * (us, eventId) order — O(1) per user regardless of history length.
   */
@@ -539,6 +557,79 @@ object Events {
           }
       }
       .toDF("doc_id", "seq", "op", "text")
+  }
+
+  /** Streaming SCD2 history — the stream twin of
+    * [[graft.operators.CorpusPipeline.scd2History]], completing the CDC
+    * family's batch/stream parity (snapshotDiff is batch-only by nature;
+    * applyChanges and scd2History both have watermarked twins). Same
+    * change-log contract as [[applyChangesStream]]; per id the state
+    * buffers the quiescence epoch's changes and, when the watermark
+    * passes last change + `settleMinutes`, emits one frame per upsert
+    * VERSION in the batch fold's (seq, op, payload) total order:
+    * `valid_to_seq` = the next change's seq, the trailing upsert open
+    * with `is_current = true` (a trailing delete closes the last version
+    * and leaves nothing current — identical semantics to the batch
+    * window form, spec/oracle-shared).
+    *
+    * Epoch semantics (the [[applyChangesStream]] discipline): only the
+    * still-open version carries over after an emission, so a later
+    * epoch's first change RE-EMITS it closed — downstream keeps the
+    * latest frame per (id, valid_from_seq), which the driver row does
+    * with one max-struct aggregation. Exactness across epochs assumes
+    * seqs are event-time-monotone ACROSS epochs (within an epoch,
+    * arbitrary in-watermark disorder is fully handled by the sort);
+    * a log violating that needs the batch form.
+    */
+  def scd2HistoryStream(
+      spark: SparkSession, changes: DataFrame,
+      settleMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val settleMs = settleMinutes * 60L * 1000L
+    val ord: Ordering[(Long, String, Option[String])] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.Option(Ordering.String))
+    changes
+      .selectExpr("doc_id", "seq", "op", "text", "ts")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, String, Option[String], Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (id, rows, state: GroupState[Scd2State]) =>
+          val st = state.getOption.getOrElse(Scd2State(Vector.empty, 0L, dirty = false))
+          if (state.hasTimedOut) {
+            if (!st.dirty || st.versions.isEmpty) { Iterator.empty }
+            else {
+              val sorted = st.versions.toVector
+                .sortBy(c => (c.seq, c.op, c.text))(ord)
+              val out = sorted.zipWithIndex.collect {
+                case (c, i) if c.op == "upsert" =>
+                  val next = sorted.lift(i + 1)
+                  Scd2Out(id, c.text, c.seq, next.map(_.seq), next.isEmpty)
+              }
+              // carry over only a trailing OPEN upsert: a later epoch's
+              // first change must close it (re-emitting the frame);
+              // closed versions are final and leave state
+              val carry = sorted.lastOption.filter(_.op == "upsert").toVector
+              if (carry.isEmpty) state.remove()
+              else state.update(Scd2State(carry, st.lastMs, dirty = false))
+              out.iterator
+            }
+          } else {
+            val real = rows.filter(r => r._3 == "upsert" || r._3 == "delete").toVector
+            if (real.isEmpty) Iterator.empty
+            else {
+              val merged = st.versions ++
+                real.map(r => CdcChange(r._2, r._3, r._4))
+              val lastMs = math.max(st.lastMs, real.iterator.map(_._5.getTime).max)
+              state.update(Scd2State(merged, lastMs, dirty = true))
+              state.setTimeoutTimestamp(
+                math.max(lastMs + settleMs, state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          }
+      }
+      .toDF("doc_id", "text", "valid_from_seq", "valid_to_seq", "is_current")
   }
 
   /** Stage an ORDERED sequence of bounded DataFrames as one parquet file

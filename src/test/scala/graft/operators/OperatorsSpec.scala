@@ -316,6 +316,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s0.head._1 == "a a" && s1.head._1 == "a b")
   }
 
+  test("bpePieceCounts: corpus piece vocabulary weighted by word frequency") {
+    import spark.implicits._
+    // "the other and xyz" + "the": pieces per bpeTokenCounts' chain:
+    // the -> [the]; other -> [o, the, r]; and -> [and]; xyz -> [x, y, z]
+    // word freq: the x2 (doc 2 repeats it), others x1
+    val docs = spark.createDataset(Seq(
+        (1L, "the other and xyz"), (2L, "the")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpePieceCounts(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("the" -> 3L, "o" -> 1L, "r" -> 1L, "and" -> 1L,
+      "x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
   test("pmiCooccurrence: window bounds distance, closed-form micro ratios, min-count filter") {
     import spark.implicits._
     val docs = spark.createDataset((1L to 10L).map(i => (i, "a b c")))

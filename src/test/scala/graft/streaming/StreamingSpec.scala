@@ -837,6 +837,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.count() == 4) // 1 updated, 3+4 kept, 5 inserted; 2 deleted
   }
 
+  test("streaming SCD2 frames fold to the batch version history") {
+    import spark.implicits._
+    def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // 4-wave log for ids 1..3, staged OUT of seq order across
+    // micro-batches: id1 full lifecycle (insert, update, delete,
+    // re-insert), id2 insert+delete (no current row), id3 insert only
+    val w1 = Seq((1L, 1L, "upsert", Option("a1"), at(1)),
+      (2L, 1L, "upsert", Option("b1"), at(1)),
+      (3L, 1L, "upsert", Option("c1"), at(1)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val w2 = Seq((1L, 2L, "upsert", Option("a2"), at(2)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val w3 = Seq((1L, 3L, "delete", Option.empty[String], at(3)),
+      (2L, 3L, "delete", Option.empty[String], at(3)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val w4 = Seq((1L, 4L, "upsert", Option("a4"), at(4)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val sentinel = Seq((-1L, 0L, "__close", Option.empty[String],
+      new java.sql.Timestamp(at(0).getTime + 10L * 86400 * 1000)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val staged = Events.stageChunkedStream(Seq(w2, w1, w4, w3, sentinel))
+    val schema = spark.read.parquet(staged).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val frames = Events.runAvailableNow(spark,
+      Events.scd2HistoryStream(spark, stream), complete = false)
+    val got = frames.groupBy("doc_id", "valid_from_seq")
+      .agg(expr("max(struct(valid_to_seq IS NOT NULL AS closed, " +
+        "valid_to_seq, text, is_current))").as("__f"))
+      .select(col("doc_id"), col("__f.text").as("text"),
+        col("valid_from_seq"), col("__f.valid_to_seq").as("valid_to_seq"),
+        col("__f.is_current").as("is_current"))
+    val batch = graft.operators.CorpusPipeline.scd2History(
+      w1.unionAll(w2).unionAll(w3).unionAll(w4).drop("ts"))
+    assert(got.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(got).count() == 0,
+      "streamed SCD2 frames must fold to the batch history exactly")
+    // spot-check semantics: id1 has 3 versions, only seq-4 current;
+    // id2 deleted -> no current row; id3 one open version
+    val cur = got.filter(col("is_current")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cur == Map(1L -> 4L, 3L -> 1L))
+  }
+
   test("multimodal decode extracts fake-header metadata partition-wise") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val decoded = Multimodal.decode(Multimodal.fakeMediaFromDocs(docs))
