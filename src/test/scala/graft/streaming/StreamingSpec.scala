@@ -881,6 +881,86 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cur == Map(1L -> 4L, 3L -> 1L))
   }
 
+  test("CDC compaction across TWO quiescence epochs: retained state, stale seq never wins") {
+    import spark.implicits._
+    def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val noText = Option.empty[String]
+    // epoch 1: id 1 seq 5 'v5'; epoch 2 (2h later, after the watermark
+    // passes epoch 1's settle horizon): id 1 gets BOTH a stale seq-3 row
+    // (must NOT win against the retained seq-5 state) and a seq-7 row
+    // (must win and force a re-emission)
+    val c1 = Seq((1L, 5L, "upsert", Option("v5"), at(0)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val push = Seq((-2L, 0L, "__close", noText, at(120)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    // a second pusher batch in which id 1 has NO data: event-time
+    // timeouts only fire for keys without data in the batch, so the
+    // epoch boundary needs one dataless batch for the key
+    val push2 = Seq((-2L, 0L, "__close", noText, at(121)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val c2 = Seq((1L, 3L, "upsert", Option("v3 STALE"), at(125)),
+      (1L, 7L, "upsert", Option("v7"), at(126)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val sentinel = Seq((-1L, 0L, "__close", noText,
+      new java.sql.Timestamp(at(0).getTime + 10L * 86400 * 1000)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val staged = Events.stageChunkedStream(Seq(c1, push, push2, c2, sentinel))
+    val schema = spark.read.parquet(staged).schema
+    val frames = Events.runAvailableNow(spark,
+      Events.applyChangesStream(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)),
+      complete = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      .sortBy(_._2)
+    // two frames for id 1: the epoch-1 winner, then the epoch-2 update;
+    // the stale seq-3 row appears in NEITHER
+    assert(frames.toSeq == Seq((1L, 5L, "v5"), (1L, 7L, "v7")),
+      s"got ${frames.toSeq}")
+  }
+
+  test("SCD2 across TWO epochs: open version re-emits closed, latest frame wins") {
+    import spark.implicits._
+    def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    val noText = Option.empty[String]
+    val c1 = Seq((1L, 1L, "upsert", Option("a1"), at(0)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val push = Seq((-2L, 0L, "__close", noText, at(120)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val push2 = Seq((-2L, 0L, "__close", noText, at(121)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val c2 = Seq((1L, 2L, "upsert", Option("a2"), at(125)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val sentinel = Seq((-1L, 0L, "__close", noText,
+      new java.sql.Timestamp(at(0).getTime + 10L * 86400 * 1000)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val staged = Events.stageChunkedStream(Seq(c1, push, push2, c2, sentinel))
+    val schema = spark.read.parquet(staged).schema
+    val frames = Events.runAvailableNow(spark,
+      Events.scd2HistoryStream(spark,
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)),
+      complete = false)
+    // raw frames: version 1 emitted OPEN in epoch 1, re-emitted CLOSED
+    // in epoch 2 alongside the new open version 2
+    val raw = frames.collect()
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_.toString), r.getBoolean(4)))
+      .sortBy(f => (f._1, f._2.isDefined))
+    assert(raw.toSeq == Seq((1L, None, true), (1L, Some("2"), false),
+      (2L, None, true)), s"got ${raw.toSeq}")
+    // latest-frame fold equals the batch history over the full log
+    val folded = frames.groupBy("doc_id", "valid_from_seq")
+      .agg(expr("max(struct(valid_to_seq IS NOT NULL AS closed, " +
+        "valid_to_seq, text, is_current))").as("__f"))
+      .select(col("doc_id"), col("__f.text").as("text"),
+        col("valid_from_seq"), col("__f.valid_to_seq").as("valid_to_seq"),
+        col("__f.is_current").as("is_current"))
+    val batch = graft.operators.CorpusPipeline.scd2History(
+      c1.unionAll(c2).drop("ts"))
+    assert(folded.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(folded).count() == 0)
+  }
+
   test("multimodal decode extracts fake-header metadata partition-wise") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val decoded = Multimodal.decode(Multimodal.fakeMediaFromDocs(docs))
