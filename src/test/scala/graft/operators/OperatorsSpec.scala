@@ -515,6 +515,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reliable checkpoint files must actually be written under the dir")
   }
 
+  test("semanticDedupProbed: full probe equals exact; partial probe is one-sided") {
+    val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
+    val df = vecDf(vecs)
+    val idx = Similarity.ivfFit(df, nLists = 8, seed = 42L)
+    // probes = nLists: every pair shares a probed cell -> candidates =
+    // all pairs -> the result IS the exact global dedup (the
+    // q_similarity_topk_lsh_full losslessness trick applied to dedup)
+    val full = Dedup.semanticDedupProbed(idx, probes = 8, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exactPairs = Dedup.embeddingDupPairs(df, threshold = 0.95, nBits = 0, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDropped = exactPairs.map(_._2)
+    assert(full.filter(!_._2).keySet == exactDropped,
+      "full-probe dedup must drop exactly the ids with a smaller-id exact near-dup")
+    // fewer probes: one-sided — never drops anything the exact run keeps
+    for (p <- Seq(1, 2)) {
+      val kept = Dedup.semanticDedupProbed(idx, probes = p, threshold = 0.95)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(kept.filter(!_._2).keySet.subsetOf(exactDropped),
+        s"probes=$p dropped a vector the exact run keeps")
+    }
+  }
+
   test("semanticDedup keeps one representative per planted cluster") {
     val vecs = clusteredVecs(40, 64, 8, noise = 0.01, seed = 7)
     val kept = Dedup.semanticDedup(vecDf(vecs), nClusters = 8, threshold = 0.95)
