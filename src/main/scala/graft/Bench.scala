@@ -47,6 +47,13 @@ object Bench {
     // (the SCALE.md exponent table's >=5x follow-ups); unset → full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail LOUDLY on unknown names: a typo'd subset would otherwise bench
+    // nothing and print a clean-looking 0-second artifact
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.ListBuffer.empty[String]

@@ -787,13 +787,25 @@ object Dedup {
     * checkpoint files. Same labels either way (spec-pinned); the knob
     * trades per-round write cost for executor-loss survival.
     *
+    * Operational notes for the knob: `setCheckpointDir` is SparkContext-
+    * GLOBAL, so give concurrent knobbed jobs the same dir (it is only set
+    * here when it differs from the current one) — checkpoints are
+    * uuid-scoped underneath, they do not collide; and set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+    * per-round snapshots superseded by later rounds are garbage-collected
+    * instead of accumulating one labels-relation copy per iteration.
+    *
     * @param vertices one column `id` (every id to label, matched or not)
     * @param pairs    columns `id_a`, `id_b`
     */
   def components(
       vertices: DataFrame, pairs: DataFrame, maxIterations: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(vertices.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { d =>
+      val sc = vertices.sparkSession.sparkContext
+      // setCheckpointDir appends a UUID subdir, so compare by containment
+      if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+    }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -963,42 +975,22 @@ object Dedup {
     * the exact all-pairs dedup (every pair shares a probed cell), the
     * spec-pinned losslessness anchor.
     *
-    * Plan: cell assignment is compiled row-local against the index's
-    * driver-side centroid array (the [[Similarity.cosineTopKIvfProbe]]
-    * shape); the candidate join carries IDS ONLY and re-joins vectors
-    * once per side after the DISTINCT (the [[embeddingDupPairs]]
-    * discipline).
+    * Plan: cell assignment runs through [[Similarity.probeCells]] — the
+    * SAME compiled helper the IVF ANN probe uses, so the two paths'
+    * distance and tie conventions cannot drift; the candidate join
+    * carries IDS ONLY and re-joins vectors once per side after the
+    * DISTINCT (the [[embeddingDupPairs]] discipline).
     */
   def semanticDedupProbed(
       index: Similarity.IvfIndex, probes: Int = 2,
       threshold: Double = 0.95): DataFrame = {
     require(probes >= 1, "at least one probed cell")
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    import org.apache.spark.sql.types._
-    val centroids = index.centroids
     val assigned = index.assigned
     val idCol = index.idCol
     val vecCol = index.vecCol
-    val in = assigned.select(col(idCol), col(vecCol))
-    val out = StructType(Seq(
-      StructField(idCol, in.schema(idCol).dataType),
-      StructField("__cells", ArrayType(IntegerType))))
-    val probed = in.mapPartitions { it =>
-      it.map { r =>
-        val vec = r.getSeq[Float](1)
-        val dists = centroids.indices.map { c =>
-          val ctr = centroids(c)
-          var d = 0.0
-          var j = 0
-          val dim = math.min(ctr.length, vec.length)
-          while (j < dim) { val t = vec(j) - ctr(j); d += t * t; j += 1 }
-          (d, c)
-        }
-        Row(r.get(0), dists.sortBy(_._1).take(probes).map(_._2))
-      }
-    }(RowEncoder.encoderFor(out))
-    val cellRows = probed.select(col(idCol), explode(col("__cells")).as("__cell"))
+    val cellRows = Similarity.probeCells(
+        assigned, index.centroids, vecCol, idCol, probes)
+      .select(col(idCol), explode(col("__cells")).as("__cell"))
     val cand = cellRows.as("a").join(cellRows.as("b"),
         col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

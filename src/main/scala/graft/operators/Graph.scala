@@ -50,7 +50,13 @@ object Graph {
       checkpointDir: Option[String] = None, checkpointEvery: Int = 2): DataFrame = {
     require(iterations >= 1, "at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { d =>
+      val sc = nodes.sparkSession.sparkContext
+      // setCheckpointDir appends a UUID subdir, so compare by containment;
+      // the dir is SparkContext-global — see components' scaladoc for the
+      // shared-dir and cleanCheckpoints operational notes
+      if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+    }
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("__deg"))

@@ -256,20 +256,25 @@ object Similarity {
     * cartesian; broadcast on the exploded query side). No clustering and
     * no corpus re-assignment happens here.
     */
-  def cosineTopKIvfProbe(
-      index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    val IvfIndex(centroids, assigned, vecCol, idCol) = index
-    // per-query nProbe nearest cells, compiled row-local (centroids are a
-    // tiny driver array shipped in the closure)
+  /** Top-`nProbe` nearest-cell assignment against a driver-side centroid
+    * array, compiled row-local (the centroid array is tiny and ships in
+    * the closure) — SHARED by the IVF ANN probe and multi-probe SemDeDup
+    * ([[graft.operators.Dedup.semanticDedupProbed]]) so the two paths'
+    * distance/tie conventions cannot drift. Emits (idCol, vecCol,
+    * `__cells` ARRAY<INT>).
+    */
+  private[operators] def probeCells(
+      df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String, idCol: String, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
-    val qIn = queries.select(col(idCol), col(vecCol))
-    val qOut = StructType(Seq(
-      StructField(idCol, qIn.schema(idCol).dataType),
-      StructField(vecCol, qIn.schema(vecCol).dataType),
+    val in = df.select(col(idCol), col(vecCol))
+    val out = StructType(Seq(
+      StructField(idCol, in.schema(idCol).dataType),
+      StructField(vecCol, in.schema(vecCol).dataType),
       StructField("__cells", ArrayType(IntegerType))))
-    val probed = qIn.mapPartitions { it =>
+    in.mapPartitions { it =>
       it.map { r =>
         val vec = r.getSeq[Float](1)
         val dists = centroids.indices.map { c =>
@@ -282,7 +287,13 @@ object Similarity {
         }
         Row(r.get(0), r.get(1), dists.sortBy(_._1).take(nProbe).map(_._2))
       }
-    }(RowEncoder.encoderFor(qOut))
+    }(RowEncoder.encoderFor(out))
+  }
+
+  def cosineTopKIvfProbe(
+      index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val IvfIndex(centroids, assigned, vecCol, idCol) = index
+    val probed = probeCells(queries, centroids, vecCol, idCol, nProbe)
 
     val q = probed.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       explode(col("__cells")).as("__cell"))

@@ -130,6 +130,37 @@ case class WeekActivity(user_id: Long, week: Long)
   */
 object Events {
 
+  /** UTF-8 BINARY string order — the order Spark's UTF8String (and
+    * DuckDB) use for struct comparison. Java's String.compareTo compares
+    * UTF-16 code units, which ranks supplementary-plane characters
+    * (surrogates 0xD800–0xDFFF) BELOW some BMP characters even though
+    * their UTF-8 bytes are larger — a payload tie-break using it would
+    * silently diverge from the batch max(struct(...)) fold on non-ASCII
+    * text. The CDC stream twins order with this instead.
+    */
+  private[streaming] val utf8Ord: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** The batch CDC fold's (seq, op, payload) struct total order, with
+    * string components in UTF-8 binary order (see [[utf8Ord]]) and null
+    * payload smallest — shared by [[applyChangesStream]] and
+    * [[scd2HistoryStream]].
+    */
+  private val cdcOrd: Ordering[(Long, String, Option[String])] =
+    Ordering.Tuple3(Ordering.Long, utf8Ord, Ordering.Option(utf8Ord))
+
   /** Hourly tumbling-window aggregate, batch form. Money sums use exact
     * integer cents (see SampleProject scaladoc on cross-engine sums).
     */
@@ -459,14 +490,24 @@ object Events {
             var cur = state.getOption
             sorted.foreach { case (_, ts, cents) =>
               cur match {
-                case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
-                  // max(): a later micro-batch can deliver an event that
-                  // is within the watermark but OLDER than state.last
-                  // (negative gap) — it must extend the session's
-                  // counts without moving session_end or the timeout
-                  // anchor backwards.
+                case Some(s) if ts.getTime - s.last.getTime <= gapMs &&
+                    s.start.getTime - ts.getTime <= gapMs =>
+                  // clamped extension: a later micro-batch can deliver an
+                  // in-watermark event anywhere relative to the session —
+                  // older than last (negative gap) must not move
+                  // session_end or the timeout anchor backwards, and
+                  // within-gap BEFORE start must extend session_start
+                  // downward (batch sorts globally, so it would merge).
+                  val newStart = if (ts.getTime < s.start.getTime) ts else s.start
                   val newLast = if (ts.getTime > s.last.getTime) ts else s.last
-                  cur = Some(SessionAgg(s.start, newLast, s.nEvents + 1, s.valueCents + cents))
+                  cur = Some(SessionAgg(newStart, newLast, s.nEvents + 1, s.valueCents + cents))
+                case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
+                  // in-watermark but MORE than a gap before session_start:
+                  // batch would place it in its own earlier session, not
+                  // this one — emit it as a closed singleton (it cannot
+                  // retroactively merge with even-older unseen events;
+                  // exact for the common case of an isolated straggler)
+                  closed ::= ((user, ts, ts, 1L, cents))
                 case Some(s) =>
                   closed ::= ((user, s.start, s.last, s.nEvents, s.valueCents))
                   cur = Some(SessionAgg(ts, ts, 1L, cents))
@@ -516,9 +557,7 @@ object Events {
       settleMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
     val settleMs = settleMinutes * 60L * 1000L
-    // the batch fold's struct order: (seq, op, text), null text smallest
-    val ord: Ordering[(Long, String, Option[String])] =
-      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.Option(Ordering.String))
+    val ord = cdcOrd // the batch fold's struct order, UTF-8 binary
     changes
       .selectExpr("doc_id", "seq", "op", "text", "ts")
       .withWatermark("ts", watermark)
@@ -586,8 +625,7 @@ object Events {
       settleMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
     val settleMs = settleMinutes * 60L * 1000L
-    val ord: Ordering[(Long, String, Option[String])] =
-      Ordering.Tuple3(Ordering.Long, Ordering.String, Ordering.Option(Ordering.String))
+    val ord = cdcOrd // the batch fold's struct order, UTF-8 binary
     changes
       .selectExpr("doc_id", "seq", "op", "text", "ts")
       .withWatermark("ts", watermark)

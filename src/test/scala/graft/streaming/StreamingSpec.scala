@@ -147,6 +147,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "session_end must stay at the max event time; the old event only adds counts")
   }
 
+  test("cross-batch event before session_start: within-gap lowers start, far-older closes alone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftoos")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def stage(i: Int,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graftoos$i").resolve("out")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(f"chunk_$i%02d.parquet")
+      Files.copy(part.toPath, dest)
+      assert(dest.toFile.setLastModified(System.currentTimeMillis() + i * 2000L))
+    }
+    val noProps = null.asInstanceOf[String]
+    // batch 1: user 7 session [60, 70]; user 8 session [60, 60]
+    stage(1, Seq((1L, at(60), 7L, "view", 1.0, noProps),
+      (2L, at(70), 7L, "view", 1.0, noProps),
+      (10L, at(60), 8L, "view", 1.0, noProps)))
+    // batch 2 (all within the 1h watermark of max=70min):
+    //  user 7: minute 45 — within the 30-min gap BEFORE start 60 →
+    //    batch merges: session [45, 70], n=3
+    //  user 8: minute 5 — 55 min before start 60, beyond the gap →
+    //    its own closed singleton [5, 5]; session [60,60] untouched
+    //  plus the far-future closer
+    stage(2, Seq((3L, at(45), 7L, "view", 1.0, noProps),
+      (11L, at(5), 8L, "view", 1.0, noProps),
+      (-1L, at(60 * 24 * 10), 7L, "__close", 0.0, noProps),
+      (-2L, at(60 * 24 * 10), 8L, "__close", 0.0, noProps)))
+    val got = Events.runAvailableNow(spark,
+      Events.sessionizeStream(spark,
+        Events.readEventsStream(spark, dir.toString, maxFilesPerTrigger = 1)),
+      complete = false)
+      .filter(col("user_id").isin(7L, 8L) && col("n_events") <= 3)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(got.contains((7L, at(45), at(70), 3L)),
+      s"user 7's session must extend start down to minute 45: $got")
+    assert(got.contains((8L, at(5), at(5), 1L)) && got.contains((8L, at(60), at(60), 1L)),
+      s"user 8's straggler must close alone, leaving [60,60] intact: $got")
+  }
+
   /** Stages the fixture into `nChunks` contiguous TIME-ordered part files
     * (plus optionally the per-user close sentinel, last) with sequenced
     * modification times, so `maxFilesPerTrigger = 1` yields one
