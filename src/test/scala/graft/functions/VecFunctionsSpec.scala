@@ -41,6 +41,30 @@ class VecFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rows.find(_.getLong(0) == 1L).get.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("vec_dot/(vec_norm*vec_norm) is bit-identical to vec_cosine") {
+    GraftFunctions.register(spark)
+    val rows = vecs.select(col("id"),
+      expr("vec_cosine(a, b)").as("fused"),
+      expr("vec_dot(a, b) / (vec_norm(a) * vec_norm(b))").as("hoisted")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"id ${r.getLong(0)}: fused ${r.getDouble(1)} != hoisted ${r.getDouble(2)}")
+    }
+  }
+
+  test("vec_dot length mismatch throws loudly") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val bad = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] { bad.select(expr("vec_dot(a, b)")).collect() }
+    def rootChain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(rootChain)
+    assert(rootChain(e).exists(_.getMessage != null) &&
+      rootChain(e).exists(t =>
+        Option(t.getMessage).exists(_.contains("length mismatch"))))
+  }
+
   test("length mismatch throws loudly in codegen AND interpreted paths") {
     GraftFunctions.register(spark)
     import spark.implicits._
