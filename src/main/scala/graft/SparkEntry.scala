@@ -844,10 +844,14 @@ object SparkEntry {
     // oracle there (empty both sides, certified by the oracle itself).
     // Where real near-pairs exist (the sf1 headroom fixture has 61 in
     // the 0.90-0.94 band) candidate recall is probabilistic — gated by
-    // q_embed_recall_bounds below; 16 tables keep design recall ≥ 0.93
-    // at 0.90 / 0.995 at the 0.95 default
+    // q_embed_recall_bounds below. 16 tables + Hamming-1 multi-probe
+    // push design recall at 0.90 from ~93% to ~0.99996 (the r10 sf1
+    // sweep measured exactly the 93% regime: 60/61) — at sf1 the row is
+    // value-equal to the brute-force oracle, closing the last named
+    // exclusion
     "q_embed_dup_pairs" -> ((s, dir) =>
-      Dedup.embeddingDupPairs(embeds(s, dir), threshold = 0.9, tables = 16)),
+      Dedup.embeddingDupPairs(embeds(s, dir), threshold = 0.9, tables = 16,
+        probeHamming = 1)),
     // sampled-exact recall envelope for the multi-table sign-LSH: the
     // deterministic %5 anchor slice makes the exact reference |sample|×n
     // instead of n² (engine AND oracle compute the identical relation);

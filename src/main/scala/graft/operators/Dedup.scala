@@ -1090,37 +1090,69 @@ object Dedup {
     * only p^12 ≈ 16% of true pairs at cosine 0.90 (28% at 0.95) — the
     * sf1 gate caught exactly this (10 of 61 real pairs survived one
     * table). Defaults (12 bits × 8 tables) give ~74% at 0.90 / ~93% at
-    * 0.95; callers needing more raise `tables` (16 → 93% / 99.5%).
-    * Recall is driver-gated by the sampled-exact envelope
-    * (q_embed_recall_bounds); the exact-equality sibling applies only
-    * where the true pair set is empty.
+    * 0.95; callers needing more raise `tables` (16 → 93% / 99.5%) or set
+    * `probeHamming = 1` — multi-probe LSH (Lv et al. 2007, VLDB): one
+    * side of the candidate join ALSO visits the nBits buckets at Hamming
+    * distance 1, so a pair is caught when the two buckets differ in at
+    * most one bit in ANY table. Per-table catch probability rises from
+    * p^nBits to p^nBits + nBits·p^(nBits−1)(1−p) — at cosine 0.90,
+    * 12 bits × 16 tables goes from ~93% to 1−(1−0.47)^16 ≈ 0.99996 —
+    * recall headroom that would otherwise cost ~5× more tables. Probing
+    * is asymmetric (probe-expanded rows against exact-bucket rows, the
+    * [[semanticDedupProbed]] discipline), so candidate volume multiplies
+    * by nBits+1 on one side only, and candidates remain a SUBSET of the
+    * exact pair relation — precision stays 1.0.
     *
-    * Plan: the candidate join carries IDS ONLY (the minhash band-join
-    * discipline — vectors ×tables through the exchange would multiply
-    * wire volume); vectors rejoin once on each side of the DISTINCT
-    * candidate relation. Bucket occupancy² bounds per-table candidate
-    * volume via nBits; table count multiplies candidates linearly.
+    * Plan: the cosine + threshold filter are FUSED into the bucket join
+    * (vectors and their hoisted norms ride through; vec_dot/(norm·norm)
+    * is bit-identical to vec_cosine): the candidate relation — the
+    * largest relation in the query, ×occupancy above the bucket rows —
+    * is never shuffled, and the pair-dedup touches only threshold
+    * survivors. The previous ids-only shape shuffled the candidate
+    * relation twice (DISTINCT + two vector re-joins); the fused shape
+    * instead shuffles the bucket rows with their ~dim·4-byte payloads —
+    * O(n·tables·(1+probes)) rows, linear in the corpus with balanced
+    * keys by construction (nBits bounds occupancy).
     */
   def embeddingDupPairs(
       embeddings: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
       dim: Int = 64, nBits: Int = 12, threshold: Double = 0.95, seed: Long = 42L,
-      tables: Int = 8): DataFrame = {
+      tables: Int = 8, probeHamming: Int = 0): DataFrame = {
     require(tables >= 1, "at least one hash table")
+    require(probeHamming == 0 || probeHamming == 1,
+      "probeHamming must be 0 (exact buckets) or 1 (probe Hamming-1 neighbors)")
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val bandRows = Similarity.withSignBuckets(
         embeddings, vecCol, idCol, dim, nBits, tables, seed)
-      .select(col(idCol), posexplode(col("__buckets")).as(Seq("__t", "__bucket")))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
-        col("a.__t") === col("b.__t") && col("a.__bucket") === col("b.__bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val vecs = embeddings.select(col(idCol), col(vecCol))
-    val pairs = cand
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("__av")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("__bv")), "id_b")
-    Similarity.withCosine(pairs, "__av", "__bv", Seq("id_a", "id_b"))
-      .withColumn("cosine", expr("round(cosine, 6)"))
+      .withColumn("__n", expr(s"vec_norm(`$vecCol`)"))
+      .select(col(idCol), col(vecCol), col("__n"),
+        posexplode(col("__buckets")).as(Seq("__t", "__bucket")))
+    val bSide = bandRows.select(col(idCol).as("__bid"), col(vecCol).as("__bv"),
+      col("__n").as("__bn"), col("__t"), col("__bucket"))
+    val aSide =
+      if (probeHamming == 0)
+        bandRows.select(col(idCol).as("__aid"), col(vecCol).as("__av"),
+          col("__n").as("__an"), col("__t"), col("__bucket"))
+      else
+        bandRows.select(col(idCol).as("__aid"), col(vecCol).as("__av"),
+          col("__n").as("__an"), col("__t"),
+          explode(expr(s"""transform(sequence(0, $nBits),
+            j -> CASE WHEN j = 0 THEN __bucket
+                 ELSE __bucket ^ shiftleft(CAST(1 AS BIGINT), j - 1) END)"""))
+            .as("__bucket"))
+    // exact-vs-exact is symmetric — halve with a strict order; the probed
+    // join is not (a probes, b stays exact), so both directions must run
+    // and the pair key is normalized at the survivor stage
+    val idCond =
+      if (probeHamming == 0) col("__aid") < col("__bid")
+      else col("__aid") =!= col("__bid")
+    aSide.join(bSide, Seq("__t", "__bucket")).filter(idCond)
+      .select(col("__aid"), col("__bid"),
+        expr("round(vec_dot(__av, __bv) / (__an * __bn), 6)").as("cosine"))
       .filter(col("cosine") >= threshold)
+      .select(least(col("__aid"), col("__bid")).as("id_a"),
+        greatest(col("__aid"), col("__bid")).as("id_b"), col("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact cosine pairs RESTRICTED to anchors satisfying `anchorPred`
