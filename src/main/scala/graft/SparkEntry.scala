@@ -1435,9 +1435,20 @@ object SparkEntry {
         s"CASE WHEN v$b > 0 THEN ${pow2(b)} ELSE 0 END").mkString(" + ")
       val hi = (0 until 32).map(b =>
         s"CASE WHEN v${b + 32} > 0 THEN ${pow2(b)} ELSE 0 END").mkString(" + ")
-      s"""WITH toks AS (
+      s"""WITH toks0 AS (
           SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t != '')) AS w
           FROM documents WHERE lower(text) IS NOT NULL),
+        toks AS (
+          -- LOUD precondition, not a mystery hash mismatch: the unrolled
+          -- XXH64 below assumes ASCII tokens (unicode(c) = UTF-8 byte
+          -- only below 0x80) under 32 bytes (no >=32-byte accumulator
+          -- path). A fixture change violating either must fail with this
+          -- message, not an opaque pair-set divergence.
+          SELECT doc_id, CASE
+            WHEN strlen(w) >= 32 OR strlen(w) != length(w)
+            THEN error('simhash oracle precondition violated (token must be ASCII and < 32 bytes): ' || w)
+            ELSE w END AS w
+          FROM toks0),
         th AS (${tokenHash.replace("@TOKS@", "toks")}),
         v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
         sg AS (SELECT doc_id, CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi FROM v),

@@ -786,6 +786,9 @@ object Dedup {
     * lineage mid-iteration, whereas reliable blocks recompute from the
     * checkpoint files. Same labels either way (spec-pinned); the knob
     * trades per-round write cost for executor-loss survival.
+    * `checkpointEvery` (reliable mode only, [[Graph.pageRank]] parity)
+    * stretches the write cadence: checkpoint every N rounds, re-planning
+    * at most N rounds from the last checkpoint on loss.
     *
     * Operational notes for the knob: `setCheckpointDir` is SparkContext-
     * GLOBAL, so give concurrent knobbed jobs the same dir (it is only set
@@ -800,19 +803,26 @@ object Dedup {
     */
   def components(
       vertices: DataFrame, pairs: DataFrame, maxIterations: Int = 20,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None, checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     checkpointDir.foreach { d =>
-      val sc = vertices.sparkSession.sparkContext
-      // setCheckpointDir appends a UUID subdir, so compare by containment
-      if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+      Checkpoints.ensureCheckpointDir(vertices.sparkSession.sparkContext, d)
     }
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // knob parity with pageRank: with a reliable dir, pay the checkpoint
+    // write only every `checkpointEvery` rounds — between them the plan
+    // deepens by at most that many rounds and recomputes from the last
+    // checkpoint on executor loss (mixing in localCheckpoint here would
+    // void the survival guarantee the reliable dir buys). Labels are
+    // identical at any cadence (spec-pinned).
+    def truncate(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined) {
+        if (round % checkpointEvery == 0) df.checkpoint() else df
+      } else df.localCheckpoint()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component_id")))
+      .select(col("id"), col("id").as("component_id")), 0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -824,7 +834,7 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component_id"), coalesce(col("__nmin"), col("component_id")))
-            .as("component_id")))
+            .as("component_id")), iter + 1)
       val changed = next.join(labels.withColumnRenamed("component_id", "__old"), "id")
         .filter(col("component_id") =!= col("__old")).count()
       labels = next

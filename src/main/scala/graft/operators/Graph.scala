@@ -51,11 +51,9 @@ object Graph {
     require(iterations >= 1, "at least one iteration")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     checkpointDir.foreach { d =>
-      val sc = nodes.sparkSession.sparkContext
-      // setCheckpointDir appends a UUID subdir, so compare by containment;
       // the dir is SparkContext-global — see components' scaladoc for the
       // shared-dir and cleanCheckpoints operational notes
-      if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+      Checkpoints.ensureCheckpointDir(nodes.sparkSession.sparkContext, d)
     }
     val dir = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))

@@ -13,6 +13,16 @@ import java.sql.Timestamp
 case class SessionAgg(
     start: Timestamp, last: Timestamp, nEvents: Long, valueCents: Long)
 
+/** Per-user OPEN-SESSION SET for streaming sessionization: the watermark
+  * admits events anywhere in [wm, ∞), so a user can have several
+  * not-yet-closable sessions in flight at once — a straggler more than a
+  * gap before the newest session must be HELD (it may merge with further
+  * in-watermark stragglers, exactly as batch would) rather than emitted
+  * as an immediately-closed singleton. Sessions are disjoint and sorted;
+  * the set size is bounded by watermark-horizon / gap.
+  */
+case class SessionsState(sessions: Seq[SessionAgg])
+
 /** One buffered event for streaming rolling features (top-level for the
   * state-encoder codegen, like [[SessionAgg]]).
   */
@@ -400,7 +410,13 @@ object Events {
               // "__close" sentinels advance the watermark only
             }
           }
-          val (ripe, waiting) = pending.partition(_.ts <= wm)
+          // strict <, not <=: Spark's late filter drops only rows
+          // STRICTLY older than the watermark, so a click with
+          // click_ts == purchase_ts == wm can still arrive in a later
+          // micro-batch — ripening at equality would emit the purchase
+          // before that touch lands (latency is unchanged: the timeout
+          // anchor already waits for wm + 1)
+          val (ripe, waiting) = pending.partition(_.ts < wm)
           val out = ripe.iterator.flatMap { p =>
             val touches = clicks
               .filter(c => c.ts >= p.ts - attrMs && c.ts <= p.ts)
@@ -465,8 +481,18 @@ object Events {
         col("click_ts"), col("purchase_ts"), col("value_cents"))
   }
 
-  /** Streaming sessionization via flatMapGroupsWithState: emits a session
-    * row when the inactivity gap times out. State per user is O(1).
+  /** Streaming sessionization via flatMapGroupsWithState over a per-user
+    * OPEN-SESSION SET ([[SessionsState]]). Each admitted event joins the
+    * set as a singleton; the set is then re-sorted and adjacent sessions
+    * within the gap are merged — the same "sort, split on gap" rule the
+    * batch form applies globally, so any in-watermark arrival order
+    * (stragglers before the current session's start, mutually-within-gap
+    * straggler groups, events bridging two open sessions) converges to
+    * the batch answer. A session emits only once the watermark passes
+    * `session_end + gap` — the first moment no admissible event
+    * (ts ≥ wm) can extend or merge it (merging from BELOW start needs
+    * ts ≥ start − gap, and start − gap < last + gap < wm already).
+    * State per user is O(watermark-horizon / gap) sessions.
     */
   def sessionizeStream(
       spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
@@ -477,50 +503,37 @@ object Events {
       .withWatermark("ts", "1 hour")
       .as[(Long, Timestamp, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionAgg, (Long, Timestamp, Timestamp, Long, Long)](
+      .flatMapGroupsWithState[SessionsState, (Long, Timestamp, Timestamp, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (user, rows, state: GroupState[SessionAgg]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator((user, s.start, s.last, s.nEvents, s.valueCents))
-          } else {
-            val sorted = rows.toSeq.sortBy(_._2.getTime)
-            var closed = List.empty[(Long, Timestamp, Timestamp, Long, Long)]
-            var cur = state.getOption
-            sorted.foreach { case (_, ts, cents) =>
-              cur match {
-                case Some(s) if ts.getTime - s.last.getTime <= gapMs &&
-                    s.start.getTime - ts.getTime <= gapMs =>
-                  // clamped extension: a later micro-batch can deliver an
-                  // in-watermark event anywhere relative to the session —
-                  // older than last (negative gap) must not move
-                  // session_end or the timeout anchor backwards, and
-                  // within-gap BEFORE start must extend session_start
-                  // downward (batch sorts globally, so it would merge).
-                  val newStart = if (ts.getTime < s.start.getTime) ts else s.start
-                  val newLast = if (ts.getTime > s.last.getTime) ts else s.last
-                  cur = Some(SessionAgg(newStart, newLast, s.nEvents + 1, s.valueCents + cents))
-                case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
-                  // in-watermark but MORE than a gap before session_start:
-                  // batch would place it in its own earlier session, not
-                  // this one — emit it as a closed singleton (it cannot
-                  // retroactively merge with even-older unseen events;
-                  // exact for the common case of an isolated straggler)
-                  closed ::= ((user, ts, ts, 1L, cents))
-                case Some(s) =>
-                  closed ::= ((user, s.start, s.last, s.nEvents, s.valueCents))
-                  cur = Some(SessionAgg(ts, ts, 1L, cents))
-                case None =>
-                  cur = Some(SessionAgg(ts, ts, 1L, cents))
+        case (user, rows, state: GroupState[SessionsState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val held = state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
+          val incoming =
+            if (state.hasTimedOut) Vector.empty
+            else rows.map { case (_, ts, cents) =>
+              SessionAgg(ts, ts, 1L, cents)
+            }.toVector
+          // batch's grouping rule restated on disjoint session runs:
+          // sort by start, merge while the successor begins within a gap
+          // of the predecessor's end
+          val merged = (held ++ incoming).sortBy(_.start.getTime)
+            .foldLeft(Vector.empty[SessionAgg]) { (acc, s) =>
+              acc.lastOption match {
+                case Some(p) if s.start.getTime - p.last.getTime <= gapMs =>
+                  val last = if (s.last.getTime > p.last.getTime) s.last else p.last
+                  acc.init :+ SessionAgg(p.start, last,
+                    p.nEvents + s.nEvents, p.valueCents + s.valueCents)
+                case _ => acc :+ s
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last.getTime + gapMs)
-            }
-            closed.reverseIterator
+          val (ripe, open) = merged.partition(_.last.getTime + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            val anchor = open.iterator.map(_.last.getTime + gapMs).min + 1
+            state.setTimeoutTimestamp(math.max(anchor, wm + 1))
           }
+          ripe.iterator.map(s => (user, s.start, s.last, s.nEvents, s.valueCents))
       }
       .toDF("user_id", "session_start", "session_end", "n_events", "value_cents")
   }
@@ -622,8 +635,10 @@ object Events {
     */
   def scd2HistoryStream(
       spark: SparkSession, changes: DataFrame,
-      settleMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+      settleMinutes: Int = 30, watermark: String = "1 hour",
+      maxEpochChanges: Int = 100000): DataFrame = {
     import spark.implicits._
+    require(maxEpochChanges >= 1, "maxEpochChanges must be positive")
     val settleMs = settleMinutes * 60L * 1000L
     val ord = cdcOrd // the batch fold's struct order, UTF-8 binary
     changes
@@ -659,6 +674,17 @@ object Events {
             else {
               val merged = st.versions ++
                 real.map(r => CdcChange(r._2, r._3, r._4))
+              // per-id state is bounded by the settle contract — an id
+              // that NEVER goes quiet for settleMinutes would grow its
+              // epoch buffer without limit; fail loudly at the cap (the
+              // rangeJoin maxBucketsPerInterval discipline) instead of
+              // letting the state store swell silently
+              if (merged.size > maxEpochChanges)
+                throw new IllegalStateException(
+                  s"scd2HistoryStream: id $id holds ${merged.size} un-settled changes " +
+                    s"(> maxEpochChanges = $maxEpochChanges) — the id never went quiet for " +
+                    s"settleMinutes = $settleMinutes; raise the cap, shorten the settle window, " +
+                    "or run the batch scd2History form")
               val lastMs = math.max(st.lastMs, real.iterator.map(_._5.getTime).max)
               state.update(Scd2State(merged, lastMs, dirty = true))
               state.setTimeoutTimestamp(

@@ -513,6 +513,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reliable == local)
     assert(new java.io.File(ckDir).listFiles().nonEmpty,
       "reliable checkpoint files must actually be written under the dir")
+    // cadence parity (pageRank's checkpointEvery knob): stretching the
+    // reliable-write interval only deepens the between-checkpoint plan,
+    // never the labels
+    val every3 = Dedup.components(vertices, pairs,
+        checkpointDir = Some(ckDir), checkpointEvery = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(every3 == local,
+      s"labels must be cadence-independent: $every3 vs $local")
   }
 
   test("semanticDedupProbed: full probe equals exact; partial probe is one-sided") {

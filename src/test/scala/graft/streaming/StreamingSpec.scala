@@ -191,6 +191,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"user 8's straggler must close alone, leaving [60,60] intact: $got")
   }
 
+  test("two mutually-within-gap stragglers MERGE into one session, as batch would") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftstrag")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def stage(i: Int,
+        rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graftstrag$i").resolve("out")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = dir.resolve(f"chunk_$i%02d.parquet")
+      Files.copy(part.toPath, dest)
+      assert(dest.toFile.setLastModified(System.currentTimeMillis() + i * 2000L))
+    }
+    val noProps = null.asInstanceOf[String]
+    // batch 1: user 9 session [60, 70]
+    stage(1, Seq((1L, at(60), 9L, "view", 1.0, noProps),
+      (2L, at(70), 9L, "view", 1.0, noProps)))
+    // batch 2 (within the 1h watermark of max=70): stragglers at minutes
+    // 5 and 15 — each > 30-min gap below start 60, but within one gap of
+    // EACH OTHER: batch sorts globally and yields sessions [5,15] and
+    // [60,70]; the pre-buffering sessionizer emitted [5,5] and [15,15]
+    stage(2, Seq((3L, at(5), 9L, "view", 1.0, noProps),
+      (4L, at(15), 9L, "view", 1.0, noProps),
+      (-1L, at(60 * 24 * 10), 9L, "__close", 0.0, noProps)))
+    val got = Events.runAvailableNow(spark,
+      Events.sessionizeStream(spark,
+        Events.readEventsStream(spark, dir.toString, maxFilesPerTrigger = 1)),
+      complete = false)
+      .filter(col("user_id") === 9L)
+      .collect().map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got == Set((at(5), at(15), 2L), (at(60), at(70), 2L)),
+      s"stragglers must merge into one [5,15] session: $got")
+  }
+
   /** Stages the fixture into `nChunks` contiguous TIME-ordered part files
     * (plus optionally the per-user close sentinel, last) with sequenced
     * modification times, so `maxFilesPerTrigger = 1` yields one
@@ -1003,6 +1040,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       c1.unionAll(c2).drop("ts"))
     assert(folded.exceptAll(batch).count() == 0 &&
       batch.exceptAll(folded).count() == 0)
+  }
+
+  test("SCD2 epoch buffer over maxEpochChanges fails LOUDLY, not silently growing") {
+    import spark.implicits._
+    def at(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // three changes to one id in a single wave, cap = 2: the id's epoch
+    // buffer would exceed the cap before any settle emission
+    val c1 = Seq(
+      (1L, 1L, "upsert", Option("a1"), at(0)),
+      (1L, 2L, "upsert", Option("a2"), at(1)),
+      (1L, 3L, "upsert", Option("a3"), at(2)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val sentinel = Seq((-1L, 0L, "__close", Option.empty[String],
+      new java.sql.Timestamp(at(0).getTime + 10L * 86400 * 1000)))
+      .toDF("doc_id", "seq", "op", "text", "ts")
+    val staged = Events.stageChunkedStream(Seq(c1, sentinel))
+    val schema = spark.read.parquet(staged).schema
+    val e = intercept[Exception] {
+      Events.runAvailableNow(spark,
+        Events.scd2HistoryStream(spark,
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged),
+          maxEpochChanges = 2),
+        complete = false)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("maxEpochChanges"))),
+      s"expected the named maxEpochChanges error, got: $e")
   }
 
   test("multimodal decode extracts fake-header metadata partition-wise") {
