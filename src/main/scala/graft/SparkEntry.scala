@@ -454,6 +454,13 @@ object SparkEntry {
     "q_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(docs(s, dir), k = 20, w = 16, minShared = 3,
         maxFpFreq = 100)),
+    // exact repeated-substring removal spans (ExactSubstr, Lee et al.
+    // 2022): every position whose 40-gram occurs more than once in the
+    // corpus is covered; covered chars merge to per-doc maximal spans.
+    // Hash-prefilter + exact-gram confirm engine-side; the oracle
+    // re-derives the identical relation with direct gram grouping
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.repeatedSubstringSpans(docs(s, dir), minLen = 40)),
     // document chunking: fixed 32-token windows with 4-token overlap
     // (stride 28) — chunk boundaries, coverage, and rejoined chunk text
     // are all deterministic token arithmetic both engines share
@@ -3069,6 +3076,32 @@ object SparkEntry {
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
         FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 3""",
+    // ExactSubstr spans: per-position 40-grams (char semantics — length/
+    // substr, matching Spark's length/substring), grams appearing > 1
+    // time corpus-wide, covered windows merged gaps-and-islands
+    // (adjacent windows fuse: break only when a position clears the
+    // running coverage end by more than one char).
+    "q_substring_dedup" ->
+      """WITH mx AS (SELECT coalesce(max(length(text)), 0) AS m FROM documents),
+        nums AS (SELECT unnest(range(1, (SELECT m + 1 FROM mx))) AS i),
+        pos AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS i, substr(text, CAST(i AS BIGINT), 40) AS gram
+          FROM documents CROSS JOIN nums
+          WHERE i <= length(text) - 39),
+        dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) > 1),
+        dp AS (SELECT doc_id, i FROM pos WHERE gram IN (SELECT gram FROM dup)),
+        isl AS (
+          SELECT doc_id, i,
+            CASE WHEN i > coalesce(max(i + 39) OVER (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1000000) + 1
+              THEN 1 ELSE 0 END AS brk
+          FROM dp),
+        grp AS (SELECT doc_id, i,
+            sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g
+          FROM isl)
+        SELECT doc_id, min(i) AS span_start, max(i) + 39 AS span_end,
+          max(i) + 39 - min(i) + 1 AS span_len
+        FROM grp GROUP BY doc_id, g""",
     // Chunking: same integer window arithmetic (stride 28 = 32 - 4;
     // nChunks = max(1, ceil((n - overlap)/stride)); 1-based clamped
     // slices rejoined with single spaces).

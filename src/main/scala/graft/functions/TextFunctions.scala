@@ -75,6 +75,76 @@ object WinnowImpl {
   }
 }
 
+/** O(n) per-position k-gram rolling hashes for exact-substring dedup
+  * candidate generation ([[graft.operators.Dedup.repeatedSubstringSpans]]):
+  * element i (0-based) is a 64-bit polynomial hash (base 1000003,
+  * wrap-around mod 2⁶⁴) of the k CODEPOINTS starting at codepoint i —
+  * one O(1) roll per position instead of the O(k) substring + re-hash a
+  * naive formulation pays (k = 40 ⇒ ~40× less hash work per corpus
+  * char). Codepoint stepping matches Spark `substring`'s character
+  * semantics, so a hash bucket always corresponds to a character-aligned
+  * gram. PREFILTER-grade only: callers must confirm survivors with exact
+  * gram equality (a 64-bit hash collides at corpus scale — ~2⁻⁶⁵·n²
+  * expected pairs, certain at 100 TB).
+  */
+object GramHashesImpl {
+  final val Base = 1000003L
+
+  def hashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val nCp = str.codePointCount(0, str.length)
+    if (nCp < k) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](nCp)
+    var ci = 0; var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      cps(ci) = cp; ci += 1; off += Character.charCount(cp)
+    }
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    val out = new Array[Long](nCp - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + cps(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= nCp - k) {
+      h = (h - cps(i - 1) * pow) * Base + cps(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression wrapping [[GramHashesImpl.hashes]] —
+  * `gram_hashes(text, k)`, same codegen shape as [[TextWinnow]].
+  */
+case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"gram_hashes expects STRING, got ${child.dataType.simpleString}")
+    else if (k < 2)
+      TypeCheckResult.TypeCheckFailure("gram_hashes needs k >= 2")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    GramHashesImpl.hashes(a.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramHashesImpl$$.MODULE$$.hashes($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
 /** Native Catalyst expression wrapping [[WinnowImpl.winnow]] — codegen
   * and interpreted eval share ONE implementation (a static JVM call from
   * the generated stage, like Spark's own regexp/UTF8String intrinsics),

@@ -377,6 +377,9 @@ object GraftFunctions {
     ("text_winnow",
       (es: Seq[Expression]) => TextWinnow(es(0), litInt(es(1)), litInt(es(2))),
       "text_winnow(text, k, w) - winnowed k-gram fingerprint minima (MOSS)"),
+    ("gram_hashes",
+      (es: Seq[Expression]) => GramHashes(es(0), litInt(es(1))),
+      "gram_hashes(text, k) - per-position rolling k-gram hashes (prefilter-grade)"),
     ("zorder2",
       (es: Seq[Expression]) => ZOrder2(es(0), es(1)),
       "zorder2(x, y) - 2-D Z-order (Morton) interleave of two BIGINTs' low 31 bits"))

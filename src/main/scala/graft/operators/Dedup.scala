@@ -1089,6 +1089,75 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** EXACT repeated-substring removal spans — the ExactSubstr dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", ACL): a character position is duplicated when the
+    * `minLen`-gram starting there occurs MORE THAN ONCE anywhere in the
+    * corpus (another document or another offset of the same document);
+    * the union of duplicated windows is emitted as per-document maximal
+    * removal spans (1-based, inclusive). The windowed definition equals
+    * the paper's "substring of length ≥ minLen appearing ≥ 2 times":
+    * every such repeat has all its `minLen`-windows repeated, so its
+    * full extent is covered, and every covered char lies inside such a
+    * repeat.
+    *
+    * Plan (the distributed stand-in for the paper's single-node suffix
+    * array, which cannot shard): candidate generation runs on O(1)-per-
+    * position ROLLING hashes (`gram_hashes`, a codegen Expression — one
+    * O(n) pass per document instead of O(n·minLen) substring
+    * materialization; at minLen 40 that is ~40× less hash work per
+    * corpus char), aggregated with ONE two-phase groupBy on the 8-byte
+    * hash — map-side partial counts are what keep a boilerplate-hot gram
+    * from concentrating in a single task (the reason this is a groupBy +
+    * semi-join and NOT a count-over-window, which has no partial phase).
+    * Hash survivors — the duplicated fraction plus stray collisions —
+    * then re-join their documents' text and are CONFIRMED with exact
+    * gram string equality, so a 64-bit collision (certain at 100 TB
+    * gram counts) can never fabricate a span; the expensive string
+    * aggregation touches only survivors, not the corpus. Span assembly
+    * is the gaps-and-islands pattern per document, windowed over the
+    * duplicated positions only. Total cost is O(corpus chars) rows
+    * through skinny linear shuffles; the honest comparison is the
+    * paper's own answer, a single machine memory-mapping a suffix
+    * array, which stops at one node.
+    */
+  def repeatedSubstringSpans(
+      docs: DataFrame, minLen: Int = 40, textCol: String = "text"): DataFrame = {
+    require(minLen >= 2, "minLen must be at least 2")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val posH = docs
+      .select(col("doc_id"),
+        posexplode(expr(s"gram_hashes(`$textCol`, $minLen)")).as(Seq("__p", "__h")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("__i"), col("__h"))
+    val dupH = posH.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    val candPos = posH.join(dupH, Seq("__h"), "left_semi")
+    val candGram = candPos
+      .join(docs.select(col("doc_id"), col(textCol).as("__text")), Seq("doc_id"))
+      .select(col("doc_id"), col("__i"),
+        expr(s"substring(__text, CAST(__i AS INT), $minLen)").as("__gram"))
+    val dupGrams = candGram.groupBy("__gram").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__gram")
+    val dupPos = candGram.join(dupGrams, Seq("__gram"), "left_semi")
+      .select(col("doc_id"), col("__i"))
+    // gaps-and-islands: a new span starts where the position clears the
+    // running coverage end by more than one char (adjacent windows fuse —
+    // the covered-char set is what the spans partition)
+    val w = Window.partitionBy("doc_id").orderBy("__i")
+    val flagged = dupPos.withColumn("__prev_end",
+        max(col("__i") + lit(minLen - 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__prev_end").isNull ||
+          col("__i") > col("__prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("__span", sum("__brk").over(w))
+    flagged.groupBy(col("doc_id"), col("__span"))
+      .agg(min("__i").as("span_start"),
+        (max("__i") + lit(minLen - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
   /** Embedding cosine near-dup pairs via MULTI-TABLE sign-LSH: `tables`
     * independent sets of `nBits` deterministic hyperplanes bucket the
     * vectors; candidates are the union of same-(table, bucket) pairs and

@@ -35,6 +35,28 @@ class TextFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getSeq[Long](0)
   }
 
+  test("gram_hashes: rolling hash equals direct per-gram hash; equal grams collide") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def direct(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) Seq.empty
+      else cps.sliding(k).map(_.foldLeft(0L)((acc, c) => acc * 1000003L + c)).toSeq
+    }
+    val texts = Seq("abcdefghij", "shared-block-xyz and shared-block-xyz again",
+      "aaaaaaaaaa", "sh", "", "unicode: éé café café!")
+    for (t <- texts; k <- Seq(2, 4, 7)) {
+      val got = Seq(t).toDF("text")
+        .select(expr(s"gram_hashes(text, $k)")).collect()(0)
+        .getSeq[Long](0)
+      assert(got == direct(t, k), s"k=$k text='$t'")
+    }
+    // identical grams at different offsets hash identically (the
+    // prefilter property repeatedSubstringSpans relies on)
+    val hs = direct("shared-block-xyz and shared-block-xyz again", 16)
+    assert(hs(0) == hs(21))
+  }
+
   test("text_winnow matches the reference fold on assorted inputs") {
     for (s <- Seq(
         "the quick brown fox jumps over the lazy dog",

@@ -894,6 +894,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped > 100L)
   }
 
+  test("repeatedSubstringSpans: cross-doc, within-doc, and merged spans; short docs skip") {
+    // minLen = 10. Doc 1 and 2 share the 26-char block at different
+    // offsets; doc 3 repeats a 12-char block INTERNALLY twice; doc 4 is
+    // unique; doc 5 is shorter than minLen entirely.
+    val block = "ABCDEFGHIJKLMNOPQRSTUVWXYZ" // 26 chars
+    val innr = "0123456789xy"                // 12 chars
+    val spans = Dedup.repeatedSubstringSpans(docsDf(Seq(
+        (1L, s"$block--unique-tail-one-111"),          // block at 1..26
+        (2L, s"prefix2:$block==unique-tail-two"),      // block at 9..34
+        (3L, s"aa${innr}zzqq${innr}ww"),               // innr at 3..14 and 19..30
+        (4L, "entirely singular content with no repeats anywhere"),
+        (5L, "tiny"))), minLen = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_len"))).toSet
+    // shared block: all 17 of its 10-gram windows repeat → full 26-char
+    // coverage at each occurrence's offset
+    assert(spans.contains((1L, 1L, 26L, 26L)), s"doc 1 block span: $spans")
+    assert(spans.contains((2L, 9L, 34L, 26L)), s"doc 2 block span: $spans")
+    // within-doc repeat: two separate 12-char spans (gap 'zzqq' breaks)
+    assert(spans.contains((3L, 3L, 14L, 12L)) && spans.contains((3L, 19L, 30L, 12L)),
+      s"doc 3 internal repeats: $spans")
+    assert(!spans.exists(s => s._1 == 4L || s._1 == 5L),
+      s"unique and sub-minLen docs must emit nothing: $spans")
+  }
+
+  test("repeatedSubstringSpans merges overlapping coverage into one maximal span") {
+    // 'FOO...BAR' 30-char block shared; within one doc two overlapping
+    // occurrences of a repeated region produce a single merged island
+    val b = "FOO-123456789-123456789-12-BAR" // 30 chars
+    val spans = Dedup.repeatedSubstringSpans(docsDf(Seq(
+        (1L, s"$b$b tail here"),  // b twice back-to-back: coverage 1..60 contiguous
+        (2L, s"lead $b done"))), minLen = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    assert(spans.exists(s => s._1 == 1L && s._2 == 1L && s._3 >= 60L),
+      s"back-to-back occurrences must merge into one span: $spans")
+    assert(spans.count(_._1 == 1L) == 1, s"exactly one merged island for doc 1: $spans")
+  }
+
   test("chunkDocuments tiles tokens into overlapping windows exactly once") {
     // 10 tokens, maxTokens=4, overlap=1 (stride 3): [t1-t4][t4-t7][t7-t10]
     val ten = (1 to 10).map(i => s"t$i").mkString(" ")
