@@ -958,11 +958,16 @@ object Dedup {
   def semanticDedupFromCells(
       assigned: DataFrame, vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.95): DataFrame = {
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    // norm once per row BEFORE the cell self-join, not per pair
+    val withN = assigned.withColumn("__n", expr(s"vec_norm(`$vecCol`)"))
+    val pairs = withN.as("a").join(withN.as("b"),
         col("a.__cell") === col("b.__cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        col(s"a.$vecCol").as("__av"), col(s"b.$vecCol").as("__bv"))
-    val dups = Similarity.withCosine(pairs, "__av", "__bv", Seq("id_a", "id_b"))
+        col(s"a.$vecCol").as("__av"), col(s"b.$vecCol").as("__bv"),
+        col("a.__n").as("__an"), col("b.__n").as("__bn"))
+    val dups = Similarity.withCosineHoisted(pairs, "__av", "__bv", "__an", "__bn",
+        Seq("id_a", "id_b"))
       .withColumn("cosine", expr("round(cosine, 6)"))
       .filter(col("cosine") >= threshold)
       .select(col("id_b").as(idCol)).distinct
@@ -1248,7 +1253,10 @@ object Dedup {
       embeddings: DataFrame, anchorPred: String,
       vecCol: String = "embedding", idCol: String = "vec_id",
       threshold: Double = 0.95): DataFrame = {
-    val vecs = embeddings.select(col(idCol), col(vecCol))
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // norms hoisted out of the |sample|×n cross (withCosineHoisted)
+    val vecs = embeddings.select(col(idCol), col(vecCol),
+      expr(s"vec_norm(`$vecCol`)").as("__n"))
     val anchors = vecs.filter(expr(anchorPred.replace("%ID%", idCol)))
     // cosine filters BEFORE the pair-order normalization + distinct: the
     // threshold kills ~all of the |sample|×n cross rows scan-side, so the
@@ -1256,12 +1264,13 @@ object Dedup {
     // product (an early dropDuplicates here shuffled sample×n full
     // vector payloads — tens of GB at 20k vectors)
     val crossed = broadcast(anchors
-        .select(col(idCol).as("__aid"), col(vecCol).as("__av")))
-      .join(vecs.select(col(idCol).as("__bid"), col(vecCol).as("__bv")),
+        .select(col(idCol).as("__aid"), col(vecCol).as("__av"), col("__n").as("__an")))
+      .join(vecs.select(col(idCol).as("__bid"), col(vecCol).as("__bv"), col("__n").as("__bn")),
         col("__aid") =!= col("__bid"))
-    Similarity.withCosine(
-        crossed.select(col("__aid"), col("__bid"), col("__av"), col("__bv")),
-        "__av", "__bv", Seq("__aid", "__bid"))
+    Similarity.withCosineHoisted(
+        crossed.select(col("__aid"), col("__bid"), col("__av"), col("__bv"),
+          col("__an"), col("__bn")),
+        "__av", "__bv", "__an", "__bn", Seq("__aid", "__bid"))
       .withColumn("cosine", expr("round(cosine, 6)"))
       .filter(col("cosine") >= threshold)
       .select(

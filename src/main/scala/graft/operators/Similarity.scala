@@ -46,6 +46,21 @@ object Similarity {
       expr(s"vec_cosine(`$aCol`, `$bCol`)").as("cosine")): _*)
   }
 
+  /** [[withCosine]] with the two norms hoisted by the CALLER — computed
+    * once per join-INPUT row instead of once per candidate pair, a ~3×
+    * flop cut wherever pair volume ≫ row volume (the brute-force cross,
+    * the cell self-join). `vec_dot/(norm·norm)` is bit-identical to
+    * `vec_cosine` (same accumulation order — see [[graft.functions
+    * .FloatVecDot]]), so oracle parity is unaffected.
+    */
+  private[operators] def withCosineHoisted(
+      df: DataFrame, aCol: String, bCol: String,
+      aNorm: String, bNorm: String, keep: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select((keep.map(col) :+
+      expr(s"vec_dot(`$aCol`, `$bCol`) / (`$aNorm` * `$bNorm`)").as("cosine")): _*)
+  }
+
   /** Deterministic random hyperplanes (seeded), inlined as literals. */
   private[operators] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Seq[Double]] = {
     val r = new Random(seed)
@@ -121,14 +136,21 @@ object Similarity {
   def cosineTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val joined = corpus.as("c")
-      .join(broadcast(queries.as("q")), col(s"q.$idCol") =!= col(s"c.$idCol"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // norms hoisted out of the |queries|×|corpus| cross (see
+    // withCosineHoisted): one per corpus row, one per broadcast query row
+    val joined = corpus.withColumn("__cn", expr(s"vec_norm(`$vecCol`)")).as("c")
+      .join(broadcast(
+          queries.withColumn("__qn", expr(s"vec_norm(`$vecCol`)")).as("q")),
+        col(s"q.$idCol") =!= col(s"c.$idCol"))
       .select(
         col(s"q.$idCol").as("query_id"),
         col(s"c.$idCol").as("match_id"),
         col(s"q.$vecCol").as("__qv"),
-        col(s"c.$vecCol").as("__cv"))
-    withCosine(joined, "__qv", "__cv", Seq("query_id", "match_id"))
+        col(s"c.$vecCol").as("__cv"),
+        col("__qn"), col("__cn"))
+    withCosineHoisted(joined, "__qv", "__cv", "__qn", "__cn",
+        Seq("query_id", "match_id"))
       .withColumn("cosine", expr("round(cosine, 6)"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("match_id"))))
