@@ -515,7 +515,7 @@ object SparkEntry {
     // pair beyond all probed cells would reopen the named-exclusion
     // discipline, never over-drop.
     "q_semantic_dedup" -> ((s, dir) =>
-      Dedup.semanticDedupProbed(ivfIndex(s, dir), probes = 4, threshold = 0.9)),
+      Dedup.semanticDedupProbed(ivfIndex(s, dir), probes = 12, threshold = 0.9)),
     // composed cleaning recipe: dedup + quality floor + language filter
     "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
     // near-dup-aware cleaning: only near-dup-component canonicals survive

@@ -936,8 +936,17 @@ object Dedup {
     val k =
       if (nClusters > 0) nClusters
       else Similarity.autoNLists(embeddings.count())
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // spherical k-means, same rationale (and same normalizer arithmetic)
+    // as [[Similarity.ivfFit]]: the dedup threshold is an ANGLE, so cells
+    // must partition the unit sphere — raw-L2 cells split cosine-close,
+    // norm-distant pairs and inflate the one-sided recall loss
     val featured = embeddings.select(col(idCol), col(vecCol))
-      .withColumn("__v", array_to_vector(col(vecCol)))
+      .withColumn("__nrm", expr(s"vec_norm(`$vecCol`)"))
+      .withColumn("__v", array_to_vector(expr(
+        s"""CASE WHEN __nrm = 0 THEN `$vecCol`
+           | ELSE transform(`$vecCol`,
+           |   x -> CAST(CAST(x AS DOUBLE) / __nrm AS FLOAT)) END""".stripMargin)))
     val fitInput =
       if (fitSampleFraction >= 1.0) featured
       else featured.sample(withReplacement = false, fitSampleFraction, seed)
@@ -1183,9 +1192,14 @@ object Dedup {
     * 12 bits × 16 tables goes from ~93% to 1−(1−0.47)^16 ≈ 0.99996 —
     * recall headroom that would otherwise cost ~5× more tables. Probing
     * is asymmetric (probe-expanded rows against exact-bucket rows, the
-    * [[semanticDedupProbed]] discipline), so candidate volume multiplies
-    * by nBits+1 on one side only, and candidates remain a SUBSET of the
-    * exact pair relation — precision stays 1.0.
+    * [[semanticDedupProbed]] discipline) and UP-ONLY — a row probes only
+    * the buckets that flip one of its ZERO bits, which assigns every
+    * Hamming-1 pair exactly one canonical catch direction (the zero-bit
+    * side probes) — so the probe fan-out is 1 + popcount-of-zeros
+    * (≈ 1 + nBits/2 expected) instead of 1 + nBits, and no candidate is
+    * generated twice from the two directions: HALF the candidate volume
+    * of naive both-direction probing for identical coverage. Candidates
+    * remain a SUBSET of the exact pair relation — precision stays 1.0.
     *
     * Plan: the cosine + threshold filter are FUSED into the bucket join
     * (vectors and their hoisted norms ride through; vec_dot/(norm·norm)
@@ -1216,21 +1230,37 @@ object Dedup {
     val aSide =
       if (probeHamming == 0)
         bandRows.select(col(idCol).as("__aid"), col(vecCol).as("__av"),
-          col("__n").as("__an"), col("__t"), col("__bucket"))
+          col("__n").as("__an"), col("__t"), col("__bucket"),
+          lit(true).as("__ident"))
       else
+        // UP-probes only: flip each ZERO bit to one (j = 0 keeps the
+        // exact bucket). A pair whose buckets differ in exactly bit j has
+        // one member with that bit 0 — its up-probe lands in the other's
+        // exact bucket — so every Hamming-1 pair is caught in EXACTLY one
+        // direction per table and the full both-directions join
+        // (`__aid != __bid`, 2× the candidates) is unnecessary. Identity
+        // probes keep the symmetric-half `<` order; coverage (≤ 1 bit
+        // apart in any table) is unchanged.
         bandRows.select(col(idCol).as("__aid"), col(vecCol).as("__av"),
           col("__n").as("__an"), col("__t"),
-          explode(expr(s"""transform(sequence(0, $nBits),
-            j -> CASE WHEN j = 0 THEN __bucket
-                 ELSE __bucket ^ shiftleft(CAST(1 AS BIGINT), j - 1) END)"""))
-            .as("__bucket"))
-    // exact-vs-exact is symmetric — halve with a strict order; the probed
-    // join is not (a probes, b stays exact), so both directions must run
-    // and the pair key is normalized at the survivor stage
-    val idCond =
-      if (probeHamming == 0) col("__aid") < col("__bid")
-      else col("__aid") =!= col("__bid")
-    aSide.join(bSide, Seq("__t", "__bucket")).filter(idCond)
+          explode(expr(s"""filter(
+            transform(sequence(0, $nBits),
+              j -> named_struct(
+                'b', CASE WHEN j = 0 THEN __bucket
+                     ELSE __bucket | shiftleft(CAST(1 AS BIGINT), j - 1) END,
+                'up', j = 0 OR (__bucket & shiftleft(CAST(1 AS BIGINT), j - 1)) = 0,
+                'ident', j = 0)),
+            s -> s.up)""")).as("__pr"))
+          .select(col("__aid"), col("__av"), col("__an"), col("__t"),
+            col("__pr.b").as("__bucket"), col("__pr.ident").as("__ident"))
+    // exact-vs-exact (the identity probe) is symmetric — halve with a
+    // strict order. An up-probed row meets only rows whose exact bucket
+    // differs from its own (the flipped bit), so it can never meet its
+    // own id and never duplicates an identity-probe candidate; no order
+    // constraint applies (the canonical direction is "the zero-bit side
+    // probes"), and the pair key is normalized at the survivor stage.
+    aSide.join(bSide, Seq("__t", "__bucket"))
+      .filter(!col("__ident") || col("__aid") < col("__bid"))
       .select(col("__aid"), col("__bid"),
         expr("round(vec_dot(__av, __bv) / (__an * __bn), 6)").as("cosine"))
       .filter(col("cosine") >= threshold)

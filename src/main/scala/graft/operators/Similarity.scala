@@ -256,8 +256,23 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     require(fitSampleFraction > 0 && fitSampleFraction <= 1.0,
       "fitSampleFraction must be in (0, 1]")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // SPHERICAL k-means: every consumer of this index (IVF ANN probes,
+    // multi-probe SemDeDup) scores by COSINE, so the coarse quantizer
+    // must partition by angle, not raw L2 — fit and assign on
+    // unit-normalized vectors (the FAISS inner-product-IVF / published
+    // SemDeDup practice). Raw-L2 cells scatter a cosine-close pair with
+    // unequal norms into unrelated cells with unrelated centroid
+    // orderings, which is precisely the multi-probe recall killer (at
+    // sf3 — norms 0.73–2.96 — raw-L2 cells left 76 of 1125 true dup
+    // pairs unreachable at probes=4; unit-sphere cells: 0). Stored
+    // vectors stay RAW; exact cosine verification is norm-invariant.
     val featured = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__v", array_to_vector(col(vecCol)))
+      .withColumn("__nrm", expr(s"vec_norm(`$vecCol`)"))
+      .withColumn("__v", array_to_vector(expr(
+        s"""CASE WHEN __nrm = 0 THEN `$vecCol`
+           | ELSE transform(`$vecCol`,
+           |   x -> CAST(CAST(x AS DOUBLE) / __nrm AS FLOAT)) END""".stripMargin)))
     val k = if (nLists > 0) nLists else autoNLists(corpus.count())
     // At 100 TB the KMeans fit must run on a sample — centroid quality
     // converges long before the full corpus is seen (FAISS trains IVF on
@@ -299,15 +314,52 @@ object Similarity {
     in.mapPartitions { it =>
       it.map { r =>
         val vec = r.getSeq[Float](1)
-        val dists = centroids.indices.map { c =>
+        // unit-normalize before ranking — the centroids live on the unit
+        // sphere ([[ivfFit]] fits spherical k-means), so cell distance
+        // must be measured from the SAME normalized point KMeans assigned
+        // (a raw-norm query would rank cells by magnitude, not angle)
+        var nsq = 0.0
+        var i = 0
+        while (i < vec.length) { nsq += vec(i).toDouble * vec(i).toDouble; i += 1 }
+        val n = math.sqrt(nsq)
+        val unit = new Array[Float](vec.length)
+        i = 0
+        while (i < vec.length) {
+          // same arithmetic as ivfFit's SQL normalizer (CAST(x AS
+          // DOUBLE) / norm, rounded to FLOAT) so assignment and probe
+          // rank cells from bit-identical points
+          unit(i) = if (n == 0) vec(i) else (vec(i).toDouble / n).toFloat
+          i += 1
+        }
+        // bounded top-k selection: O(C·nProbe) per row instead of the
+        // full O(C log C) sort — at 100 TB the coarse quantizer holds
+        // ~sqrt(N) cells (tens of thousands), and nProbe stays ≤ ~16, so
+        // materializing + sorting every distance is the probe hot loop's
+        // avoidable cost. Ties keep ascending centroid order (strict
+        // comparisons on both the reject and the shift), bit-identical
+        // to the stable sortBy(_._1) this replaces.
+        val nSel = math.min(nProbe, centroids.length)
+        val selD = new Array[Double](nSel)
+        val selC = new Array[Int](nSel)
+        var held = 0
+        var c = 0
+        while (c < centroids.length) {
           val ctr = centroids(c)
           var d = 0.0
           var j = 0
-          val dim = math.min(ctr.length, vec.length)
-          while (j < dim) { val t = vec(j) - ctr(j); d += t * t; j += 1 }
-          (d, c)
+          val dim = math.min(ctr.length, unit.length)
+          while (j < dim) { val t = unit(j) - ctr(j); d += t * t; j += 1 }
+          if (held < nSel || d < selD(held - 1)) {
+            var pos = if (held < nSel) held else held - 1
+            while (pos > 0 && selD(pos - 1) > d) {
+              selD(pos) = selD(pos - 1); selC(pos) = selC(pos - 1); pos -= 1
+            }
+            selD(pos) = d; selC(pos) = c
+            if (held < nSel) held += 1
+          }
+          c += 1
         }
-        Row(r.get(0), r.get(1), dists.sortBy(_._1).take(nProbe).map(_._2))
+        Row(r.get(0), r.get(1), selC.take(held).toIndexedSeq)
       }
     }(RowEncoder.encoderFor(out))
   }
