@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Similarity, Stats, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Selection, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit}
 
@@ -493,6 +493,17 @@ object SparkEntry {
       TextAnalysis.mixResample(docs(s, dir), "lang",
         Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2))
         .select("doc_id", "lang")),
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // multinomials, target = lang 'en', per-bucket log-ratio micro-
+    // quantized so the per-doc sum is exact fixed-point (cross-engine
+    // hash-gated end to end; the only ln runs once per bucket)
+    "q_dsir_weights" -> ((s, dir) =>
+      Selection.dsirWeights(docs(s, dir), col("lang") === "en")),
+    // DSIR Gumbel top-k resample: fixed selection budget, deterministic
+    // md5-bucket uniform — the selected SET and perturbed keys are the
+    // oracle
+    "q_dsir_sample" -> ((s, dir) =>
+      Selection.dsirSample(docs(s, dir), col("lang") === "en", k = 1000)),
     // engine-portable packing invariants (bin IDS are partition-local by
     // design — the conserved aggregates + FFD guarantees are the
     // oracle-able face; row-level packing is spec-covered)
@@ -1374,24 +1385,43 @@ object SparkEntry {
     * keep signature 0 via the left join, matching the engine's all-zero
     * vote fold.
     */
-  private object SimhashOracleSql {
-    private val M = "18446744073709551616"
+  /** Shared DuckDB XXH64 (seed 42, Spark's `xxhash64`) machine-generated
+    * HUGEINT arithmetic — the [[SimhashOracleSql]] pipeline factored out
+    * so every oracle needing the engine token hash (SimHash pairs, DSIR
+    * hashed-n-gram buckets) mirrors the SAME arithmetic from one
+    * generator.
+    */
+  private object XxhOracleSql {
+    val M = "18446744073709551616"
     private val P1 = "11400714785074694791"
     private val P2 = "14029467366897019727"
     private val P3 = "1609587929392839161"
     private val P4 = "9650029242287828579"
     private val P5 = "2870177450012600261"
-    private def pow2(r: Int): String = java.math.BigInteger.TWO.pow(r).toString
+    def pow2(r: Int): String = java.math.BigInteger.TWO.pow(r).toString
     private def mul64(a: String, b: String): String =
       s"((($a) % 4294967296) * ($b) + " +
         s"((($a) // 4294967296) * ($b)) % 4294967296 * 4294967296) % $M"
     private def rotl(x: String, r: Int): String =
       s"((($x) * ${pow2(r)}) % $M + ($x) // ${pow2(64 - r)})"
-    private def xor(a: String, b: String): String =
+    def xor(a: String, b: String): String =
       s"xor(CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
 
+    /** LOUD oracle precondition on a (doc_id, w) relation: the unrolled
+      * XXH64 below assumes ASCII tokens (unicode(c) = UTF-8 byte only
+      * below 0x80) under 32 bytes (no >=32-byte accumulator path). A
+      * fixture change violating either must fail with this message, not
+      * an opaque hash divergence downstream.
+      */
+    def asciiGuard(inner: String, what: String): String =
+      s"""SELECT doc_id, CASE
+            WHEN strlen(w) >= 32 OR strlen(w) != length(w)
+            THEN error('$what oracle precondition violated (token must be ASCII and < 32 bytes): ' || w)
+            ELSE w END AS w
+          FROM $inner"""
+
     /** Nested-subquery pipeline: (doc_id, w) → (doc_id, w, hash). */
-    private def tokenHash: String = {
+    def tokenHash: String = {
       def le8(i: Int): String =
         (0 until 8).map(j => s"bl[${i * 8 + j + 1}] * ${pow2(8 * j)}").mkString(" + ")
       val le4 =
@@ -1432,6 +1462,10 @@ object SparkEntry {
       layers += s"SELECT doc_id, w, ${xor("a4", s"a4 // ${pow2(32)}")} AS hash FROM (@INNER@)"
       layers.tail.foldLeft(layers.head)((inner, l) => l.replace("@INNER@", inner))
     }
+  }
+
+  private object SimhashOracleSql {
+    import XxhOracleSql._
 
     /** The full q_simhash_pairs oracle statement. */
     def sql: String = {
@@ -1445,17 +1479,7 @@ object SparkEntry {
       s"""WITH toks0 AS (
           SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), t -> t != '')) AS w
           FROM documents WHERE lower(text) IS NOT NULL),
-        toks AS (
-          -- LOUD precondition, not a mystery hash mismatch: the unrolled
-          -- XXH64 below assumes ASCII tokens (unicode(c) = UTF-8 byte
-          -- only below 0x80) under 32 bytes (no >=32-byte accumulator
-          -- path). A fixture change violating either must fail with this
-          -- message, not an opaque pair-set divergence.
-          SELECT doc_id, CASE
-            WHEN strlen(w) >= 32 OR strlen(w) != length(w)
-            THEN error('simhash oracle precondition violated (token must be ASCII and < 32 bytes): ' || w)
-            ELSE w END AS w
-          FROM toks0),
+        toks AS (${asciiGuard("toks0", "simhash")}),
         th AS (${tokenHash.replace("@TOKS@", "toks")}),
         v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
         sg AS (SELECT doc_id, CAST($lo AS BIGINT) AS lo, CAST($hi AS BIGINT) AS hi FROM v),
@@ -1474,6 +1498,72 @@ object SparkEntry {
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"""
     }
+  }
+
+  /** DuckDB mirror of [[graft.operators.Selection]] (DSIR importance
+    * weights + Gumbel top-k sample): unigrams + space-joined bigrams
+    * through the shared XXH64 pipeline, bucket = hash mod 4096 (HUGEINT
+    * is unsigned, so plain `%` equals the engine's signed `& 4095`),
+    * per-bucket log-ratio micro-quantized exactly as the engine does
+    * (round(1e6·ln-ratio) — the only `ln`s on either side run once per
+    * BUCKET), per-doc sums in exact HUGEINT, one emitting division. The
+    * Gumbel key reuses the q_split md5-bucket16 arithmetic.
+    */
+  private object DsirOracleSql {
+    import XxhOracleSql._
+
+    /** CTE chain ending in `sc` = (doc_id, n_grams, sm). */
+    private def scoreCtes: String =
+      s"""WITH tl AS (
+          SELECT doc_id, (lang = 'en') AS tgt,
+            list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
+          FROM documents),
+        uni AS (SELECT doc_id, unnest(ts) AS w FROM tl),
+        big AS (
+          SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS w
+          FROM tl, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+          WHERE len(ts) >= 2),
+        grams0 AS (SELECT doc_id, w FROM uni UNION ALL SELECT doc_id, w FROM big),
+        grams AS (${asciiGuard("grams0", "dsir")}),
+        th AS (${tokenHash.replace("@TOKS@", "grams")}),
+        bc AS (SELECT doc_id, hash % 4096 AS b, count(*) AS n
+               FROM th GROUP BY 1, 2),
+        model AS (
+          SELECT b, sum(CASE WHEN t.tgt THEN n ELSE 0 END) AS ct, sum(n) AS cr
+          FROM bc JOIN tl t USING (doc_id) GROUP BY 1),
+        tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+        mw AS (
+          SELECT b, CAST(round(1e6 * (ln(ct + 1.0) - ln(cr + 1.0)
+            + ln(nr + 4096.0) - ln(nt + 4096.0))) AS HUGEINT) AS lw
+          FROM model, tot),
+        sc AS (
+          SELECT doc_id, sum(n) AS n_grams, sum(CAST(n AS HUGEINT) * lw) AS sm
+          FROM bc JOIN mw USING (b) GROUP BY 1)"""
+
+    def weightsSql: String =
+      s"""$scoreCtes
+        SELECT d.doc_id,
+          coalesce(CAST(sc.n_grams AS BIGINT), 0) AS n_grams,
+          coalesce(CAST(sc.sm AS DOUBLE) / 1e6, 0.0) AS log_weight
+        FROM documents d LEFT JOIN sc USING (doc_id)"""
+
+    def sampleSql(k: Int): String =
+      s"""$scoreCtes,
+        wsc AS (
+          SELECT d.doc_id, coalesce(sc.sm, CAST(0 AS HUGEINT)) AS sm
+          FROM documents d LEFT JOIN sc USING (doc_id)),
+        gm AS (
+          SELECT doc_id, sm, md5(CAST(doc_id AS VARCHAR)) AS m FROM wsc),
+        gk AS (
+          SELECT doc_id, sm + CAST(round(1e6 * -ln(-ln((
+            ((((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 3, 1)) - 1)) * 16
+              + (instr('0123456789abcdef', substr(m, 4, 1)) - 1))
+            + 0.5) / 65536.0))) AS HUGEINT) AS key_micro
+          FROM gm)
+        SELECT doc_id, CAST(key_micro AS DOUBLE) / 1e6 AS key
+        FROM gk ORDER BY key_micro DESC, doc_id ASC LIMIT $k"""
   }
 
   /** Shared by q_cdc_merge and q_cdc_merge_stream (the stream compaction
@@ -3140,6 +3230,11 @@ object SparkEntry {
           round(CAST(max(tf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6)
             AS top_ngram_share
         FROM pd GROUP BY 1""",
+    // DSIR: the shared XXH64 generator hashes unigrams+bigrams, bucket
+    // model + micro-quantized log-ratios mirrored arithmetic-for-
+    // arithmetic (see DsirOracleSql).
+    "q_dsir_weights" -> DsirOracleSql.weightsSql,
+    "q_dsir_sample" -> DsirOracleSql.sampleSql(1000),
     // Target-mix resample: thresholds derived from counts + the same
     // DOUBLE-cast weight literals, selection via the q_split md5-bucket
     // arithmetic over 'doc_id|lang'.
