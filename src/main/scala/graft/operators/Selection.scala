@@ -62,6 +62,15 @@ object Selection {
     * `signed & (B−1)` equals the unsigned `hash mod B` DuckDB computes
     * in HUGEINT — any other modulus splits the two engines on negative
     * longs.
+    *
+    * NULL-id rows are excluded HERE, not downstream, for two reasons:
+    * the oracle's equality joins drop them from the model anyway (NULL
+    * never matches), and — load-bearing for the plan — the final
+    * left-outer restore join pushes IsNotNull(id) into its build side
+    * only; pre-filtering makes the scoring and model-fit subtrees
+    * canonically identical, so the expensive gram-explode count exchange
+    * plans ONCE and the second consumer is a ReusedExchange
+    * (plan-pinned). Without it the corpus is scanned and exploded twice.
     */
   private def bucketCounts(
       docs: DataFrame, textCol: String, idCol: String,
@@ -69,6 +78,7 @@ object Selection {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
     docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol), targetExpr.as("__tgt"),
         expr(s"coalesce(${TextAnalysis.tokensExpr(textCol)}, " +
           "CAST(array() AS ARRAY<STRING>))").as("__toks"))

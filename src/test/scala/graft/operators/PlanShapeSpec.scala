@@ -679,6 +679,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "shuffle budget exceeded")
   }
 
+  test("dsirWeights: gram-explode counted ONCE, model+totals ride ReusedExchange") {
+    // The (doc, tgt, bucket) count relation is the operator's only
+    // corpus-sized intermediate; the model fit AND the scoring branch
+    // must consume ONE planned exchange of it (the null-id prefilter in
+    // bucketCounts is load-bearing: the restore join's pushed
+    // IsNotNull(doc_id) otherwise differentiates the two subtrees and
+    // the corpus is exploded twice). Totals likewise reuse the model's
+    // bucket exchange.
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Selection.dsirWeights(docs, col("lang") === "en")
+    df.collect() // AQE settles the final stage graph
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "no window anywhere — scores are pure aggregation")
+    val reused = nodes.collect { case r: ReusedExchangeExec => r }
+    assert(reused.size >= 2,
+      "model fit must reuse the count exchange; totals must reuse the model exchange")
+    // corpus text is scanned once (the restore branch reads doc_id only)
+    val textScans = nodes.count(n =>
+      n.nodeName.contains("Scan") && n.toString.contains("text"))
+    assert(textScans == 1, s"one corpus text scan, got $textScans")
+    // budget: counts agg + model agg + totals single-partition + doc
+    // score agg + the skinny id-only restore join exchange
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size <= 6,
+      "shuffle budget exceeded")
+  }
+
+  test("dsirSample: global top-k is TakeOrderedAndProject, never a sort") {
+    val df = Selection.dsirSample(docs, col("lang") === "en", k = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "fixed-budget selection must run per-partition heaps + driver merge")
+    assert(!plan.contains("SortExec"), "no global sort of the corpus")
+  }
+
   test("IvfIndex lifecycle: caller-owned persist is released by close()") {
     val idx = Similarity.ivfFit(embeds, nLists = 4, seed = 42L)
     val cached = idx.copy(assigned = idx.assigned.persist())
