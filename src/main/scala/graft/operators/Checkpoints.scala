@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.SparkContext
 
 /** Shared checkpoint-dir idempotence for the iterative operators
@@ -13,22 +14,23 @@ import org.apache.spark.SparkContext
 private[operators] object Checkpoints {
 
   /** Sets `sc`'s checkpoint dir to `dir` unless the current one already
-    * lives directly under it (URI-normalized parent comparison).
+    * lives directly under it. Both sides are compared as
+    * filesystem-QUALIFIED Hadoop paths: `getCheckpointDir` returns a
+    * qualified URI (`file:/tmp/ckpt/uuid`) while callers pass plain
+    * paths (`/tmp/ckpt`) — a string/URI comparison never matches, which
+    * silently re-points the GLOBAL dir (new UUID subdir) on every call
+    * and defeats the set-once contract for concurrent jobs sharing it.
+    * Hadoop `Path` also tolerates spaces and odd characters that
+    * `java.net.URI` rejects outright.
     */
   def ensureCheckpointDir(sc: SparkContext, dir: String): Unit = {
-    def normalize(p: String): String = {
-      val u = new java.net.URI(p).normalize()
-      val s = u.toString
-      if (s.endsWith("/") && s.length > 1) s.dropRight(1) else s
+    def qualified(p: String): Path = {
+      val path = new Path(p)
+      path.getFileSystem(sc.hadoopConfiguration).makeQualified(path)
     }
-    val want = normalize(dir)
+    val want = qualified(dir)
     val alreadySet = sc.getCheckpointDir.exists { cur =>
-      val n = normalize(cur)
-      val parent = n.lastIndexOf('/') match {
-        case i if i > 0 => n.substring(0, i)
-        case _          => n
-      }
-      parent == want
+      Option(qualified(cur).getParent).contains(want)
     }
     if (!alreadySet) sc.setCheckpointDir(dir)
   }

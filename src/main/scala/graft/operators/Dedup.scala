@@ -809,20 +809,29 @@ object Dedup {
       Checkpoints.ensureCheckpointDir(vertices.sparkSession.sparkContext, d)
     }
     // knob parity with pageRank: with a reliable dir, pay the checkpoint
-    // write only every `checkpointEvery` rounds — between them the plan
-    // deepens by at most that many rounds and recomputes from the last
-    // checkpoint on executor loss (mixing in localCheckpoint here would
-    // void the survival guarantee the reliable dir buys). Labels are
-    // identical at any cadence (spec-pinned).
+    // write only every `checkpointEvery` rounds. Off-rounds PERSIST
+    // (memory+disk) instead of going bare: unlike pageRank's single
+    // terminal action, this loop runs a convergence count() every round,
+    // and a bare off-round plan would re-execute the whole window back to
+    // the last checkpoint on every such action — O(cadence²) joins per
+    // window instead of O(cadence). Persisted blocks don't survive
+    // executor loss, but lineage still ends at the last reliable
+    // checkpoint, so loss recomputes at most `checkpointEvery` rounds —
+    // the survival guarantee the dir buys is unchanged. Each off-round
+    // cache is released as soon as the round that supersedes it is
+    // materialized. Labels are identical at any cadence (spec-pinned).
     def truncate(df: DataFrame, round: Int): DataFrame =
       if (checkpointDir.isDefined) {
-        if (round % checkpointEvery == 0) df.checkpoint() else df
+        if (round % checkpointEvery == 0) df.checkpoint() else df.persist()
       } else df.localCheckpoint()
+    def isPersisted(round: Int): Boolean =
+      checkpointDir.isDefined && round % checkpointEvery != 0
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = truncate(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component_id")), 0)
+    var labelsRound = 0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -837,7 +846,9 @@ object Dedup {
             .as("component_id")), iter + 1)
       val changed = next.join(labels.withColumnRenamed("component_id", "__old"), "id")
         .filter(col("component_id") =!= col("__old")).count()
+      if (isPersisted(labelsRound)) labels.unpersist()
       labels = next
+      labelsRound = iter + 1
       converged = changed == 0
       iter += 1
     }
@@ -1146,10 +1157,23 @@ object Dedup {
     val dupH = posH.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__h")
     val candPos = posH.join(dupH, Seq("__h"), "left_semi")
+    // PERSISTED: candGram has two consumers (the confirm aggregation and
+    // the semi-join probe side) whose subtrees cannot share an exchange
+    // (agg payload vs raw rows); bare, the whole candidate chain — the
+    // docs-text rejoin AND, transitively, two more corpus gram-explode
+    // passes — would execute twice. The relation is survivor-sized
+    // (duplicated-hash positions only, ∝ dup density, never the corpus),
+    // so caching it is bounded; the blocks are released by Spark's
+    // ContextCleaner once the returned plan is materialized and dropped.
+    // The remaining double-scan (posH feeding dupH's agg + the probe) is
+    // the same accepted hot-set shape as lineDedup/winnowPairs: a
+    // scan-bound codegen pass recomputed once beats caching O(corpus
+    // chars) rows.
     val candGram = candPos
       .join(docs.select(col("doc_id"), col(textCol).as("__text")), Seq("doc_id"))
       .select(col("doc_id"), col("__i"),
         expr(s"substring(__text, CAST(__i AS INT), $minLen)").as("__gram"))
+      .persist()
     val dupGrams = candGram.groupBy("__gram").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__gram")
     val dupPos = candGram.join(dupGrams, Seq("__gram"), "left_semi")

@@ -415,7 +415,12 @@ object Events {
           // click_ts == purchase_ts == wm can still arrive in a later
           // micro-batch — ripening at equality would emit the purchase
           // before that touch lands (latency is unchanged: the timeout
-          // anchor already waits for wm + 1)
+          // anchor already waits for wm + 1). The flip side — a purchase
+          // with ts EXACTLY equal to the run's FINAL watermark would
+          // wait forever — cannot occur under the bounded-run contract:
+          // the close sentinel rides 10 days past max(ts), so the final
+          // watermark strictly clears every real event; on an unbounded
+          // stream the next watermark advance ripens it.
           val (ripe, waiting) = pending.partition(_.ts < wm)
           val out = ripe.iterator.flatMap { p =>
             val touches = clicks
@@ -526,6 +531,10 @@ object Events {
                 case _ => acc :+ s
               }
             }
+          // strict < (the attribution ripeness discipline): an event with
+          // ts == wm can still arrive and extend the session. A session
+          // whose close boundary equals the run's FINAL watermark cannot
+          // strand — the close sentinel clears max(ts) by 10 days.
           val (ripe, open) = merged.partition(_.last.getTime + gapMs < wm)
           if (open.isEmpty) state.remove()
           else {
