@@ -235,6 +235,10 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    // Gopher rule gate (Rae et al. 2021 App. A1): measurements + per-rule
+    // booleans + keep conjunction, all row-local, mirrored
+    // primitive-for-primitive in DuckDB
+    "q_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fp_md5")),
     // PII scrub: the pattern set is Java-regex/RE2-common, so DuckDB
@@ -1861,6 +1865,64 @@ object SparkEntry {
         FROM (SELECT doc_id, text,
                 list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
               FROM documents)""",
+    // Gopher rules: identical integer counts and IEEE ratio divisions;
+    // symbol counts via length-difference (never regex), lines split on
+    // chr(10) ('\n' is an escape in Spark SQL literals, a literal
+    // backslash-n in DuckDB), NULL measurements fail rules via coalesce.
+    "q_gopher_rules" ->
+      """WITH base AS (
+          SELECT doc_id,
+            coalesce(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''),
+                     CAST([] AS VARCHAR[])) AS ts,
+            coalesce(list_filter(string_split(text, chr(10)), l -> trim(l) != ''),
+                     CAST([] AS VARCHAR[])) AS ls,
+            text
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            CAST(len(ts) AS BIGINT) AS nw,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts) END AS mwl,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) / len(ts) END AS hr,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST((length(text) - length(replace(text, '...', ''))) // 3
+                + (length(text) - length(replace(text, '…', ''))) AS DOUBLE) / len(ts) END AS er,
+            CASE WHEN len(ls) = 0 THEN NULL ELSE
+              CAST(len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('•','‣','▪','-','*'))) AS DOUBLE)
+                / len(ls) END AS br,
+            CASE WHEN len(ls) = 0 THEN NULL ELSE
+              CAST(len(list_filter(ls, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE)
+                / len(ls) END AS elr,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(ts) END AS ar,
+            CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(ts, s))) AS BIGINT) AS sh
+          FROM base)
+        SELECT doc_id,
+          nw AS n_words,
+          round(mwl, 6) AS mean_word_len,
+          round(hr, 6) AS hash_word_ratio,
+          round(er, 6) AS ellipsis_word_ratio,
+          round(br, 6) AS bullet_line_ratio,
+          round(elr, 6) AS ellipsis_line_ratio,
+          round(ar, 6) AS alpha_word_ratio,
+          sh AS n_stop_hits,
+          (nw >= 50 AND nw <= 100000) AS r_word_count,
+          coalesce(mwl >= 3.0 AND mwl <= 10.0, false) AS r_word_len,
+          coalesce(hr <= 0.1 AND er <= 0.1, false) AS r_symbol,
+          coalesce(br <= 0.1, false) AS r_bullet,
+          coalesce(elr <= 0.3, false) AS r_ellipsis,
+          coalesce(ar >= 0.8, false) AS r_alpha,
+          (sh >= 2) AS r_stop,
+          ((nw >= 50 AND nw <= 100000)
+            AND coalesce(mwl >= 3.0 AND mwl <= 10.0, false)
+            AND coalesce(hr <= 0.1 AND er <= 0.1, false)
+            AND coalesce(br <= 0.1, false)
+            AND coalesce(elr <= 0.3, false)
+            AND coalesce(ar >= 0.8, false)
+            AND sh >= 2) AS gopher_keep
+        FROM m""",
     "q_fingerprint" ->
       """SELECT doc_id,
           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5

@@ -99,6 +99,100 @@ object TextAnalysis {
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
     withLangPred(docs, textCol).select("doc_id", "lang_pred")
 
+  /** Gopher quality-rule gate (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", App. A1 — the
+    * MassiveWeb filtering heuristics): the published rule set every
+    * large-crawl curation pipeline starts from, emitted as per-document
+    * measurements, per-rule booleans, and the conjunction `gopher_keep`:
+    *
+    *   1. word count within [minWords, maxWords] (paper: 50–100,000)
+    *   2. mean word length within [3, 10] characters
+    *   3. hash-symbol and ellipsis ('...' or '…') to-word ratios ≤ 0.1
+    *   4. ≤ 10% of lines start with a bullet character
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain at least one alphabetic character
+    *   7. at least 2 hits from the paper's stop-word list
+    *      {the, be, to, of, and, that, have, with}
+    *
+    * Every measurement is row-local string/array arithmetic — ONE codegen
+    * projection, zero shuffles (plan-pinned), scan-bound at any corpus
+    * size — and every expression is mirrored primitive-for-primitive in
+    * the DuckDB oracle (counts via length-difference, never regex where a
+    * replace does; chr(10) as the line separator because '\n' is an
+    * escape in one engine and a literal in the other). Ratios are IEEE
+    * divisions of exact integer counts, so the rule booleans compare
+    * bit-identical doubles in both engines; NULL measurements (empty or
+    * NULL text) fail their rules via coalesce(_, false). Alphabetic
+    * means [a-z] on the lower-cased token — the deterministic
+    * engine-agnostic reading.
+    */
+  def gopherRules(
+      docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords, "need 0 <= minWords <= maxWords")
+    val bullets = "'•','‣','▪','-','*'"
+    docs
+      // staged columns: higher-order-function lambdas re-evaluate free
+      // sub-expressions per element (the measured-4× decontamination
+      // lesson), so the token and line arrays must be column references
+      .withColumn("__toks",
+        expr(s"coalesce(${tokensExpr(textCol)}, CAST(array() AS ARRAY<STRING>))"))
+      .withColumn("__lines",
+        expr(s"coalesce(filter(split($textCol, chr(10)), l -> trim(l) != ''), " +
+          "CAST(array() AS ARRAY<STRING>))"))
+      .withColumn("__nw", expr("CAST(size(__toks) AS BIGINT)"))
+      .withColumn("__nl", expr("CAST(size(__lines) AS BIGINT)"))
+      .withColumn("__mwl", expr(
+        """CASE WHEN __nw = 0 THEN NULL ELSE
+          | CAST(aggregate(__toks, 0L, (a, t) -> a + length(t)) AS DOUBLE) / __nw
+          |END""".stripMargin))
+      .withColumn("__hr", expr(
+        s"""CASE WHEN __nw = 0 THEN NULL ELSE
+           | CAST(length($textCol) - length(replace($textCol, '#', '')) AS DOUBLE) / __nw
+           |END""".stripMargin))
+      .withColumn("__er", expr(
+        s"""CASE WHEN __nw = 0 THEN NULL ELSE
+           | CAST((length($textCol) - length(replace($textCol, '...', ''))) DIV 3
+           |   + (length($textCol) - length(replace($textCol, '…', ''))) AS DOUBLE) / __nw
+           |END""".stripMargin))
+      .withColumn("__br", expr(
+        s"""CASE WHEN __nl = 0 THEN NULL ELSE
+           | CAST(size(filter(__lines, l -> substring(ltrim(l), 1, 1) IN ($bullets))) AS DOUBLE) / __nl
+           |END""".stripMargin))
+      .withColumn("__elr", expr(
+        """CASE WHEN __nl = 0 THEN NULL ELSE
+          | CAST(size(filter(__lines,
+          |   l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE) / __nl
+          |END""".stripMargin))
+      .withColumn("__ar", expr(
+        """CASE WHEN __nw = 0 THEN NULL ELSE
+          | CAST(size(filter(__toks, t -> t RLIKE '[a-z]')) AS DOUBLE) / __nw
+          |END""".stripMargin))
+      .withColumn("__sh", expr(
+        """CAST(size(filter(array('the','be','to','of','and','that','have','with'),
+          | s -> array_contains(__toks, s))) AS BIGINT)""".stripMargin))
+      .select(
+        col("doc_id"),
+        col("__nw").as("n_words"),
+        expr("round(__mwl, 6)").as("mean_word_len"),
+        expr("round(__hr, 6)").as("hash_word_ratio"),
+        expr("round(__er, 6)").as("ellipsis_word_ratio"),
+        expr("round(__br, 6)").as("bullet_line_ratio"),
+        expr("round(__elr, 6)").as("ellipsis_line_ratio"),
+        expr("round(__ar, 6)").as("alpha_word_ratio"),
+        col("__sh").as("n_stop_hits"),
+        expr(s"__nw >= $minWords AND __nw <= $maxWords").as("r_word_count"),
+        expr("coalesce(__mwl >= 3.0 AND __mwl <= 10.0, false)").as("r_word_len"),
+        expr("coalesce(__hr <= 0.1 AND __er <= 0.1, false)").as("r_symbol"),
+        expr("coalesce(__br <= 0.1, false)").as("r_bullet"),
+        expr("coalesce(__elr <= 0.3, false)").as("r_ellipsis"),
+        expr("coalesce(__ar >= 0.8, false)").as("r_alpha"),
+        expr("__sh >= 2").as("r_stop"))
+      .withColumn("gopher_keep", expr(
+        "r_word_count AND r_word_len AND r_symbol AND r_bullet " +
+          "AND r_ellipsis AND r_alpha AND r_stop"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish regex token count
     * (letter runs, digit runs, single punctuation — the shape a byte-pair
     * tokenizer's pre-tokenizer produces).

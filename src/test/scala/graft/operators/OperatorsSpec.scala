@@ -32,6 +32,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1).getAs[Int]("n_tokens") == 2)
   }
 
+  test("gopherRules: each rule fires on its own violation; clean doc keeps") {
+    // a clean doc satisfying all 7 rules (minWords lowered so small
+    // fixtures exercise the pass path too)
+    val clean = "the cat sat with all of them and that was fine to see " +
+      "because they have come around the old house again today"
+    val rows = Seq(
+      1L -> clean,
+      2L -> "the of and", // too few words
+      3L -> ("a " * 30 + "the of and with be that"), // mean word len < 3
+      4L -> (clean + " " + "# " * 8), // hash symbol ratio > 0.1
+      5L -> (clean.split(' ').map(_ + "...").mkString("\n")), // ellipsis lines
+      6L -> (clean.split(' ').map("• " + _).mkString("\n")), // bullet lines
+      7L -> (clean + " " + "123 456 789 101 112 131 415 161 718 192 021 222" * 2), // alpha < 0.8
+      8L -> "zz qq xx vv ww yy rr tt pp ss dd ff gg hh jj kk ll mm nn bb cc", // no stop words
+      9L -> "", // empty: everything null/zero, keep = false
+      10L -> null.asInstanceOf[String])
+    val got = TextAnalysis.gopherRules(docsDf(rows), minWords = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("gopher_keep"))
+    assert(!got(2L).getAs[Boolean]("r_word_count"))
+    assert(!got(3L).getAs[Boolean]("r_word_len"))
+    assert(!got(4L).getAs[Boolean]("r_symbol"))
+    assert(!got(5L).getAs[Boolean]("r_ellipsis"))
+    assert(!got(6L).getAs[Boolean]("r_bullet"))
+    assert(!got(7L).getAs[Boolean]("r_alpha"))
+    assert(!got(8L).getAs[Boolean]("r_stop"))
+    assert(got(8L).getAs[Long]("n_stop_hits") == 0L)
+    for (id <- Seq(9L, 10L)) {
+      assert(got(id).getAs[Long]("n_words") == 0L)
+      assert(got(id).isNullAt(got(id).fieldIndex("mean_word_len")))
+      assert(!got(id).getAs[Boolean]("gopher_keep"))
+    }
+    // violations only disable their own rule — doc 4 still passes r_stop
+    assert(got(4L).getAs[Boolean]("r_stop"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).forall(id =>
+      !got(id).getAs[Boolean]("gopher_keep")))
+  }
+
   test("langId detects stopword profiles and CJK") {
     val df = TextAnalysis.langId(docsDf(Seq(
       (1L, "the cat and the dog of it was here"),
