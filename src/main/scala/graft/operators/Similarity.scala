@@ -251,7 +251,8 @@ object Similarity {
       corpus: DataFrame,
       vecCol: String = "embedding", idCol: String = "vec_id",
       nLists: Int = 16, seed: Long = 42L,
-      fitSampleFraction: Double = 1.0): IvfIndex = {
+      fitSampleFraction: Double = 1.0,
+      targetOccupancy: Int = 256): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(fitSampleFraction > 0 && fitSampleFraction <= 1.0,
@@ -273,7 +274,7 @@ object Similarity {
         s"""CASE WHEN __nrm = 0 THEN `$vecCol`
            | ELSE transform(`$vecCol`,
            |   x -> CAST(CAST(x AS DOUBLE) / __nrm AS FLOAT)) END""".stripMargin)))
-    val k = if (nLists > 0) nLists else autoNLists(corpus.count())
+    val k = if (nLists > 0) nLists else autoNLists(corpus.count(), targetOccupancy)
     // At 100 TB the KMeans fit must run on a sample — centroid quality
     // converges long before the full corpus is seen (FAISS trains IVF on
     // ~{30-256}×nLists vectors); assignment still covers every row.
