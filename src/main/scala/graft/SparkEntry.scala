@@ -529,12 +529,11 @@ object SparkEntry {
     // (0.001/0.01/0.1/1). The contract stays one-sided approximate: a
     // pair beyond all probed cells would reopen the named-exclusion
     // discipline, never over-drop.
-    // probes = 4, not the pre-spherical 12: spherical cells partition by
-    // ANGLE, so a cosine-0.9 pair's cells are near neighbors — at sf3
-    // (1125 true pairs) probes = 4 already catches every one (the same
-    // evidence that sized the IVF ANN path), and candidate volume — the
-    // row's whole cost, occupancy × probes × n — drops 3×. Exactness is
-    // re-proven per SF by the clustering-independent brute-force oracle.
+    // probes = 12 is LOAD-BEARING for exactness even on spherical cells
+    // (measured: probes=4 misses 1 pair at sf1; 6 misses 7 at sf3; 8
+    // misses 3 at sf3) — the cost lever is the shared index's
+    // targetOccupancy instead (candidate volume = occupancy × probes ×
+    // n, and halving occupancy RAISES the covered cell fraction).
     "q_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedupProbed(ivfIndex(s, dir), probes = 12, threshold = 0.9)),
     // composed cleaning recipe: dedup + quality floor + language filter
@@ -1310,8 +1309,8 @@ object SparkEntry {
       // occupancy × probes × n; ANN probe ∝ occupancy × nProbe per
       // query), so halving occupancy halves the suite's pair work while
       // probes/nProbe cover a LARGER cell fraction — recall can only
-      // improve. Measured at sf1: q_semantic_dedup 5.5 → ~2.8 s, still
-      // oracle-exact at every tested SF.
+      // improve. Measured at sf1 (BENCH_local_sf1.json): q_semantic_dedup
+      // 5.27 (r10) → 3.14 s, still oracle-exact at every tested SF.
       val idx = Similarity.ivfFit(embeds(s, d),
         nLists = 0, seed = 42L, fitSampleFraction = 0.5,
         targetOccupancy = 128)
@@ -1928,14 +1927,14 @@ object SparkEntry {
           (nw >= 50 AND nw <= 100000) AS r_word_count,
           coalesce(mwl >= 3.0 AND mwl <= 10.0, false) AS r_word_len,
           coalesce(hr <= 0.1 AND er <= 0.1, false) AS r_symbol,
-          coalesce(br <= 0.1, false) AS r_bullet,
+          coalesce(br <= 0.9, false) AS r_bullet,
           coalesce(elr <= 0.3, false) AS r_ellipsis,
           coalesce(ar >= 0.8, false) AS r_alpha,
           (sh >= 2) AS r_stop,
           ((nw >= 50 AND nw <= 100000)
             AND coalesce(mwl >= 3.0 AND mwl <= 10.0, false)
             AND coalesce(hr <= 0.1 AND er <= 0.1, false)
-            AND coalesce(br <= 0.1, false)
+            AND coalesce(br <= 0.9, false)
             AND coalesce(elr <= 0.3, false)
             AND coalesce(ar >= 0.8, false)
             AND sh >= 2) AS gopher_keep

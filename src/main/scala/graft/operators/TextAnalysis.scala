@@ -108,7 +108,8 @@ object TextAnalysis {
     *   1. word count within [minWords, maxWords] (paper: 50–100,000)
     *   2. mean word length within [3, 10] characters
     *   3. hash-symbol and ellipsis ('...' or '…') to-word ratios ≤ 0.1
-    *   4. ≤ 10% of lines start with a bullet character
+    *   4. ≤ 90% of lines start with a bullet character (the paper
+    *      removes only pages that are essentially ALL list)
     *   5. ≤ 30% of lines end with an ellipsis
     *   6. ≥ 80% of words contain at least one alphabetic character
     *   7. at least 2 hits from the paper's stop-word list
@@ -184,7 +185,7 @@ object TextAnalysis {
         expr(s"__nw >= $minWords AND __nw <= $maxWords").as("r_word_count"),
         expr("coalesce(__mwl >= 3.0 AND __mwl <= 10.0, false)").as("r_word_len"),
         expr("coalesce(__hr <= 0.1 AND __er <= 0.1, false)").as("r_symbol"),
-        expr("coalesce(__br <= 0.1, false)").as("r_bullet"),
+        expr("coalesce(__br <= 0.9, false)").as("r_bullet"),
         expr("coalesce(__elr <= 0.3, false)").as("r_ellipsis"),
         expr("coalesce(__ar >= 0.8, false)").as("r_alpha"),
         expr("__sh >= 2").as("r_stop"))

@@ -43,7 +43,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> ("a " * 30 + "the of and with be that"), // mean word len < 3
       4L -> (clean + " " + "# " * 8), // hash symbol ratio > 0.1
       5L -> (clean.split(' ').map(_ + "...").mkString("\n")), // ellipsis lines
-      6L -> (clean.split(' ').map("• " + _).mkString("\n")), // bullet lines
+      6L -> (clean.split(' ').map("• " + _).mkString("\n")), // ALL bullet lines
+      // one markdown list inside prose (20% bullet lines) is fine — the
+      // paper removes only near-all-list pages (> 90%)
+      11L -> (Seq(clean, "• first point", clean, clean, clean).mkString("\n")),
       7L -> (clean + " " + "123 456 789 101 112 131 415 161 718 192 021 222" * 2), // alpha < 0.8
       8L -> "zz qq xx vv ww yy rr tt pp ss dd ff gg hh jj kk ll mm nn bb cc", // no stop words
       9L -> "", // empty: everything null/zero, keep = false
@@ -56,6 +59,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got(4L).getAs[Boolean]("r_symbol"))
     assert(!got(5L).getAs[Boolean]("r_ellipsis"))
     assert(!got(6L).getAs[Boolean]("r_bullet"))
+    // threshold is 0.9 (remove near-all-list pages), NOT 0.1: 20% bullet
+    // lines keep the rule
+    assert(got(11L).getAs[Boolean]("r_bullet"))
+    assert(got(11L).getAs[Boolean]("gopher_keep"))
     assert(!got(7L).getAs[Boolean]("r_alpha"))
     assert(!got(8L).getAs[Boolean]("r_stop"))
     assert(got(8L).getAs[Long]("n_stop_hits") == 0L)
