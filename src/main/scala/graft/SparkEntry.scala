@@ -54,6 +54,34 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator group from SURVEY.md §2. */
+  /** Deterministic multi-line page for q_c4_rules, built identically in
+    * BOTH engines (the q_pii_scrub planted-input discipline: the fixture
+    * corpus is single-line with no punctuation, so the raw table would
+    * exercise none of the C4 rules). One portable SQL expression —
+    * parsed verbatim by Spark and DuckDB — that plants, per doc_id
+    * residue class: a kept long sentence, a short line, an
+    * unpunctuated line, a javascript line, a policy line, quote/'?'/'!'
+    * terminators, a lorem-ipsum page, and a curly-brace page.
+    */
+  private val c4Page: String =
+    """concat(
+      |  substr(text, 1, 80), ' part one.', chr(10),
+      |  'Too short.', chr(10),
+      |  substr(text, 81, 60), chr(10),
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 'Please enable javascript to continue reading now.'
+      |    WHEN 1 THEN 'This site uses cookies to improve your experience.'
+      |    ELSE 'She said it was a really "good read."' END, chr(10),
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'Is this the best part of the corpus?'
+      |    WHEN 1 THEN 'What a fine day for data cleaning!'
+      |    WHEN 2 THEN concat(substr(text, 141, 40), ' end part two.')
+      |    ELSE 'no terminal punctuation on this line at all' END, chr(10),
+      |  CASE WHEN doc_id % 11 = 0 THEN 'Lorem ipsum dolor sit amet consectetur.'
+      |       ELSE 'A plain closing sentence for the page.' END,
+      |  CASE WHEN doc_id % 13 = 0 THEN concat(chr(10), 'function f() { return 42; }')
+      |       ELSE '' END)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/P1/P2/P3/P6 + J1/J2/J5/J7 (implicit + explicit paths, reverse hop)
     "q_lineitem_enriched" -> ((_, dir) =>
@@ -239,6 +267,13 @@ object SparkEntry {
     // booleans + keep conjunction, all row-local, mirrored
     // primitive-for-primitive in DuckDB
     "q_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
+    // C4 rule gate (Raffel et al. 2020 §2.2): line-level rewrite (kept
+    // lines → text_clean) + page-level gates, one zero-shuffle codegen
+    // projection over the planted multi-line page (c4Page — both sides
+    // build the identical page), mirrored primitive-for-primitive in
+    // DuckDB
+    "q_c4_rules" -> ((s, dir) =>
+      TextAnalysis.c4Rules(docs(s, dir).withColumn("text", expr(c4Page)))),
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fp_md5")),
     // PII scrub: the pattern set is Java-regex/RE2-common, so DuckDB
@@ -1433,10 +1468,10 @@ object SparkEntry {
       * fixture change violating either must fail with this message, not
       * an opaque hash divergence downstream.
       */
-    def asciiGuard(inner: String, what: String): String =
+    def asciiGuard(inner: String, what: String, unit: String = "token"): String =
       s"""SELECT doc_id, CASE
             WHEN strlen(w) >= 32 OR strlen(w) != length(w)
-            THEN error('$what oracle precondition violated (token must be ASCII and < 32 bytes): ' || w)
+            THEN error('$what oracle precondition violated ($unit must be ASCII and < 32 bytes): ' || w)
             ELSE w END AS w
           FROM $inner"""
 
@@ -1528,6 +1563,12 @@ object SparkEntry {
     * (round(1e6·ln-ratio) — the only `ln`s on either side run once per
     * BUCKET), per-doc sums in exact HUGEINT, one emitting division. The
     * Gumbel key reuses the q_split md5-bucket16 arithmetic.
+    *
+    * Precondition note: the asciiGuard here sees space-joined BIGRAMS,
+    * so the <32-byte XXH64 stripe bounds each individual token at
+    * (31 - 1) / 2 = 15 bytes — tighter than the simhash path's 31. The
+    * driver fixture vocabulary is well inside that; the guard fails
+    * loudly (naming the gram) rather than silently mis-hashing.
     */
   private object DsirOracleSql {
     import XxhOracleSql._
@@ -1544,7 +1585,7 @@ object SparkEntry {
           FROM tl, unnest(generate_series(1, len(ts) - 1)) AS u(i)
           WHERE len(ts) >= 2),
         grams0 AS (SELECT doc_id, w FROM uni UNION ALL SELECT doc_id, w FROM big),
-        grams AS (${asciiGuard("grams0", "dsir")}),
+        grams AS (${asciiGuard("grams0", "dsir", "gram")}),
         th AS (${tokenHash.replace("@TOKS@", "grams")}),
         bc AS (SELECT doc_id, hash % 4096 AS b, count(*) AS n
                FROM th GROUP BY 1, 2),
@@ -1939,6 +1980,53 @@ object SparkEntry {
             AND coalesce(ar >= 0.8, false)
             AND sh >= 2) AS gopher_keep
         FROM m""",
+    // C4 rules: same discipline as the Gopher mirror — lines split on
+    // chr(10) and space-trimmed, word floors on the shared ' +' split,
+    // sentence counts via length-difference, page gates coalesce to
+    // false on NULL text. text_clean is hashed too, pinning the exact
+    // line-rewrite semantics cross-engine.
+    "q_c4_rules" ->
+      s"""WITH pages AS (
+          SELECT doc_id, $c4Page AS text FROM documents),
+        base AS (
+          SELECT doc_id, text,
+            coalesce(list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l != ''), CAST([] AS VARCHAR[])) AS ls
+          FROM pages),
+        k AS (
+          SELECT doc_id, text, ls,
+            list_filter(ls, l ->
+              right(l, 1) IN ('.', '!', '?', '"', '”')
+              AND len(list_filter(string_split_regex(lower(l), ' +'), t -> t != '')) >= 5
+              AND NOT contains(lower(l), 'javascript')
+              AND NOT (contains(lower(l), 'terms of use') OR contains(lower(l), 'privacy policy')
+                OR contains(lower(l), 'cookie policy') OR contains(lower(l), 'uses cookies')
+                OR contains(lower(l), 'use of cookies') OR contains(lower(l), 'use cookies'))) AS ks
+          FROM base),
+        m AS (
+          SELECT doc_id, text,
+            CAST(len(ls) AS BIGINT) AS nl,
+            CAST(len(ks) AS BIGINT) AS nk,
+            coalesce(array_to_string(ks, chr(10)), '') AS tc
+          FROM k),
+        s AS (
+          SELECT doc_id, text, nl, nk, tc,
+            CAST((length(tc) - length(replace(tc, '.', '')))
+              + (length(tc) - length(replace(tc, '!', '')))
+              + (length(tc) - length(replace(tc, '?', ''))) AS BIGINT) AS ns
+          FROM m)
+        SELECT doc_id,
+          nl AS n_lines,
+          nk AS n_kept_lines,
+          ns AS n_sentences,
+          tc AS text_clean,
+          (ns >= 3) AS r_sentences,
+          coalesce(NOT contains(lower(text), 'lorem ipsum'), false) AS r_lorem,
+          coalesce(NOT contains(text, '{'), false) AS r_brace,
+          ((ns >= 3)
+            AND coalesce(NOT contains(lower(text), 'lorem ipsum'), false)
+            AND coalesce(NOT contains(text, '{'), false)) AS c4_keep
+        FROM s""",
     "q_fingerprint" ->
       """SELECT doc_id,
           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5

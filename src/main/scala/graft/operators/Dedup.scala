@@ -819,7 +819,11 @@ object Dedup {
     // checkpoint, so loss recomputes at most `checkpointEvery` rounds —
     // the survival guarantee the dir buys is unchanged. Each off-round
     // cache is released as soon as the round that supersedes it is
-    // materialized. Labels are identical at any cadence (spec-pinned).
+    // materialized; if the loop EXITS on an off-round, the terminal
+    // persist is swapped for a reliable checkpoint (ids-only relation,
+    // one cheap write) and released — no per-call corpus-sized cache is
+    // left to the ContextCleaner. Labels are identical at any cadence
+    // (spec-pinned).
     def truncate(df: DataFrame, round: Int): DataFrame =
       if (checkpointDir.isDefined) {
         if (round % checkpointEvery == 0) df.checkpoint() else df.persist()
@@ -853,6 +857,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (isPersisted(labelsRound)) {
+      val terminal = labels.checkpoint()
+      labels.unpersist()
+      labels = terminal
+    }
     vertices.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component_id"), col("id")).as("component_id"))
   }

@@ -304,6 +304,7 @@ object Similarity {
   private[operators] def probeCells(
       df: DataFrame, centroids: Array[Array[Double]],
       vecCol: String, idCol: String, nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._

@@ -194,6 +194,87 @@ object TextAnalysis {
           "AND r_ellipsis AND r_alpha AND r_stop"))
   }
 
+  /** Policy-boilerplate phrases whose presence drops a line in [[c4Rules]]
+    * (the cookie/ToS notices every crawl page carries; the list used by
+    * public C4 reproductions of Raffel et al. 2020 §2.2).
+    */
+  val c4PolicyPhrases: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  /** C4 cleaning-rule gate (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+    * the heuristics that produced the C4 corpus): the other canonical
+    * public crawl-curation rule set next to [[gopherRules]]; a curation
+    * pipeline runs both. Line-level rules REWRITE the page (C4 keeps the
+    * page minus its bad lines), page-level rules gate it:
+    *
+    * Line keep (all must hold; kept lines form `text_clean`):
+    *   1. ends in terminal punctuation — period, '!', '?', or a closing
+    *      quotation mark ('"' or '”')
+    *   2. has ≥ `minLineWords` whitespace words (paper: 5... actually 3;
+    *      default 5 follows the paper's "at least 5 words" line floor)
+    *   3. does not contain the word "javascript" (case-insensitive)
+    *   4. does not contain a policy-boilerplate phrase
+    *      ([[c4PolicyPhrases]])
+    *
+    * Page keep (`c4_keep`):
+    *   5. ≥ `minSentences` sentences after line cleaning — sentences
+    *      counted as terminal '.', '!', '?' characters in `text_clean`
+    *      (the deterministic engine-portable proxy for the paper's
+    *      English sentence splitter)
+    *   6. the RAW page does not contain "lorem ipsum" (case-insensitive)
+    *   7. the RAW page does not contain a curly brace '{' (code filter)
+    *
+    * Same contract as [[gopherRules]]: ONE codegen projection, zero
+    * shuffles (plan-pinned), every expression mirrored
+    * primitive-for-primitive in the DuckDB oracle (lines split on
+    * chr(10) and space-trimmed; word counts on the shared ' +' split;
+    * sentence counts via length-difference, never regex; NULL text fails
+    * page rules via coalesce(_, false) and yields an empty `text_clean`).
+    * Unlike gopherRules' measurement-only output this emits the cleaned
+    * text, so the oracle hash also pins the exact line-rewrite
+    * semantics cross-engine.
+    */
+  def c4Rules(
+      docs: DataFrame, textCol: String = "text",
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    require(minLineWords >= 0 && minSentences >= 0,
+      "need minLineWords >= 0 and minSentences >= 0")
+    val policyPred =
+      c4PolicyPhrases.map(p => s"contains(lower(l), ${sqlStr(p)})").mkString(" OR ")
+    docs
+      // staged arrays (the gopherRules lesson: lambdas re-evaluate free
+      // sub-expressions per element, so stage once per document). Lines
+      // are TRIMMED here — C4 strips each line before testing it — which
+      // is why the terminal-punct test below needs no rtrim.
+      .withColumn("__lines", expr(
+        s"""coalesce(filter(transform(split($textCol, chr(10)), l -> trim(l)),
+           |  l -> l != ''), CAST(array() AS ARRAY<STRING>))""".stripMargin))
+      .withColumn("__kept", expr(
+        s"""filter(__lines, l ->
+           |  right(l, 1) IN ('.', '!', '?', '"', '”')
+           |  AND size(filter(split(lower(l), ' +'), t -> t != '')) >= $minLineWords
+           |  AND NOT contains(lower(l), 'javascript')
+           |  AND NOT ($policyPred))""".stripMargin))
+      .withColumn("__tc", expr("array_join(__kept, chr(10))"))
+      .withColumn("__ns", expr(
+        """CAST((length(__tc) - length(replace(__tc, '.', '')))
+          |  + (length(__tc) - length(replace(__tc, '!', '')))
+          |  + (length(__tc) - length(replace(__tc, '?', ''))) AS BIGINT)""".stripMargin))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(__lines) AS BIGINT)").as("n_lines"),
+        expr("CAST(size(__kept) AS BIGINT)").as("n_kept_lines"),
+        col("__ns").as("n_sentences"),
+        col("__tc").as("text_clean"),
+        expr(s"__ns >= $minSentences").as("r_sentences"),
+        expr(s"coalesce(NOT contains(lower($textCol), 'lorem ipsum'), false)")
+          .as("r_lorem"),
+        expr(s"coalesce(NOT contains($textCol, '{'), false)").as("r_brace"))
+      .withColumn("c4_keep", expr("r_sentences AND r_lorem AND r_brace"))
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish regex token count
     * (letter runs, digit runs, single punctuation — the shape a byte-pair
     * tokenizer's pre-tokenizer produces).

@@ -39,6 +39,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.langId(docs)) == 0)
     assert(shuffles(TextAnalysis.qualityScore(docs)) == 0)
     assert(shuffles(TextAnalysis.gopherRules(docs)) == 0)
+    assert(shuffles(TextAnalysis.c4Rules(docs)) == 0)
     assert(shuffles(TextAnalysis.fingerprint(docs)) == 0)
     assert(shuffles(TextAnalysis.assignSplit(docs,
       Seq("train" -> 0.8, "val" -> 0.2))) == 0)
