@@ -538,6 +538,12 @@ object SparkEntry {
     // hash-gated end to end; the only ln runs once per bucket)
     "q_dsir_weights" -> ((s, dir) =>
       Selection.dsirWeights(docs(s, dir), col("lang") === "en")),
+    // Kneser-Ney trigram cross-entropy (CCNet quality filter shape):
+    // LM fitted on the lang='en' slice, every doc scored; the only ln
+    // runs per trigram TYPE, micro-quantized (DSIR discipline); string
+    // keys end-to-end, so the oracle mirrors counts exactly
+    "q_kn_perplexity" -> ((s, dir) =>
+      TextAnalysis.knPerplexity(docs(s, dir), col("lang") === "en")),
     // DSIR Gumbel top-k resample: fixed selection budget, deterministic
     // md5-bucket uniform — the selected SET and perturbed keys are the
     // oracle
@@ -3400,6 +3406,85 @@ object SparkEntry {
     // model + micro-quantized log-ratios mirrored arithmetic-for-
     // arithmetic (see DsirOracleSql).
     "q_dsir_weights" -> DsirOracleSql.weightsSql,
+    // Kneser-Ney trigram cross-entropy: trigrams from '<s> <s> … </s>'
+    // padded token lists (the oracle carries (w1,w2,w3) columns — the
+    // space-join is injective since tokens contain no spaces); all model
+    // statistics are exact integer TYPE counts; the KN probability is
+    // the identical IEEE DOUBLE expression operation-for-operation; the
+    // only ln runs per trigram type and is micro-quantized before the
+    // exact HUGEINT per-document sum (mirrors DECIMAL(38,0)).
+    "q_kn_perplexity" ->
+      """WITH tl AS (
+          SELECT doc_id, (lang = 'en') AS tgt,
+            list_concat(list_concat(['<s>', '<s>'],
+              coalesce(list_filter(string_split_regex(lower(text), ' +'), t -> t != ''),
+                       CAST([] AS VARCHAR[]))), ['</s>']) AS pd
+          FROM documents),
+        tri AS (
+          SELECT doc_id, tgt, pd[i] AS w1, pd[i + 1] AS w2, pd[i + 2] AS w3
+          FROM tl, unnest(generate_series(1, len(pd) - 2)) AS u(i)),
+        perdoc AS (
+          SELECT doc_id, tgt, w1, w2, w3, count(*) AS tf
+          FROM tri GROUP BY 1, 2, 3, 4, 5),
+        types AS (
+          SELECT w1, w2, w3,
+            sum(CASE WHEN tgt THEN tf ELSE 0 END) AS c3t
+          FROM perdoc GROUP BY 1, 2, 3),
+        tt AS (SELECT * FROM types WHERE c3t > 0),
+        ctx AS (SELECT w1, w2, sum(c3t) AS c2ctx, count(*) AS n1p2 FROM tt GROUP BY 1, 2),
+        tailt AS (SELECT w2, w3, count(*) AS cont2 FROM tt GROUP BY 1, 2),
+        midt AS (SELECT w2, count(*) AS n1p_mid FROM tt GROUP BY 1),
+        folt AS (SELECT w2, count(*) AS n1p_follow FROM tailt GROUP BY 1),
+        unig AS (SELECT w3, count(*) AS n1p_prec FROM tailt GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM tailt) AS n1p_all,
+                       (SELECT count(*) FROM unig) AS v1),
+        sc AS (
+          SELECT t.w1, t.w2, t.w3,
+            CAST(round(1e6 * ln(
+              CASE WHEN c.c2ctx IS NULL THEN
+                (CASE WHEN m.n1p_mid IS NULL THEN
+                   (CAST(coalesce(g.n1p_prec, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                     / (CAST(tot.n1p_all AS DOUBLE) + CAST(tot.v1 AS DOUBLE) + CAST(1 AS DOUBLE))
+                 ELSE
+                   greatest(CAST(coalesce(a.cont2, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                     / CAST(m.n1p_mid AS DOUBLE)
+                   + ((CAST(0.75 AS DOUBLE) * CAST(f.n1p_follow AS DOUBLE) / CAST(m.n1p_mid AS DOUBLE))
+                      * ((CAST(coalesce(g.n1p_prec, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                         / (CAST(tot.n1p_all AS DOUBLE) + CAST(tot.v1 AS DOUBLE) + CAST(1 AS DOUBLE))))
+                 END)
+              ELSE
+                greatest(CAST(t.c3t AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                  / CAST(c.c2ctx AS DOUBLE)
+                + ((CAST(0.75 AS DOUBLE) * CAST(c.n1p2 AS DOUBLE) / CAST(c.c2ctx AS DOUBLE))
+                   * (CASE WHEN m.n1p_mid IS NULL THEN
+                        (CAST(coalesce(g.n1p_prec, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                          / (CAST(tot.n1p_all AS DOUBLE) + CAST(tot.v1 AS DOUBLE) + CAST(1 AS DOUBLE))
+                      ELSE
+                        greatest(CAST(coalesce(a.cont2, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                          / CAST(m.n1p_mid AS DOUBLE)
+                        + ((CAST(0.75 AS DOUBLE) * CAST(f.n1p_follow AS DOUBLE) / CAST(m.n1p_mid AS DOUBLE))
+                           * ((CAST(coalesce(g.n1p_prec, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+                              / (CAST(tot.n1p_all AS DOUBLE) + CAST(tot.v1 AS DOUBLE) + CAST(1 AS DOUBLE))))
+                      END))
+              END)) AS HUGEINT) AS lp
+          FROM types t
+          LEFT JOIN ctx c ON t.w1 = c.w1 AND t.w2 = c.w2
+          LEFT JOIN tailt a ON t.w2 = a.w2 AND t.w3 = a.w3
+          LEFT JOIN midt m ON t.w2 = m.w2
+          LEFT JOIN folt f ON t.w2 = f.w2
+          LEFT JOIN unig g ON t.w3 = g.w3
+          CROSS JOIN tot),
+        agg AS (
+          SELECT p.doc_id, sum(p.tf) AS n_events,
+            sum(CAST(p.tf AS HUGEINT) * s.lp) AS sm
+          FROM perdoc p
+          JOIN sc s ON p.w1 = s.w1 AND p.w2 = s.w2 AND p.w3 = s.w3
+          GROUP BY 1)
+        SELECT doc_id,
+          CAST(n_events AS BIGINT) AS n_events,
+          CAST(sm AS DOUBLE) / 1e6 AS logprob,
+          round(-CAST(sm AS DOUBLE) / (1e6 * CAST(n_events AS DOUBLE)), 6) AS xent_nats
+        FROM agg""",
     "q_dsir_sample" -> DsirOracleSql.sampleSql(1000),
     // Target-mix resample: thresholds derived from counts + the same
     // DOUBLE-cast weight literals, selection via the q_split md5-bucket

@@ -853,6 +853,137 @@ object TextAnalysis {
           " / (1e6 * CAST(sum(tf_doc) AS DOUBLE)), 6)").as("surprise2"))
   }
 
+  /** Kneser-Ney trigram LM cross-entropy scoring — the CCNet quality
+    * filter (Wenzek et al. 2020: score every document with an n-gram LM
+    * fitted on a held-out target slice; low perplexity ≈ target-like,
+    * high ≈ noise), one order past [[bigramSurprise]]. `targetExpr`
+    * marks the training slice (CCNet: Wikipedia; here e.g.
+    * `col("lang") === "en"`); every document is scored, target or not.
+    *
+    * Model: interpolated Kneser-Ney with one fixed discount D
+    * (Kneser & Ney 1995; Chen & Goodman 1999), lower orders on
+    * CONTINUATION counts as the method prescribes. With c(·) trigram
+    * counts from the target slice, N1+ type counts, and tokens padded
+    * `<s> <s> … </s>` (so every scored event has a full context and the
+    * tail bigram of a trigram enumerates every adjacent pair exactly
+    * once):
+    *
+    *   P3(w3|w1w2) = max(c(w1w2w3)−D, 0)/c(w1w2·)
+    *                 + D·N1+(w1w2·)/c(w1w2·) · P2(w3|w2)   [ctx seen]
+    *   P2(w3|w2)   = max(N1+(·w2w3)−D, 0)/N1+(·w2·)
+    *                 + D·N1+(w2·)/N1+(·w2·) · P1(w3)       [w2 seen]
+    *   P1(w3)      = (N1+(·w3) + 1)/(N1+(··) + V + 1)
+    *
+    * with unseen-context fallthrough (ctx unseen → P2; w2 unseen → P1)
+    * and an add-one continuation floor at the unigram level so OOV
+    * tokens keep P > 0 (the 1/(N1+(··)+V+1) mass KenLM reserves for
+    * `<unk>`). Every P is > 0 by construction, so ln is total.
+    *
+    * Emits per document: `n_events` (tokens + 1 scored trigrams),
+    * `logprob` (Σ ln P in nats), and `xent_nats` (−logprob/n_events —
+    * perplexity is exp of this, monotone, left to the caller: exp
+    * doesn't hash-gate cross-engine, ln-at-type-level does).
+    *
+    * Determinism: ALL model statistics are exact integers; the only
+    * `ln` runs once per trigram TYPE and is quantized to 1e-6 micro
+    * units there (the [[graft.operators.Selection]] per-type
+    * discipline); per-document sums are exact DECIMAL(38,0) with one
+    * emitting division. IEEE DOUBLE arithmetic inside the P formula is
+    * written operation-for-operation identically in the DuckDB oracle.
+    *
+    * Plan (one corpus scan): ONE (doc, trigram) two-phase aggregation
+    * whose exchange is consumed twice (type-model agg + scoring probe —
+    * ReusedExchange, plan-pinned); every model table is a TYPE-level
+    * aggregation (vocab-bounded, never corpus-bounded) assembled into
+    * one scored-type table via left joins on non-nullable
+    * substring_index keys (the [[bigramSurprise]] de-canonicalization
+    * lesson); the single corpus-sized join routes through
+    * [[routedJoin]], so a Zipf-head trigram (`<s> <s> the`…) broadcasts
+    * instead of hot-keying a shuffle partition. At 100 TB the model
+    * tables shard with the cluster — nothing is collected or
+    * broadcast except the 1-row totals.
+    */
+  def knPerplexity(
+      docs: DataFrame, targetExpr: Column, textCol: String = "text",
+      discount: Double = 0.75, headMin: Long = 100000L): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0,1)")
+    val d = s"CAST($discount AS DOUBLE)"
+    val perDoc = docs
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), targetExpr.as("__tgt"),
+        expr(s"""concat(array('<s>', '<s>'),
+                |  coalesce(${tokensExpr(textCol)}, CAST(array() AS ARRAY<STRING>)),
+                |  array('</s>'))""".stripMargin).as("__pd"))
+      .select(col("doc_id"), col("__tgt"),
+        explode(expr(
+          """transform(sequence(1, size(__pd) - 2), i ->
+            |  concat_ws(' ', element_at(__pd, i), element_at(__pd, i + 1),
+            |    element_at(__pd, i + 2)))""".stripMargin)).as("token"))
+      .groupBy(col("doc_id"), col("__tgt"), col("token"))
+      .agg(count(lit(1)).as("tf_doc"))
+    // trigram TYPE table over the SCORED corpus: target counts (0 for
+    // types the target never saw — they back off) + routing frequency.
+    // No filter on __tgt before the agg: the CASE keeps the (doc,
+    // trigram) exchange identical for both consumers (the DSIR lesson).
+    val types = perDoc.groupBy("token").agg(
+        sum(when(col("__tgt"), col("tf_doc")).otherwise(lit(0L))).as("__c3t"),
+        sum(col("tf_doc")).as("__tf_all"))
+      .withColumn("__ctx", expr("substring_index(token, ' ', 2)"))
+      .withColumn("__tail", expr("substring_index(token, ' ', -2)"))
+      .withColumn("__w2", expr("substring_index(substring_index(token, ' ', -2), ' ', 1)"))
+      .withColumn("__w3", expr("substring_index(token, ' ', -1)"))
+    val tt = types.filter(col("__c3t") > 0)
+    // model tables — all aggregations over trigram TYPES (distinct
+    // (w1,w2,w3) rows), so count(1) IS the N1+ type count at each key
+    val ctxStats = tt.groupBy("__ctx").agg(
+      sum("__c3t").as("__c2ctx"), count(lit(1)).as("__n1p2"))
+    val tailStats = tt.groupBy("__tail").agg(count(lit(1)).as("__cont2"))
+    val midStats = tt.groupBy("__w2").agg(count(lit(1)).as("__n1p_mid"))
+    val folStats = tailStats
+      .withColumn("__w2", expr("substring_index(__tail, ' ', 1)"))
+      .groupBy("__w2").agg(count(lit(1)).as("__n1p_follow"))
+    val unig = tailStats
+      .withColumn("__w3", expr("substring_index(__tail, ' ', -1)"))
+      .groupBy("__w3").agg(count(lit(1)).as("__n1p_prec"))
+    val w2Stats = midStats.join(folStats, Seq("__w2")) // identical key sets
+    val totals = tailStats.agg(count(lit(1)).as("__n1p_all"))
+      .crossJoin(unig.agg(count(lit(1)).as("__v1")))
+    val scoredTypes = types
+      .join(ctxStats, Seq("__ctx"), "left")
+      .join(tailStats, Seq("__tail"), "left")
+      .join(w2Stats, Seq("__w2"), "left")
+      .join(unig, Seq("__w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__p1", expr(
+        """(CAST(coalesce(__n1p_prec, 0) AS DOUBLE) + CAST(1 AS DOUBLE))
+          | / (CAST(__n1p_all AS DOUBLE) + CAST(__v1 AS DOUBLE) + CAST(1 AS DOUBLE))"""
+          .stripMargin))
+      .withColumn("__p2", expr(
+        s"""CASE WHEN __n1p_mid IS NULL THEN __p1 ELSE
+           |  greatest(CAST(coalesce(__cont2, 0) AS DOUBLE) - $d, CAST(0 AS DOUBLE))
+           |    / CAST(__n1p_mid AS DOUBLE)
+           |  + (($d * CAST(__n1p_follow AS DOUBLE) / CAST(__n1p_mid AS DOUBLE)) * __p1)
+           |END""".stripMargin))
+      .withColumn("__p3", expr(
+        s"""CASE WHEN __c2ctx IS NULL THEN __p2 ELSE
+           |  greatest(CAST(__c3t AS DOUBLE) - $d, CAST(0 AS DOUBLE))
+           |    / CAST(__c2ctx AS DOUBLE)
+           |  + (($d * CAST(__n1p2 AS DOUBLE) / CAST(__c2ctx AS DOUBLE)) * __p2)
+           |END""".stripMargin))
+      // the ONLY ln in the operator — once per trigram type, micro-quantized
+      .select(col("token"), col("__tf_all"),
+        expr("CAST(round(1e6 * ln(__p3)) AS DECIMAL(38,0))").as("__lp_micro"))
+    routedJoin(perDoc, scoredTypes, "token", "__tf_all", headMin)
+      .groupBy("doc_id")
+      .agg(
+        sum("tf_doc").as("n_events"),
+        sum(expr("CAST(tf_doc AS DECIMAL(38,0)) * __lp_micro")).as("__sm"))
+      .select(col("doc_id"), col("n_events"),
+        expr("CAST(__sm AS DOUBLE) / 1e6").as("logprob"),
+        expr("round(-CAST(__sm AS DOUBLE) / (1e6 * CAST(n_events AS DOUBLE)), 6)")
+          .as("xent_nats"))
+  }
+
   /** Windowed PMI co-occurrence — the skip-gram collocation table
     * ("new york", "machine learning") behind phrase mining and static
     * embedding pipelines: every ORDERED token pair within `window`

@@ -709,6 +709,41 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "shuffle budget exceeded")
   }
 
+  test("knPerplexity: ONE corpus text scan; model + probe ride ReusedExchange") {
+    // the (doc, tgt, trigram) aggregation is the only corpus-sized
+    // relation: the type-model fit and the routed scoring probe must
+    // consume ONE planned exchange of it (the DSIR discipline — target
+    // counts via CASE, never a pushed filter that de-canonicalizes the
+    // shared subtree); every model table past it is TYPE-level
+    // (vocab-bounded), and nothing windows
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = TextAnalysis.knPerplexity(docs, col("lang") === "en")
+    df.collect() // AQE settles the final stage graph
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "no window anywhere — scoring is pure aggregation")
+    assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+      "the scoring probe must reuse the (doc, trigram) exchange, not re-explode")
+    // in THIS plan every consumer of the corpus subtree rides a
+    // ReusedExchange, so the scan is invisible to the final-stage walk
+    // (ReusedExchangeExec is a leaf); descend its child and count
+    // DISTINCT scan instances — two corpus explosions would be two
+    // distinct scan objects
+    def deepWalk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case r: ReusedExchangeExec => Seq(r) ++ deepWalk(r.child)
+      case other => walk(other).flatMap {
+        case r: ReusedExchangeExec => Seq(r) ++ deepWalk(r.child)
+        case n => Seq(n)
+      }
+    }
+    val textScans = deepWalk(df.queryExecution.executedPlan)
+      .filter(n => n.nodeName.contains("Scan") && n.toString.contains("text"))
+      .map(System.identityHashCode).distinct.size
+    assert(textScans == 1, s"one corpus text scan, got $textScans")
+  }
+
   test("dsirSample: global top-k is TakeOrderedAndProject, never a sort") {
     val df = Selection.dsirSample(docs, col("lang") === "en", k = 10)
     df.collect()
