@@ -1031,19 +1031,30 @@ object Dedup {
     *
     * Plan: cell assignment runs through [[Similarity.probeCells]] — the
     * SAME compiled helper the IVF ANN probe uses, so the two paths'
-    * distance and tie conventions cannot drift. Unlike
-    * [[embeddingDupPairs]] (ids-only candidates, vectors re-joined after
-    * a DISTINCT), the vectors ride THROUGH the candidate join and the
-    * cosine + threshold filter run inside the same codegen stage: the
-    * candidate relation (probes·n·occupancy rows) is never shuffled —
-    * only the two join inputs are (n·probes + n rows), and the DISTINCT
-    * touches just the filter's survivors (the actual near-dup pairs, a
-    * vanishing fraction). The ids-only shape paid two candidate-sized
-    * vector re-joins plus a candidate-sized distinct; this one pays at
-    * most `probes` redundant cosines for pairs sharing several probed
-    * cells — measured 2.8× cheaper at sf1. Pair order is normalized by
-    * `greatest` at the survivor stage, so a pair found in either probe
-    * direction drops the same (larger) id.
+    * distance and tie conventions cannot drift. The candidate stage is a
+    * CELL-LOCAL KERNEL, not a join: probe rows and primary rows union
+    * into ONE exchange hashed on the cell id, primaries sort first
+    * within each partition, and a mapPartitions loop buffers each cell's
+    * primaries (occupancy-bounded — ~targetOccupancy vectors ≈ 32 KB)
+    * and streams every probe row against them with a primitive
+    * float-array dot. The candidate relation (probes·n·occupancy rows)
+    * is never materialized AT ALL — the previous fused join never
+    * shuffled it, but still constructed a two-vector joined row per
+    * candidate before the codegen cosine, and that row traffic was the
+    * measured bottleneck (sf1, 34M candidates: join+cosine 3.25 s →
+    * kernel 0.4 s; the probe/shuffle stages are unchanged at ~0.15 s).
+    * The kernel's arithmetic mirrors vec_dot/vec_norm/round(…,6)
+    * operation-for-operation (double accumulation left-to-right, one
+    * sqrt, HALF_UP at scale 6 with the NaN/Inf passthrough of Spark's
+    * Round), so the survivor set is bit-identical to the join it
+    * replaces — spec-pinned against brute force. Survivor pairs (the
+    * actual near-dups, a vanishing fraction) are emitted as rows; the
+    * DISTINCT and the `greatest` pair normalization touch only those.
+    * The trade vs the join: AQE can no longer split a pathologically hot
+    * cell (all-identical embeddings); the buffer and the loop are then
+    * bounded by that cell's size — the same quadratic degeneracy the
+    * join's candidate loop had, now with an occupancy-sized memory
+    * footprint instead of a row-traffic one.
     */
   def semanticDedupProbed(
       index: Similarity.IvfIndex, probes: Int = 2,
@@ -1053,27 +1064,82 @@ object Dedup {
     val idCol = index.idCol
     val vecCol = index.vecCol
     graft.functions.GraftFunctions.register(assigned.sparkSession)
-    // norms hoisted OUT of the per-pair loop: computed once per join-input
-    // row (n·probes + n rows) instead of once per candidate pair
-    // (probes·n·occupancy rows) — vec_dot/(norm·norm) is bit-identical to
-    // the fused vec_cosine (see FloatVecDot's contract), so oracle parity
-    // is unaffected
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val idType = assigned.schema(idCol).dataType
+    // probe rows carry rank-0 (the row's own cell), so primary-vs-primary
+    // pairs arise exactly as in the join this kernel replaces
     val probedRows = Similarity.probeCells(
         assigned, index.centroids, vecCol, idCol, probes)
-      .select(col(idCol).as("__pid"), col(vecCol).as("__pv"),
-        expr(s"vec_norm(`$vecCol`)").as("__pn"),
-        explode(col("__cells")).as("__cell"))
-    // primary-cell side: the KMeans assignment already materialized in
-    // the index (no recompute)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        explode(col("__cells")).as("__cell"), lit(false).as("__primary"))
     val primaryRows = assigned.select(
-      col(idCol).as("__qid"), col(vecCol).as("__qv"),
-      expr(s"vec_norm(`$vecCol`)").as("__qn"), col("__cell"))
-    val dups = probedRows.join(primaryRows, Seq("__cell"))
-      .filter(col("__pid") =!= col("__qid"))
-      .select(col("__pid"), col("__qid"),
-        expr("round(vec_dot(__pv, __qv) / (__pn * __qn), 6)").as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .select(greatest(col("__pid"), col("__qid")).as(idCol)).distinct
+      col(idCol).as("__id"), col(vecCol).as("__v"),
+      col("__cell"), lit(true).as("__primary"))
+    val unioned = probedRows.unionByName(primaryRows)
+      .repartition(col("__cell"))
+      .sortWithinPartitions(col("__cell"), col("__primary").desc)
+    val pairSchema = StructType(Seq(
+      StructField("__a", idType), StructField("__b", idType)))
+    // survivor pairs only — the threshold filter runs inside the loop
+    val pairs = unioned.mapPartitions { it =>
+      // vec_norm mirror: left-to-right double squared-sum, one sqrt
+      def norm(v: Array[Float]): Double = {
+        var ss = 0.0; var i = 0
+        while (i < v.length) { val x = v(i).toDouble; ss += x * x; i += 1 }
+        math.sqrt(ss)
+      }
+      // Spark Round(…, 6) mirror: HALF_UP via BigDecimal.decimal
+      // (valueOf semantics), NaN/Inf passed through un-rounded
+      def round6(x: Double): Double =
+        if (x.isNaN || x.isInfinite) x
+        else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // hot-loop fast path: round6 is monotone and moves a value by at
+      // most 5e-7, so only cosines within 1e-6 of the threshold need the
+      // (allocating) exact rounding — a 30M-candidate loop would
+      // otherwise build 30M BigDecimals (the measured kernel bottleneck)
+      def keeps(c: Double): Boolean =
+        if (c >= threshold + 1e-6) true
+        else if (c < threshold - 1e-6) false
+        else round6(c) >= threshold
+      var cell = Integer.MIN_VALUE
+      val pIds = new scala.collection.mutable.ArrayBuffer[Any]
+      val pVecs = new scala.collection.mutable.ArrayBuffer[Array[Float]]
+      val pNorms = new scala.collection.mutable.ArrayBuffer[Double]
+      it.flatMap { r =>
+        val c = r.getInt(2)
+        if (c != cell) { cell = c; pIds.clear(); pVecs.clear(); pNorms.clear() }
+        val id = r.get(0)
+        val vec = {
+          val s = r.getSeq[Float](1); val a = new Array[Float](s.length)
+          var i = 0; while (i < a.length) { a(i) = s(i); i += 1 }; a
+        }
+        val n = norm(vec)
+        if (r.getBoolean(3)) { // primary: buffer (sorted first in cell)
+          pIds += id; pVecs += vec; pNorms += n
+          Iterator.empty
+        } else {
+          val out = new scala.collection.mutable.ArrayBuffer[Row]()
+          var j = 0
+          while (j < pIds.length) {
+            if (pIds(j) != id) {
+              val q = pVecs(j)
+              // vec_dot mirror: left-to-right double accumulation
+              var dot = 0.0; var i = 0
+              val dim = math.min(vec.length, q.length)
+              while (i < dim) { dot += vec(i).toDouble * q(i).toDouble; i += 1 }
+              if (keeps(dot / (n * pNorms(j))))
+                out += Row(id, pIds(j))
+            }
+            j += 1
+          }
+          out.iterator
+        }
+      }
+    }(RowEncoder.encoderFor(pairSchema))
+    val dups = pairs
+      .select(greatest(col("__a"), col("__b")).as(idCol)).distinct
     assigned.select(col(idCol))
       .join(dups.withColumn("__dup", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col("__dup").isNull.as("is_kept"))
