@@ -583,6 +583,15 @@ object SparkEntry {
     // (MinHash closure; oracle = WITH RECURSIVE over the exact pairs,
     // valid because the pair sets are value-equal — see q_minhash_pairs)
     "q_clean_neardup" -> ((s, dir) => CorpusPipeline.cleanNearDup(docs(s, dir))),
+    // FULL curation chain in one row: Gopher+C4 gates on the planted
+    // page (gates read the rendered page; dedup/selection read the raw
+    // body — the standard crawl split), exact-dup canonical, MinHash
+    // components + canonical keeper, DSIR Gumbel top-k. One hash gate
+    // pins every stage: any drift changes the selected set or its keys.
+    "q_curate_corpus" -> ((s, dir) =>
+      CorpusPipeline.curate(
+        docs(s, dir).withColumn("__page", expr(c4Page)),
+        col("lang") === "en", k = 100, gateTextCol = "__page")),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
     // incremental dedup: an incoming batch (doc_id < 100) against the
@@ -1580,11 +1589,17 @@ object SparkEntry {
     import XxhOracleSql._
 
     /** CTE chain ending in `sc` = (doc_id, n_grams, sm). */
-    private def scoreCtes: String =
-      s"""WITH tl AS (
+    private def scoreCtes: String = "WITH " + scoreCtesFrom("documents")
+
+    /** The same chain WITHOUT the leading WITH and over an arbitrary
+      * base relation (must carry doc_id, lang, text) — embeddable after
+      * other CTEs (q_curate_corpus runs it over the curated survivors).
+      */
+    def scoreCtesFrom(base: String): String =
+      s"""tl AS (
           SELECT doc_id, (lang = 'en') AS tgt,
             list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
-          FROM documents),
+          FROM $base),
         uni AS (SELECT doc_id, unnest(ts) AS w FROM tl),
         big AS (
           SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS w
@@ -1614,11 +1629,14 @@ object SparkEntry {
           coalesce(CAST(sc.sm AS DOUBLE) / 1e6, 0.0) AS log_weight
         FROM documents d LEFT JOIN sc USING (doc_id)"""
 
-    def sampleSql(k: Int): String =
-      s"""$scoreCtes,
+    def sampleSql(k: Int): String = s"$scoreCtes${gumbelTail("documents", k)}"
+
+    /** Gumbel top-k tail after [[scoreCtesFrom]] (same base relation). */
+    def gumbelTail(base: String, k: Int): String =
+      s""",
         wsc AS (
           SELECT d.doc_id, coalesce(sc.sm, CAST(0 AS HUGEINT)) AS sm
-          FROM documents d LEFT JOIN sc USING (doc_id)),
+          FROM $base d LEFT JOIN sc USING (doc_id)),
         gm AS (
           SELECT doc_id, sm, md5(CAST(doc_id AS VARCHAR)) AS m FROM wsc),
         gk AS (
@@ -2350,6 +2368,124 @@ object SparkEntry {
           AND qual.quality >= 0.3
           AND st.n_tokens >= 8
           AND lang.lang_pred IN ('en','de','fr','es','zh')""",
+    // Curation chain: the gate mirrors are q_gopher_rules (minWords=10)
+    // and q_c4_rules reduced to their keep booleans over the SAME planted
+    // page; exact dedup is the q_exact_dedup md5 canonical as a window
+    // min; near-dup pairs are the exact-Jaccard inverted index
+    // (value-equal to the engine's MinHash pairs — the q_minhash_pairs /
+    // q_clean_neardup precedent, over a SUBSET where shingle frequencies
+    // only drop); components are the recursive-CTE min-label closure;
+    // selection re-embeds the full DSIR mirror over the survivors.
+    "q_curate_corpus" ->
+      s"""WITH RECURSIVE pages AS (
+          SELECT doc_id, lang, text, $c4Page AS page FROM documents),
+        gb AS (
+          SELECT doc_id, page,
+            coalesce(list_filter(string_split_regex(lower(page), ' +'), t -> t != ''),
+                     CAST([] AS VARCHAR[])) AS ts,
+            coalesce(list_filter(string_split(page, chr(10)), l -> trim(l) != ''),
+                     CAST([] AS VARCHAR[])) AS ls
+          FROM pages),
+        gmeas AS (
+          SELECT doc_id,
+            CAST(len(ts) AS BIGINT) AS nw,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts) END AS mwl,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST(length(page) - length(replace(page, '#', '')) AS DOUBLE) / len(ts) END AS hr,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST((length(page) - length(replace(page, '...', ''))) // 3
+                + (length(page) - length(replace(page, '…', ''))) AS DOUBLE) / len(ts) END AS er,
+            CASE WHEN len(ls) = 0 THEN NULL ELSE
+              CAST(len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('•','‣','▪','-','*'))) AS DOUBLE)
+                / len(ls) END AS br,
+            CASE WHEN len(ls) = 0 THEN NULL ELSE
+              CAST(len(list_filter(ls, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE)
+                / len(ls) END AS elr,
+            CASE WHEN len(ts) = 0 THEN NULL ELSE
+              CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(ts) END AS ar,
+            CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(ts, s))) AS BIGINT) AS sh
+          FROM gb),
+        gkeep AS (
+          SELECT doc_id,
+            ((nw >= 10 AND nw <= 100000)
+              AND coalesce(mwl >= 3.0 AND mwl <= 10.0, false)
+              AND coalesce(hr <= 0.1 AND er <= 0.1, false)
+              AND coalesce(br <= 0.9, false)
+              AND coalesce(elr <= 0.3, false)
+              AND coalesce(ar >= 0.8, false)
+              AND sh >= 2) AS keep
+          FROM gmeas),
+        cb AS (
+          SELECT doc_id, page,
+            coalesce(list_filter(list_transform(string_split(page, chr(10)), l -> trim(l)),
+                     l -> l != ''), CAST([] AS VARCHAR[])) AS ls
+          FROM pages),
+        ck AS (
+          SELECT doc_id, page,
+            coalesce(array_to_string(list_filter(ls, l ->
+              right(l, 1) IN ('.', '!', '?', '"', '”')
+              AND len(list_filter(string_split_regex(lower(l), ' +'), t -> t != '')) >= 5
+              AND NOT contains(lower(l), 'javascript')
+              AND NOT (contains(lower(l), 'terms of use') OR contains(lower(l), 'privacy policy')
+                OR contains(lower(l), 'cookie policy') OR contains(lower(l), 'uses cookies')
+                OR contains(lower(l), 'use of cookies') OR contains(lower(l), 'use cookies'))),
+              chr(10)), '') AS tc
+          FROM cb),
+        ckeep AS (
+          SELECT doc_id,
+            ((CAST((length(tc) - length(replace(tc, '.', '')))
+                + (length(tc) - length(replace(tc, '!', '')))
+                + (length(tc) - length(replace(tc, '?', ''))) AS BIGINT) >= 3)
+              AND coalesce(NOT contains(lower(page), 'lorem ipsum'), false)
+              AND coalesce(NOT contains(page, '{'), false)) AS keep
+          FROM ck),
+        gated AS (
+          SELECT p.doc_id, p.lang, p.text FROM pages p
+          JOIN gkeep g2 USING (doc_id) JOIN ckeep c2 USING (doc_id)
+          WHERE g2.keep AND c2.keep),
+        ex AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+              min(doc_id) OVER (PARTITION BY coalesce(
+                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '__NULL_TEXT__')) AS can
+            FROM gated)
+          WHERE doc_id = can),
+        jtoks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
+          FROM ex),
+        jsh AS (
+          SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+          FROM jtoks, unnest(generate_series(1, greatest(len(tk) - 2, 1))) AS u(i)
+          WHERE len(tk) >= 3),
+        jsizes AS (SELECT doc_id, count(*) AS n_sh FROM jsh GROUP BY doc_id),
+        jcapped AS (
+          SELECT doc_id, shingle FROM (
+            SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS f FROM jsh)
+          WHERE f <= 100),
+        jprs AS (
+          SELECT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM jcapped a JOIN jcapped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) p
+          JOIN jsizes sa ON sa.doc_id = doc_a
+          JOIN jsizes sb ON sb.doc_id = doc_b
+          WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM jprs
+                  UNION SELECT doc_b, doc_a FROM jprs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a),
+        comp AS (
+          SELECT e2.doc_id, least(e2.doc_id, coalesce(min(r.b), e2.doc_id)) AS component_id
+          FROM ex e2 LEFT JOIN reach r ON r.a = e2.doc_id
+          GROUP BY e2.doc_id),
+        canon AS (
+          SELECT e3.doc_id, e3.lang, e3.text FROM ex e3 JOIN comp c3 USING (doc_id)
+          WHERE c3.doc_id = c3.component_id),
+        ${DsirOracleSql.scoreCtesFrom("canon")}${DsirOracleSql.gumbelTail("canon", 100)}""",
     "q_ngram_jaccard" ->
       """WITH toks AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk

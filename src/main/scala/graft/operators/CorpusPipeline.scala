@@ -72,6 +72,70 @@ object CorpusPipeline {
       .select("doc_id", "lang_pred", "quality", "n_tokens")
   }
 
+  /** The FULL curation chain in one operator — the pipeline a
+    * training-data team actually runs, composed from the library's own
+    * stages without plan blow-up:
+    *
+    *   1. rule gates: Gopher (Rae et al. 2021) AND C4 (Raffel et al.
+    *      2020) — ONE fused projection wave
+    *      ([[TextAnalysis.withGopherRules]] + [[TextAnalysis.withC4Rules]]
+    *      as column-adding passes over the same scan; joining the two
+    *      rule frames back on doc_id would scan the corpus twice and
+    *      shuffle it twice for nothing)
+    *   2. exact dedup: normalized-md5 canonical via [[Dedup.withDupStats]]
+    *      (two-phase group stats + frequency-routed rejoin — no window)
+    *   3. near-dup components: MinHash-LSH pairs → [[Dedup.components]]
+    *      → keep each component's canonical (minimum-id) member
+    *   4. selection: [[Selection.dsirSample]] Gumbel top-k over the
+    *      curated survivors (fixed token/document budget)
+    *
+    * Emits the selected documents as `(doc_id, key)` — any drift in any
+    * stage changes the selected set and/or its perturbed keys, so one
+    * hash gate pins the whole chain.
+    *
+    * Shuffle budget at 100 TB: the gate wave is shuffle-free; exact
+    * dedup pays the withDupStats hash exchange + routed rejoin; the
+    * near-dup stage pays MinHash's bounded band-bucket joins plus
+    * components' iterative label joins over SURVIVORS only; DSIR pays
+    * its one (doc, bucket) count exchange. The gated+deduped survivor
+    * relation is PERSISTED (survivor-sized, like ExactSubstr's): it has
+    * four consumers (pair generation, the component vertex list, the
+    * canonical join, DSIR scoring) whose agg/probe subtrees cannot share
+    * one exchange, and bare it would re-run the gate projections and the
+    * dedup exchanges per consumer; blocks are released by the
+    * ContextCleaner when the returned plan is dropped.
+    */
+  def curate(
+      docs: DataFrame, targetExpr: org.apache.spark.sql.Column, k: Int,
+      textCol: String = "text", gateTextCol: String = "text",
+      gopherMinWords: Int = 10,
+      jaccardThreshold: Double = 0.5, headMinDupes: Long = 100000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rawCols = docs.columns.map(col).toSeq
+    // gates evaluate `gateTextCol` (the rendered page, boilerplate lines
+    // included — what the C4/Gopher rules are written against); dedup and
+    // selection run on `textCol` (the extracted body) — the standard
+    // crawl-pipeline split
+    val gated = TextAnalysis.withC4Rules(
+        TextAnalysis.withGopherRules(docs, gateTextCol, minWords = gopherMinWords),
+        gateTextCol)
+      .filter(col("gopher_keep") && col("c4_keep"))
+      .select(rawCols: _*)
+      .withColumn("__h", Dedup.dupHash(textCol))
+    val exact = Dedup.withDupStats(gated, headMinDupes)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(rawCols: _*)
+      .persist()
+    val pairs = Dedup.minhashPairs(exact, textCol, threshold = jaccardThreshold)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val comps = Dedup.components(exact.select(col("doc_id").as("id")), pairs)
+    val canon = exact.join(
+      comps.filter(col("id") === col("component_id"))
+        .select(col("id").as("doc_id")),
+      "doc_id")
+    Selection.dsirSample(canon, targetExpr, k, textCol)
+  }
+
   /** Snapshot diff: classify every document id across two corpus
     * snapshots as `added` / `removed` / `changed` / `unchanged` — the
     * audit a pipeline runs between crawl refreshes before deciding what

@@ -129,6 +129,23 @@ object TextAnalysis {
     */
   def gopherRules(
       docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    withGopherRules(docs, textCol, minWords, maxWords).select(
+      col("doc_id"), col("n_words"), col("mean_word_len"),
+      col("hash_word_ratio"), col("ellipsis_word_ratio"),
+      col("bullet_line_ratio"), col("ellipsis_line_ratio"),
+      col("alpha_word_ratio"), col("n_stop_hits"),
+      col("r_word_count"), col("r_word_len"), col("r_symbol"),
+      col("r_bullet"), col("r_ellipsis"), col("r_alpha"), col("r_stop"),
+      col("gopher_keep"))
+
+  /** [[gopherRules]] as a COLUMN-ADDING pass: every measurement/rule
+    * column plus `gopher_keep` appended to the input's own columns (the
+    * [[CorpusPipeline]] fusion discipline — composition must not join
+    * per-row projections of the corpus back on doc_id).
+    */
+  private[operators] def withGopherRules(
+      docs: DataFrame, textCol: String = "text",
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     require(minWords >= 0 && maxWords >= minWords, "need 0 <= minWords <= maxWords")
     val bullets = "'•','‣','▪','-','*'"
@@ -172,26 +189,26 @@ object TextAnalysis {
       .withColumn("__sh", expr(
         """CAST(size(filter(array('the','be','to','of','and','that','have','with'),
           | s -> array_contains(__toks, s))) AS BIGINT)""".stripMargin))
-      .select(
-        col("doc_id"),
-        col("__nw").as("n_words"),
-        expr("round(__mwl, 6)").as("mean_word_len"),
-        expr("round(__hr, 6)").as("hash_word_ratio"),
-        expr("round(__er, 6)").as("ellipsis_word_ratio"),
-        expr("round(__br, 6)").as("bullet_line_ratio"),
-        expr("round(__elr, 6)").as("ellipsis_line_ratio"),
-        expr("round(__ar, 6)").as("alpha_word_ratio"),
-        col("__sh").as("n_stop_hits"),
-        expr(s"__nw >= $minWords AND __nw <= $maxWords").as("r_word_count"),
-        expr("coalesce(__mwl >= 3.0 AND __mwl <= 10.0, false)").as("r_word_len"),
-        expr("coalesce(__hr <= 0.1 AND __er <= 0.1, false)").as("r_symbol"),
-        expr("coalesce(__br <= 0.9, false)").as("r_bullet"),
-        expr("coalesce(__elr <= 0.3, false)").as("r_ellipsis"),
-        expr("coalesce(__ar >= 0.8, false)").as("r_alpha"),
-        expr("__sh >= 2").as("r_stop"))
+      .withColumn("n_words", col("__nw"))
+      .withColumn("mean_word_len", expr("round(__mwl, 6)"))
+      .withColumn("hash_word_ratio", expr("round(__hr, 6)"))
+      .withColumn("ellipsis_word_ratio", expr("round(__er, 6)"))
+      .withColumn("bullet_line_ratio", expr("round(__br, 6)"))
+      .withColumn("ellipsis_line_ratio", expr("round(__elr, 6)"))
+      .withColumn("alpha_word_ratio", expr("round(__ar, 6)"))
+      .withColumn("n_stop_hits", col("__sh"))
+      .withColumn("r_word_count", expr(s"__nw >= $minWords AND __nw <= $maxWords"))
+      .withColumn("r_word_len", expr("coalesce(__mwl >= 3.0 AND __mwl <= 10.0, false)"))
+      .withColumn("r_symbol", expr("coalesce(__hr <= 0.1 AND __er <= 0.1, false)"))
+      .withColumn("r_bullet", expr("coalesce(__br <= 0.9, false)"))
+      .withColumn("r_ellipsis", expr("coalesce(__elr <= 0.3, false)"))
+      .withColumn("r_alpha", expr("coalesce(__ar >= 0.8, false)"))
+      .withColumn("r_stop", expr("__sh >= 2"))
       .withColumn("gopher_keep", expr(
         "r_word_count AND r_word_len AND r_symbol AND r_bullet " +
           "AND r_ellipsis AND r_alpha AND r_stop"))
+      .drop("__toks", "__lines", "__nw", "__nl", "__mwl", "__hr", "__er",
+        "__br", "__elr", "__ar", "__sh")
   }
 
   /** Policy-boilerplate phrases whose presence drops a line in [[c4Rules]]
@@ -238,6 +255,17 @@ object TextAnalysis {
     */
   def c4Rules(
       docs: DataFrame, textCol: String = "text",
+      minLineWords: Int = 5, minSentences: Int = 3): DataFrame =
+    withC4Rules(docs, textCol, minLineWords, minSentences).select(
+      col("doc_id"), col("n_lines"), col("n_kept_lines"),
+      col("n_sentences"), col("text_clean"),
+      col("r_sentences"), col("r_lorem"), col("r_brace"), col("c4_keep"))
+
+  /** [[c4Rules]] as a COLUMN-ADDING pass — same composition contract as
+    * [[withGopherRules]].
+    */
+  private[operators] def withC4Rules(
+      docs: DataFrame, textCol: String = "text",
       minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
     require(minLineWords >= 0 && minSentences >= 0,
       "need minLineWords >= 0 and minSentences >= 0")
@@ -262,17 +290,16 @@ object TextAnalysis {
         """CAST((length(__tc) - length(replace(__tc, '.', '')))
           |  + (length(__tc) - length(replace(__tc, '!', '')))
           |  + (length(__tc) - length(replace(__tc, '?', ''))) AS BIGINT)""".stripMargin))
-      .select(
-        col("doc_id"),
-        expr("CAST(size(__lines) AS BIGINT)").as("n_lines"),
-        expr("CAST(size(__kept) AS BIGINT)").as("n_kept_lines"),
-        col("__ns").as("n_sentences"),
-        col("__tc").as("text_clean"),
-        expr(s"__ns >= $minSentences").as("r_sentences"),
-        expr(s"coalesce(NOT contains(lower($textCol), 'lorem ipsum'), false)")
-          .as("r_lorem"),
-        expr(s"coalesce(NOT contains($textCol, '{'), false)").as("r_brace"))
+      .withColumn("n_lines", expr("CAST(size(__lines) AS BIGINT)"))
+      .withColumn("n_kept_lines", expr("CAST(size(__kept) AS BIGINT)"))
+      .withColumn("n_sentences", col("__ns"))
+      .withColumn("text_clean", col("__tc"))
+      .withColumn("r_sentences", expr(s"__ns >= $minSentences"))
+      .withColumn("r_lorem",
+        expr(s"coalesce(NOT contains(lower($textCol), 'lorem ipsum'), false)"))
+      .withColumn("r_brace", expr(s"coalesce(NOT contains($textCol, '{'), false)"))
       .withColumn("c4_keep", expr("r_sentences AND r_lorem AND r_brace"))
+      .drop("__lines", "__kept", "__tc", "__ns")
   }
 
   /** Token counting: whitespace tokens plus a BPE-ish regex token count

@@ -807,6 +807,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains(4L))
   }
 
+  test("curate: gates, exact dedup, components, and selection compose") {
+    import spark.implicits._
+    // three punctuated >=5-word lines with stopwords: passes BOTH gates
+    def page(body: String): String = Seq(
+      s"the cat sat of the mat and $body was fine here.",
+      s"all of them came to see $body that day again.",
+      s"that was it and they have gone from $body now.").mkString("\n")
+    val rows = Seq(
+      (1L, page("alpha"), "en"),
+      (2L, page("alpha"), "en"),          // exact dup of 1 → dropped
+      (3L, page("alpha") + "\nthe same page with one more trailing line here.", "en"), // near-dup of 1 → dropped
+      // a DIFFERENT template (sharing the page() frame keeps Jaccard
+      // >= 0.5 and folds it into doc 1's near-dup component)
+      (4L, Seq(
+        "a dog ran with the ball and it was of great joy here.",
+        "nobody came to that show because they have left of late.",
+        "the rain fell and all of it has gone to ground now.").mkString("\n"), "en"),
+      (5L, page("gamma") + " {", "en"),   // curly brace → c4 gate drops
+      (6L, "too few words.", "en"))       // gopher word floor drops
+    val docs = spark.createDataset(rows).toDF("doc_id", "text", "lang")
+    val sel = CorpusPipeline.curate(docs, col("lang") === "en", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 4L),
+      s"expected gate/dedup survivors {1, 4}, got $sel")
+    // a smaller k truncates the Gumbel top-k but stays inside survivors
+    val one = CorpusPipeline.curate(docs, col("lang") === "en", k = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one.size == 1 && one.subsetOf(Set(1L, 4L)))
+  }
+
   test("simhash pairs near-dups at low hamming distance") {
     val pairs = Dedup.simhashPairs(docsDf(dupDocs), maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
