@@ -2376,8 +2376,13 @@ object SparkEntry {
     // q_clean_neardup precedent, over a SUBSET where shingle frequencies
     // only drop); components are the recursive-CTE min-label closure;
     // selection re-embeds the full DSIR mirror over the survivors.
+    // pages/ex/canon are AS MATERIALIZED: each is referenced by several
+    // downstream chains, and DuckDB otherwise INLINES them — the pair
+    // self-join and recursion get re-planned inside every gram pipeline
+    // and the single query exceeds a 100 GB spill at sf3; materialized,
+    // the whole chain runs in ~70 s there (each stage is survivor-sized).
     "q_curate_corpus" ->
-      s"""WITH RECURSIVE pages AS (
+      s"""WITH RECURSIVE pages AS MATERIALIZED (
           SELECT doc_id, lang, text, $c4Page AS page FROM documents),
         gb AS (
           SELECT doc_id, page,
@@ -2445,7 +2450,7 @@ object SparkEntry {
           SELECT p.doc_id, p.lang, p.text FROM pages p
           JOIN gkeep g2 USING (doc_id) JOIN ckeep c2 USING (doc_id)
           WHERE g2.keep AND c2.keep),
-        ex AS (
+        ex AS MATERIALIZED (
           SELECT doc_id, lang, text FROM (
             SELECT doc_id, lang, text,
               min(doc_id) OVER (PARTITION BY coalesce(
@@ -2482,7 +2487,7 @@ object SparkEntry {
           SELECT e2.doc_id, least(e2.doc_id, coalesce(min(r.b), e2.doc_id)) AS component_id
           FROM ex e2 LEFT JOIN reach r ON r.a = e2.doc_id
           GROUP BY e2.doc_id),
-        canon AS (
+        canon AS MATERIALIZED (
           SELECT e3.doc_id, e3.lang, e3.text FROM ex e3 JOIN comp c3 USING (doc_id)
           WHERE c3.doc_id = c3.component_id),
         ${DsirOracleSql.scoreCtesFrom("canon")}${DsirOracleSql.gumbelTail("canon", 100)}""",
