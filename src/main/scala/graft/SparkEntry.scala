@@ -929,14 +929,20 @@ object SparkEntry {
     "q_embed_dup_pairs" -> ((s, dir) =>
       Dedup.embeddingDupPairs(embeds(s, dir), threshold = 0.9, tables = 16,
         probeHamming = 1)),
-    // sampled-exact recall envelope for the multi-table sign-LSH: the
-    // deterministic %5 anchor slice makes the exact reference |sample|×n
-    // instead of n² (engine AND oracle compute the identical relation);
-    // recall floor 0.8 (measured 10/11 = 0.91 at sf1; vacuously true at
-    // driver SFs where the exact set is empty)
+    // sampled-exact recall envelope for the multi-table sign-LSH. The
+    // anchor slice is FIXED-SIZE, not a fixed fraction: modulus
+    // m = greatest(5, n / 2000) derived from the corpus count in BOTH
+    // engines (Spark below, the same arithmetic in the oracle SQL), so
+    // |anchors| saturates at ~2000 and the exact reference is O(n)
+    // broadcast dot products at every SF — a fixed `% 5` fraction made
+    // this row 0.2·n² (53 s = 10% of the sf3 bench, the suite's only
+    // superlinear row). The count() action is parquet-metadata-only.
+    // Recall floor 0.8 (non-vacuous where exact pairs exist: sf1/sf3;
+    // vacuously true at driver SFs where the exact set is empty).
     "q_embed_recall_bounds" -> ((s, dir) => {
       val e = embeds(s, dir)
-      val exact = Dedup.embeddingDupPairsExact(e, "%ID% % 5 = 0", threshold = 0.9)
+      val m = math.max(5L, e.count() / 2000L)
+      val exact = Dedup.embeddingDupPairsExact(e, s"%ID% % $m = 0", threshold = 0.9)
         .select("id_a", "id_b")
       val lsh = Dedup.embeddingDupPairs(e, threshold = 0.9, tables = 16)
         .select("id_a", "id_b").withColumn("__hit", lit(true))
@@ -3280,11 +3286,14 @@ object SparkEntry {
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= 0.5""",
     // Sampled-exact recall envelope: the oracle computes the identical
-    // %5-anchored exact pair count; the floor is the engine-side claim
-    // stated as a literal.
+    // fixed-size anchor set (modulus greatest(5, n/2000) from the same
+    // corpus count — integer floor division in both engines, n ≥ 0) and
+    // the identical anchored exact pair count; the floor is the
+    // engine-side claim stated as a literal.
     "q_embed_recall_bounds" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        a AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        m AS (SELECT greatest(5, count(*) // 2000) AS md FROM e),
+        a AS (SELECT e.* FROM e, m WHERE vec_id % m.md = 0),
         p AS (
           SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
             greatest(a.vec_id, b.vec_id) AS id_b

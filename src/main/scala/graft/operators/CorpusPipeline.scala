@@ -102,8 +102,14 @@ object CorpusPipeline {
     * four consumers (pair generation, the component vertex list, the
     * canonical join, DSIR scoring) whose agg/probe subtrees cannot share
     * one exchange, and bare it would re-run the gate projections and the
-    * dedup exchanges per consumer; blocks are released by the
-    * ContextCleaner when the returned plan is dropped.
+    * dedup exchanges per consumer. The survivor cache is released
+    * DETERMINISTICALLY before curate returns: the selected set is k rows
+    * (bounded, tiny), so the chain is terminal-localCheckpointed —
+    * forcing the one remaining lazy consumption — and the survivor
+    * relation unpersisted, leaving only a k-row block behind per call
+    * (components()' terminal-release discipline; previously each
+    * curate() left a survivor-sized cache to the ContextCleaner, which
+    * accumulates across calls in a long-lived session).
     */
   def curate(
       docs: DataFrame, targetExpr: org.apache.spark.sql.Column, k: Int,
@@ -133,7 +139,13 @@ object CorpusPipeline {
       comps.filter(col("id") === col("component_id"))
         .select(col("id").as("doc_id")),
       "doc_id")
-    Selection.dsirSample(canon, targetExpr, k, textCol)
+    // eager k-row terminal: one localCheckpoint action consumes the
+    // persisted survivor relation's last lazy readers (canonical join +
+    // DSIR), then the survivor cache is released before returning
+    val selected = Selection.dsirSample(canon, targetExpr, k, textCol)
+      .localCheckpoint()
+    exact.unpersist()
+    selected
   }
 
   /** Snapshot diff: classify every document id across two corpus

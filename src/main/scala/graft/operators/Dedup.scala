@@ -1058,8 +1058,10 @@ object Dedup {
     */
   def semanticDedupProbed(
       index: Similarity.IvfIndex, probes: Int = 2,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxCellPrimaries: Int = 65536): DataFrame = {
     require(probes >= 1, "at least one probed cell")
+    require(maxCellPrimaries >= 1, "positive maxCellPrimaries required")
     val assigned = index.assigned
     val idCol = index.idCol
     val vecCol = index.vecCol
@@ -1117,6 +1119,20 @@ object Dedup {
         }
         val n = norm(vec)
         if (r.getBoolean(3)) { // primary: buffer (sorted first in cell)
+          // degenerate-data guard: KMeans collapsing a corpus-sized mass
+          // of identical/near-zero embeddings into ONE cell would make
+          // this buffer corpus-sized on a single task (and the probe
+          // loop quadratic in it) — fail loudly naming the hot cell
+          // instead of OOMing the executor. Healthy indexes sit at
+          // ~targetOccupancy (128) primaries per cell, 512× below the
+          // default cap; raise maxCellPrimaries only with eyes open.
+          if (pIds.length >= maxCellPrimaries)
+            throw new IllegalStateException(
+              s"semanticDedupProbed: cell $c holds more than " +
+                s"$maxCellPrimaries primary vectors (degenerate KMeans " +
+                "cell — embeddings collapsing to one centroid). Refit " +
+                "the index with more lists, or raise maxCellPrimaries " +
+                "if the memory and quadratic probe cost are acceptable.")
           pIds += id; pVecs += vec; pNorms += n
           Iterator.empty
         } else {
@@ -1371,7 +1387,10 @@ object Dedup {
   /** Exact cosine pairs RESTRICTED to anchors satisfying `anchorPred`
     * (id_a side): the deterministic sampled-exact reference for the
     * [[embeddingDupPairs]] recall envelope. Brute force is quadratic, so
-    * the envelope anchors on a fixed id-slice (e.g. `vec_id % 5 = 0`):
+    * the envelope anchors on a deterministic id-slice — a FIXED-SIZE one
+    * (`vec_id % m = 0` with m derived from the corpus count, so |sample|
+    * is ~constant and the reference stays O(n) at every SF; a fixed
+    * fraction like `% 5` re-creates the quadratic it exists to avoid):
     * cost drops to |sample| × n broadcast-side dot products while the
     * anchored exact pair set stays a faithful, engine-portable subsample
     * of the true pair relation (both engines compute it identically —

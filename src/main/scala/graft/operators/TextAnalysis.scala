@@ -229,8 +229,10 @@ object TextAnalysis {
     * Line keep (all must hold; kept lines form `text_clean`):
     *   1. ends in terminal punctuation — period, '!', '?', or a closing
     *      quotation mark ('"' or '”')
-    *   2. has ≥ `minLineWords` whitespace words (paper: 5... actually 3;
-    *      default 5 follows the paper's "at least 5 words" line floor)
+    *   2. has ≥ `minLineWords` whitespace words (default 5 follows the
+    *      official C4 code, tfds c4_utils; the paper TEXT of Raffel et
+    *      al. 2020 §2.2 says 3 words per line — a known paper/code
+    *      discrepancy; the released dataset was built with 5)
     *   3. does not contain the word "javascript" (case-insensitive)
     *   4. does not contain a policy-boilerplate phrase
     *      ([[c4PolicyPhrases]])

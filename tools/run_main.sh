@@ -19,7 +19,12 @@ for p in "${opens[@]}"; do flags+=(--add-opens "java.base/$p=ALL-UNNAMED"); done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   flags+=(--add-opens "java.base/$p=ALL-UNNAMED")
 done
-exec java "${flags[@]}" \
+# java runs as a CHILD (not exec) so the EXIT trap fires and the class
+# snapshot is removed; exec replaced the shell and leaked one snapshot
+# dir per invocation. `|| rc=$?` keeps set -e from skipping the trap.
+rc=0
+java "${flags[@]}" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "$snap:/opt/spark/jars/*" "$main" "$@"
+  -cp "$snap:/opt/spark/jars/*" "$main" "$@" || rc=$?
+exit "$rc"
