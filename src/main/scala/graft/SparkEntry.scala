@@ -295,6 +295,23 @@ object SparkEntry {
       TextAnalysis.domainStats(docs(s, dir).withColumn("text", expr(
         "concat(text, ' see https://Ex', CAST(doc_id % 20 AS STRING)," +
           " '.org/p/', CAST(doc_id AS STRING))")))),
+    // URL canonicalization (crawl pre-dedup key): planted-input
+    // discipline (the fixture has no URL column) — four doc_id-derived
+    // shapes exercise case/port/fragment/tracking/param-sort/empty-path
+    // and the non-http NULL route
+    "q_url_canon" -> ((s, dir) =>
+      TextAnalysis.urlCanonicalize(docs(s, dir).select(col("doc_id"),
+        expr("""CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN concat('HTTP://Ex', CAST(doc_id % 20 AS STRING),
+          |    '.ORG:80/P/', CAST(doc_id AS STRING), '?utm_source=feed&b=2&a=1#top')
+          |  WHEN 1 THEN concat('https://ex', CAST(doc_id % 20 AS STRING),
+          |    '.org/p/', CAST(doc_id AS STRING), '/?gclid=', CAST(doc_id AS STRING),
+          |    '&z=9&a=1&a=0')
+          |  WHEN 2 THEN concat('HTTPS://EX', CAST(doc_id % 20 AS STRING),
+          |    '.org:8443?fbclid=abc&utm_campaign=x')
+          |  ELSE concat('ftp://ex', CAST(doc_id AS STRING), '.org/skip')
+          |END""".stripMargin).as("url")))
+        .select("doc_id", "url", "url_canon", "url_key")),
     // corpus-level curation ops: vocabulary, salient terms, repetition
     // quality signals, data-mix report, stratified mixing
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
@@ -538,6 +555,12 @@ object SparkEntry {
     // hash-gated end to end; the only ln runs once per bucket)
     "q_dsir_weights" -> ((s, dir) =>
       Selection.dsirWeights(docs(s, dir), col("lang") === "en")),
+    // Naive-Bayes quality classifier (fastText/CCNet companion): target-
+    // vs-rest class multinomials + doc-count prior over the SAME hashed-
+    // gram exchange as DSIR, exact-integer fit, per-bucket micro-
+    // quantized llr — fully hash-gated via the XXH64 mirror
+    "q_nb_quality" -> ((s, dir) =>
+      Selection.nbQuality(docs(s, dir), col("lang") === "en")),
     // Kneser-Ney trigram cross-entropy (CCNet quality filter shape):
     // LM fitted on the lang='en' slice, every doc scored; the only ln
     // runs per trigram TYPE, micro-quantized (DSIR discipline); string
@@ -1341,7 +1364,18 @@ object SparkEntry {
       Multimodal.decodePixels(Multimodal.syntheticImagesFromDocs(docs(s, dir)))
         .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"),
-          expr("round(mean_luma, 6)").as("mean_luma"))))
+          expr("round(mean_luma, 6)").as("mean_luma"))),
+    // image near-dup dedup (LAION-style): REAL PNGs with planted one-cell
+    // perturbations → real ImageIO decode → box-average 9×8 luma grid →
+    // 64-bit dHash → Hamming-band pair relation. The generator's cell
+    // values are md5-derivable from doc_id, so DuckDB recomputes the
+    // EXACT pair relation (grid → gradient bits → band join → popcount)
+    // without decoding a byte — the hash gate pins the full decode →
+    // resize → hash → band-join chain cross-engine
+    "q_image_dedup" -> ((s, dir) =>
+      Multimodal.imageDupPairs(
+        Multimodal.syntheticGridImagesFromDocs(docs(s, dir)), maxHamming = 8)
+        .select("id_a", "id_b", "hamming")))
 
   /** Fitted IVF indexes per dataset dir — train once, probe many (the
     * FAISS IVF usage contract; see [[graft.operators.Similarity.ivfFit]]).
@@ -1601,7 +1635,12 @@ object SparkEntry {
       * base relation (must carry doc_id, lang, text) — embeddable after
       * other CTEs (q_curate_corpus runs it over the curated survivors).
       */
-    def scoreCtesFrom(base: String): String =
+    /** The hashed-gram prefix alone: tl → … → bc = (doc_id, b, n), the
+      * shared (doc, bucket) count relation both the DSIR model and the
+      * NB classifier consume (mirroring the engine, where both operators
+      * fit off the same bucketCounts exchange).
+      */
+    def gramCtesFrom(base: String): String =
       s"""tl AS (
           SELECT doc_id, (lang = 'en') AS tgt,
             list_filter(string_split(lower(text), ' '), t -> t != '') AS ts
@@ -1615,7 +1654,10 @@ object SparkEntry {
         grams AS (${asciiGuard("grams0", "dsir", "gram")}),
         th AS (${tokenHash.replace("@TOKS@", "grams")}),
         bc AS (SELECT doc_id, hash % 4096 AS b, count(*) AS n
-               FROM th GROUP BY 1, 2),
+               FROM th GROUP BY 1, 2)"""
+
+    def scoreCtesFrom(base: String): String =
+      s"""${gramCtesFrom(base)},
         model AS (
           SELECT b, sum(CASE WHEN t.tgt THEN n ELSE 0 END) AS ct, sum(n) AS cr
           FROM bc JOIN tl t USING (doc_id) GROUP BY 1),
@@ -1636,6 +1678,40 @@ object SparkEntry {
         FROM documents d LEFT JOIN sc USING (doc_id)"""
 
     def sampleSql(k: Int): String = s"$scoreCtes${gumbelTail("documents", k)}"
+
+    /** Naive-Bayes target-vs-rest classifier over the same hashed-gram
+      * relation: class-conditional counts, add-1-smoothed per-bucket llr
+      * micro-quantized as HUGEINT, whole-corpus class doc-count prior,
+      * exact integer per-document sums — the arithmetic mirror of
+      * `Selection.nbQuality` (λ = 1, B = 4096).
+      */
+    def nbSql: String =
+      s"""WITH ${gramCtesFrom("documents")},
+        model AS (
+          SELECT b, sum(CASE WHEN t.tgt THEN n ELSE 0 END) AS ct,
+            sum(CASE WHEN NOT t.tgt THEN n ELSE 0 END) AS cf
+          FROM bc JOIN tl t USING (doc_id) GROUP BY 1),
+        tot AS (SELECT sum(ct) AS nt, sum(cf) AS nf FROM model),
+        prior AS (
+          SELECT CAST(round(1e6 * (ln(td + CAST(1 AS DOUBLE))
+            - ln(fd + CAST(1 AS DOUBLE)))) AS HUGEINT) AS pm
+          FROM (SELECT
+              sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS td,
+              sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS fd
+            FROM tl WHERE doc_id IS NOT NULL)),
+        mw AS (
+          SELECT b, CAST(round(1e6 * (ln(ct + 1.0) - ln(nt + 1.0 * 4096)
+            - ln(cf + 1.0) + ln(nf + 1.0 * 4096))) AS HUGEINT) AS llr
+          FROM model, tot),
+        sc AS (
+          SELECT doc_id, sum(n) AS n_grams, sum(CAST(n AS HUGEINT) * llr) AS sm
+          FROM bc JOIN mw USING (b) GROUP BY 1)
+        SELECT d.doc_id,
+          coalesce(CAST(sc.n_grams AS BIGINT), 0) AS n_grams,
+          CAST((coalesce(sc.sm, CAST(0 AS HUGEINT)) + prior.pm) AS DOUBLE) / 1e6
+            AS log_odds,
+          (coalesce(sc.sm, CAST(0 AS HUGEINT)) + prior.pm) > 0 AS pred_target
+        FROM documents d LEFT JOIN sc USING (doc_id), prior"""
 
     /** Gumbel top-k tail after [[scoreCtesFrom]] (same base relation). */
     def gumbelTail(base: String, k: Int): String =
@@ -2085,6 +2161,55 @@ object SparkEntry {
         SELECT lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)) AS domain,
           count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
         FROM u GROUP BY 1""",
+    // URL canonicalization: every primitive mirrored function-for-
+    // function (regexp_extract with coalesce'd no-match, split/filter/
+    // sort/join on params, md5 of the canonical form; NULL propagates
+    // through the non-http route in both engines)
+    "q_url_canon" ->
+      """WITH u AS (
+          SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+              WHEN 0 THEN 'HTTP://Ex' || CAST(doc_id % 20 AS VARCHAR)
+                || '.ORG:80/P/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&b=2&a=1#top'
+              WHEN 1 THEN 'https://ex' || CAST(doc_id % 20 AS VARCHAR)
+                || '.org/p/' || CAST(doc_id AS VARCHAR) || '/?gclid='
+                || CAST(doc_id AS VARCHAR) || '&z=9&a=1&a=0'
+              WHEN 2 THEN 'HTTPS://EX' || CAST(doc_id % 20 AS VARCHAR)
+                || '.org:8443?fbclid=abc&utm_campaign=x'
+              ELSE 'ftp://ex' || CAST(doc_id AS VARCHAR) || '.org/skip'
+            END AS url
+          FROM documents),
+        p1 AS (
+          SELECT doc_id, url,
+            lower(coalesce(regexp_extract(url, '^([a-zA-Z]+)://', 1), '')) AS scheme,
+            coalesce(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1), '') AS hostport,
+            coalesce(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^#]*)', 1), '') AS rest
+          FROM u),
+        p2 AS (
+          SELECT doc_id, url, scheme, hostport,
+            lower(coalesce(regexp_extract(hostport, '^([^:]*)', 1), '')) AS host,
+            coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+            coalesce(regexp_extract(rest, '^([^?]*)', 1), '') AS path,
+            coalesce(regexp_extract(rest, '[?](.*)$', 1), '') AS q
+          FROM p1),
+        p3 AS (
+          SELECT *, list_sort(list_filter(string_split(q, '&'),
+              p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$')))
+            AS params
+          FROM p2),
+        canon AS (
+          SELECT doc_id, url,
+            CASE WHEN scheme IN ('http', 'https') AND hostport != '' THEN
+              scheme || '://' || host
+              || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                        OR (scheme = 'https' AND port = '443') THEN ''
+                      ELSE ':' || port END
+              || CASE WHEN path = '' THEN '/' ELSE path END
+              || CASE WHEN len(params) > 0
+                      THEN '?' || array_to_string(params, '&') ELSE '' END
+            ELSE NULL END AS url_canon
+          FROM p3)
+        SELECT doc_id, url, url_canon, md5(url_canon) AS url_key FROM canon""",
     "q_split" ->
       """WITH h AS (
           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
@@ -2216,6 +2341,47 @@ object SparkEntry {
               + 0.587 * CAST((doc_id * 59) % 256 AS DOUBLE)
               + 0.114 * CAST((doc_id * 83) % 256 AS DOUBLE), 6) AS mean_luma
         FROM documents""",
+    // image near-dup: the oracle rebuilds each doc's 9×8 grid from the
+    // generator contract (md5 hex pairs, cell-0 flip for doc_id ≡ 1 mod
+    // 50), derives the 64 gradient bits, packs 4 × 16-bit bands, joins on
+    // shared bands, and popcounts the xor — the identical deterministic
+    // relation the engine computes from real decoded pixels
+    "q_image_dedup" ->
+      """WITH ids AS (
+          SELECT doc_id AS d,
+            CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END AS base
+          FROM documents),
+        cells AS (
+          SELECT d, c, CASE WHEN d % 50 = 1 AND c = 0 THEN 255 - v ELSE v END AS v
+          FROM (
+            SELECT d, c,
+              (instr('0123456789abcdef', substr(m, (c % 16) * 2 + 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(m, (c % 16) * 2 + 2, 1)) - 1) AS v
+            FROM (
+              SELECT d, u.c,
+                md5(CAST(base AS VARCHAR) || ':' || CAST(c // 16 AS VARCHAR)) AS m
+              FROM ids, unnest(generate_series(0, 71)) AS u(c)))),
+        bits AS (
+          SELECT a.d, (a.c // 9) * 8 + (a.c % 9) AS bit
+          FROM cells a JOIN cells b ON b.d = a.d AND b.c = a.c + 1
+          WHERE a.c % 9 < 8 AND b.v > a.v),
+        bagg AS (
+          SELECT d, bit // 16 AS k, sum(CAST(1 AS BIGINT) << (bit % 16)) AS band
+          FROM bits GROUP BY 1, 2),
+        bands AS (
+          SELECT i.d, u.k, coalesce(b.band, 0) AS band
+          FROM ids i CROSS JOIN unnest(generate_series(0, 3)) AS u(k)
+          LEFT JOIN bagg b ON b.d = i.d AND b.k = u.k),
+        pairs AS (
+          SELECT DISTINCT a.d AS id_a, b.d AS id_b
+          FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.d < b.d)
+        SELECT p.id_a, p.id_b,
+          CAST(sum(bit_count(xor(x.band, y.band))) AS INTEGER) AS hamming
+        FROM pairs p
+        JOIN bands x ON x.d = p.id_a
+        JOIN bands y ON y.d = p.id_b AND y.k = x.k
+        GROUP BY 1, 2
+        HAVING sum(bit_count(xor(x.band, y.band))) <= 8""",
     "q_mix_report" ->
       """SELECT lang, source, count(*) AS n_docs,
           CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
@@ -3556,6 +3722,7 @@ object SparkEntry {
     // model + micro-quantized log-ratios mirrored arithmetic-for-
     // arithmetic (see DsirOracleSql).
     "q_dsir_weights" -> DsirOracleSql.weightsSql,
+    "q_nb_quality" -> DsirOracleSql.nbSql,
     // Kneser-Ney trigram cross-entropy: trigrams from '<s> <s> … </s>'
     // padded token lists (the oracle carries (w1,w2,w3) columns — the
     // space-join is injective since tokens contain no spaces); all model

@@ -351,6 +351,174 @@ object Multimodal {
     }(RowEncoder.encoderFor(out))
   }
 
+  /** Schema of a [[dHash64]] row. */
+  def dHashSchema(idType: DataType): StructType = StructType(Seq(
+    StructField("media_id", idType),
+    StructField("dhash", LongType)))
+
+  /** Perceptual difference-hash (dHash) over REAL decoded pixels: ImageIO
+    * decode → box-average downsample to a 9-wide × 8-tall luma grid →
+    * 64 horizontal gradient bits (bit j*8+i set iff grid(i+1,j) >
+    * grid(i,j)). The canonical LAION-style image near-dup key: the hash
+    * survives re-encoding, uniform rescaling, and small brightness-
+    * preserving edits, because it encodes luma GRADIENTS, not values.
+    *
+    * Arithmetic is integer-exact end-to-end so a second engine can
+    * reproduce it from the generator contract: per-pixel luma is
+    * (299·R + 587·G + 114·B) / 1000 floored (identity on grayscale),
+    * each target cell averages (floored) the source pixels whose
+    * (x·9/W, y·8/H) floor-map lands in it — for W,H exact multiples of
+    * 9,8 that is an exact block mean, which is what lets the DuckDB
+    * oracle pin a real decode→resize→hash chain byte-for-byte
+    * ([[syntheticGridImagesFromDocs]]).
+    *
+    * Same scale posture as [[decodePixels]]: per-partition mapPartitions,
+    * binary never shuffles, one scanline buffer (peak memory O(width)),
+    * only (id, 64-bit hash) rows survive. Undecodable bytes or images
+    * smaller than the 9×8 grid emit NO row (a degenerate hash of
+    * nothing would pair all such images together — the null-text
+    * contract of the text signature family).
+    */
+  def dHash64(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    val out = dHashSchema(media.schema(idCol).dataType)
+    val idIdx = media.schema.fieldIndex(idCol)
+    val bIdx = media.schema.fieldIndex(bytesCol)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null || img.getWidth < 9 || img.getHeight < 8) Iterator.empty
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](72)
+          val counts = new Array[Int](72)
+          val line = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, line, 0, w)
+            val ty = (y.toLong * 8 / h).toInt
+            var x = 0
+            while (x < w) {
+              val p = line(x)
+              val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+                + 114 * (p & 0xff)) / 1000
+              val c = ty * 9 + (x.toLong * 9 / w).toInt
+              sums(c) += luma; counts(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val grid = new Array[Long](72)
+          var c = 0
+          while (c < 72) { grid(c) = sums(c) / counts(c); c += 1 }
+          var sig = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              if (grid(j * 9 + i + 1) > grid(j * 9 + i)) sig |= 1L << (j * 8 + i)
+              i += 1
+            }
+            j += 1
+          }
+          Iterator.single(Row(r.get(idIdx), sig))
+        }
+      }
+    }(RowEncoder.encoderFor(out))
+  }
+
+  /** Image near-duplicate pairs — the multimodal sibling of the text
+    * SimHash relation (`Dedup.simhashPairs`, same Hamming-band LSH
+    * discipline: 4 bands of 16 bits as join buckets, exact popcount
+    * verification on candidates). The emitted relation is DETERMINISTIC
+    * by contract: pairs sharing ≥ 1 band of their [[dHash64]] AND with
+    * total Hamming distance ≤ `maxHamming` — banding is part of the
+    * operator's semantics (Hamming-ball LSH), not a recall gamble, so a
+    * second engine computes the identical set.
+    *
+    * At 100 TB: the hash is row-local (one decode pass, binary never
+    * shuffles); the join carries only (id, 64-bit hash) rows keyed on
+    * bounded 16-bit band values — never all-pairs; bit_count runs
+    * codegen'd on the candidates.
+    */
+  def imageDupPairs(media: DataFrame, maxHamming: Int = 8,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
+    require(maxHamming >= 0, "non-negative maxHamming required")
+    val sh = dHash64(media, idCol, bytesCol)
+    val bandRows = sh.select(col("media_id"), col("dhash"),
+      posexplode(expr(
+        "array(dhash & 65535, shiftright(dhash, 16) & 65535, " +
+          "shiftright(dhash, 32) & 65535, shiftright(dhash, 48) & 65535)"))
+        .as(Seq("__band", "__bucket")))
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Synthetic grid PNGs with PLANTED near-duplicates — the image-dedup
+    * analog of [[syntheticImagesFromDocs]]: each doc_id becomes a
+    * grayscale PNG of 9×8 equal-valued blocks (block size 1–3 from
+    * doc_id % 3 + 1, so [[dHash64]]'s downsample path is exercised at
+    * three scales and is exact at all of them). Cell values come from
+    * md5(base ':' blk) hex pairs — reproducible in any engine with md5.
+    * Every doc_id ≡ 1 (mod 50) reuses the grid of doc_id − 1 with cell 0
+    * luma flipped to 255 − v: a one-cell perturbation that moves at most
+    * ONE gradient bit (cell 0 feeds only the (0,0)→(1,0) comparison), so
+    * the planted pair is a guaranteed near-dup at Hamming ≤ 1 while
+    * unrelated grids stay far apart — and, because cells are
+    * arithmetically derivable from doc_id, the DuckDB oracle recomputes
+    * the exact pair relation without decoding a single byte.
+    */
+  def syntheticGridImagesFromDocs(docs: DataFrame): DataFrame = {
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val out = StructType(Seq(
+      StructField("media_id", docs.schema("doc_id").dataType),
+      StructField("bytes", BinaryType)))
+    docs.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val base = if (id % 50 == 1) id - 1 else id
+        val cells = new Array[Int](72)
+        var blk = 0
+        while (blk < 5) {
+          md.reset()
+          val digest = md.digest(s"$base:$blk".getBytes("UTF-8"))
+          var o = 0
+          while (o < 16 && blk * 16 + o < 72) {
+            cells(blk * 16 + o) = digest(o) & 0xff
+            o += 1
+          }
+          blk += 1
+        }
+        if (id % 50 == 1) cells(0) = 255 - cells(0)
+        val b = (id % 3 + 1).toInt
+        val img = new java.awt.image.BufferedImage(
+          9 * b, 8 * b, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8 * b) {
+          var x = 0
+          while (x < 9 * b) {
+            val v = cells((y / b) * 9 + x / b)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.get(idIdx), bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(out))
+  }
+
   /** Build a fake media table from the documents fixture: text bytes with
     * the `F!` fixture header prepended. Deterministic; exists so the
     * multimodal plumbing has SQL-derivable data to run against (the

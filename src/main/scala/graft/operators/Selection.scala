@@ -136,6 +136,80 @@ object Selection {
       .select(col(idCol), col("n_grams"),
         expr("CAST(__score_micro AS DOUBLE) / 1e6").as("log_weight"))
 
+  /** Multinomial Naive-Bayes quality classifier — the fastText/CCNet
+    * companion of [[dsirWeights]]: fit target-vs-REST class-conditional
+    * hashed-gram multinomials plus a document-count prior, score every
+    * document with its log-odds, and emit the classification. Where DSIR
+    * reweights against the RAW corpus (pt/pr), NB discriminates against
+    * the COMPLEMENT class — the standard trained quality filter
+    * (high-quality seed = target, random crawl = rest).
+    *
+    * Per-bucket log-likelihood ratio, add-λ smoothed over B buckets:
+    *
+    *   llr(b) = ln(ct_b + λ) − ln(Nt + λB) − ln(cf_b + λ) + ln(Nf + λB)
+    *
+    * and a document's log-odds = prior + Σ_b n_db · llr(b) with
+    * prior = ln(nd_t + 1) − ln(nd_f + 1), the class document counts over
+    * the whole corpus (add-1 so an empty class stays finite; a zero-gram
+    * document carries no evidence and is scored by the prior alone).
+    * Exact-integer NB: counts are exact, so the fit is ONE aggregation —
+    * no SGD, nothing iterative — which is what makes the classifier
+    * hash-gateable cross-engine, unlike a trained fastText.
+    *
+    * Same determinism discipline as the DSIR model: every ln runs once
+    * per BUCKET (or once, for the prior) and is micro-quantized to
+    * DECIMAL(38,0) before any per-document sum; the emitted log_odds is
+    * one IEEE division and `pred_target` compares the exact integer
+    * against zero — bit-identical across engines and partitionings.
+    *
+    * Plan shape: the SAME one (doc, bucket) count exchange as DSIR,
+    * consumed by the bucket-level fit AND the per-doc scoring
+    * (ReusedExchange, plan-pinned); the doc-count prior is a separate
+    * column-pruned (id, target) scan — deliberately NOT derived from the
+    * count relation, where a distinct-doc rewrite de-canonicalizes the
+    * shared subtree and re-explodes the corpus (the DSIR restore-join
+    * lesson). The B-row model and 1-row prior broadcast. At 100 TB the
+    * fit cost is the gram explode — the scan the pipeline already pays
+    * for DSIR — plus skinny bounded aggregates.
+    */
+  def nbQuality(
+      docs: DataFrame, targetExpr: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      buckets: Int = 4096, lambda: Double = 1.0): DataFrame = {
+    val counts = bucketCounts(docs, textCol, idCol, targetExpr, buckets)
+    val model = counts.groupBy("__bucket").agg(
+      sum(when(col("__tgt"), col("__n")).otherwise(lit(0L))).as("__ct"),
+      sum(when(!col("__tgt"), col("__n")).otherwise(lit(0L))).as("__cf"))
+    val totals = model.agg(sum("__ct").as("__nt"), sum("__cf").as("__nf"))
+    val prior = docs.filter(col(idCol).isNotNull).agg(
+        sum(when(targetExpr, lit(1L)).otherwise(lit(0L))).as("__td"),
+        sum(when(!targetExpr, lit(1L)).otherwise(lit(0L))).as("__fd"))
+      .select(expr(
+        """CAST(round(1e6 * (ln(__td + CAST(1 AS DOUBLE))
+          | - ln(__fd + CAST(1 AS DOUBLE)))) AS DECIMAL(38,0))"""
+          .stripMargin).as("__pm"))
+    val llr = model.crossJoin(broadcast(totals)).select(
+      col("__bucket"),
+      expr(s"""CAST(round(1e6 * (ln(__ct + $lambda) - ln(__nt + $lambda * $buckets)
+              | - ln(__cf + $lambda) + ln(__nf + $lambda * $buckets)))
+              | AS DECIMAL(38,0))""".stripMargin).as("__llr_micro"))
+    val scored = counts
+      .join(broadcast(llr), Seq("__bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__n").as("n_grams"),
+        sum(expr("CAST(__n AS DECIMAL(38,0)) * __llr_micro")).as("__sm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("__odds_micro",
+        coalesce(col("__sm"), lit(0).cast("decimal(38,0)")) + col("__pm"))
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        expr("CAST(__odds_micro AS DOUBLE) / 1e6").as("log_odds"),
+        (col("__odds_micro") > 0).as("pred_target"))
+  }
+
   /** Gumbel top-k DSIR sample: the k documents with the largest
     * log_weight + Gumbel(0,1) key — sampling WITHOUT replacement
     * proportional to the importance weights (the Gumbel-max trick, as in

@@ -1157,6 +1157,63 @@ object TextAnalysis {
       .agg(count(flit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
   }
 
+  /** Tracking-parameter names stripped by [[urlCanonicalize]]: the
+    * standard analytics/click identifiers (utm_* campaign fields,
+    * Facebook fbclid, Google gclid) that make byte-identical pages look
+    * like distinct URLs. Anchored param-level pattern in the Java/RE2
+    * common subset (the [[piiPatterns]] discipline) so an external
+    * engine mirrors it exactly.
+    */
+  val trackingParamPattern: String = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+  /** URL canonicalization — the key a crawl pipeline dedups on BEFORE
+    * content dedup (two fetches of one page usually differ only in
+    * tracking params/fragment/case): adds `url_canon` and `url_key`
+    * (md5 of the canonical form) next to `urlCol`. Rules, in order:
+    * scheme and host lower-cased; default ports dropped (http:80,
+    * https:443), explicit non-default ports kept; fragment removed;
+    * empty path becomes '/'; query params split on '&', tracking params
+    * ([[trackingParamPattern]]) removed, the rest sorted byte-wise and
+    * re-joined (duplicate keys kept — reordering must not merge distinct
+    * resources); a now-empty query drops its '?'. Percent-encoding and
+    * userinfo are passed through untouched (normalizing them needs a
+    * full RFC 3986 resolver; crawl URLs rarely carry either). Non-http(s)
+    * or null input yields NULL `url_canon`/`url_key` — callers route
+    * those rows, they never silently collide.
+    *
+    * Pure codegen projection — zero shuffles, scan-bound; every
+    * primitive (regexp_extract, split, filter, array_sort, concat, md5)
+    * is mirrored function-for-function in the DuckDB oracle.
+    */
+  def urlCanonicalize(df: DataFrame, urlCol: String = "url"): DataFrame =
+    df
+      .withColumn("__scheme",
+        lower(regexp_extract(col(urlCol), "^([a-zA-Z]+)://", 1)))
+      .withColumn("__hostport",
+        regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/?#]+)", 1))
+      .withColumn("__host", expr("lower(regexp_extract(__hostport, '^([^:]*)', 1))"))
+      .withColumn("__port", expr("regexp_extract(__hostport, ':([0-9]+)$', 1)"))
+      .withColumn("__rest",
+        regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]+([^#]*)", 1))
+      .withColumn("__path", expr("regexp_extract(__rest, '^([^?]*)', 1)"))
+      .withColumn("__query", expr("regexp_extract(__rest, '[?](.*)$', 1)"))
+      .withColumn("__params", expr(
+        s"""array_sort(filter(split(__query, '&'),
+           |  p -> p != '' AND NOT p RLIKE '$trackingParamPattern'))""".stripMargin))
+      .withColumn("url_canon", expr(
+        """CASE WHEN __scheme IN ('http', 'https') AND __hostport != '' THEN
+          |  concat(__scheme, '://', __host,
+          |    CASE WHEN __port = '' OR (__scheme = 'http' AND __port = '80')
+          |           OR (__scheme = 'https' AND __port = '443') THEN ''
+          |         ELSE concat(':', __port) END,
+          |    CASE WHEN __path = '' THEN '/' ELSE __path END,
+          |    CASE WHEN size(__params) > 0
+          |         THEN concat('?', array_join(__params, '&')) ELSE '' END)
+          |ELSE NULL END""".stripMargin))
+      .withColumn("url_key", md5(col("url_canon")))
+      .drop("__scheme", "__hostport", "__host", "__port", "__rest",
+        "__path", "__query", "__params")
+
   /** PII scrub: adds `text_scrubbed` (all [[piiPatterns]] applied in
     * order) and `has_pii` (whether anything was redacted). Pure per-row
     * codegen'd projection — zero shuffles, scan-bound at any scale, and

@@ -175,6 +175,72 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def gridPng(cells: Array[Int], b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9 * b, 8 * b, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8 * b; x <- 0 until 9 * b) {
+      val v = cells((y / b) * 9 + x / b)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash64 is invariant to uniform block scale (exact box downsample)") {
+    import spark.implicits._
+    val cells = Array.tabulate(72)(i => (i * 151 + 11) % 256)
+    val media = Seq(1, 2, 3, 5)
+      .map(b => (b.toLong, gridPng(cells, b))).toDF("media_id", "bytes")
+    val hashes = Multimodal.dHash64(media).collect().map(_.getLong(1)).toSet
+    assert(hashes.size == 1,
+      "the same 9x8 grid at block sizes 1/2/3/5 must hash identically")
+  }
+
+  test("dHash64 drops undecodable bytes and sub-grid images") {
+    import spark.implicits._
+    val tiny = gridPng(Array.fill(72)(7), 1).take(20) // truncated PNG
+    val media = Seq(
+      (1L, Array[Byte](9, 9, 9)),                     // garbage
+      (2L, tiny),                                     // corrupt stream
+    ).toDF("media_id", "bytes")
+    assert(Multimodal.dHash64(media).count() == 0)
+    // an 8x8 image (narrower than the 9-wide grid) emits no row either
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val small = Seq((3L, bos.toByteArray)).toDF("media_id", "bytes")
+    assert(Multimodal.dHash64(small).count() == 0)
+  }
+
+  test("imageDupPairs equals the banded brute force and finds planted near-dups") {
+    import spark.implicits._
+    val docs = spark.range(0, 200).toDF("doc_id")
+    val media = Multimodal.syntheticGridImagesFromDocs(docs)
+    val pairs = Multimodal.imageDupPairs(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // independent reference: brute-force over the hashes — pairs sharing
+    // >= 1 of the 4 16-bit bands with total Hamming <= 8 (the contract)
+    val hs = Multimodal.dHash64(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bands(h: Long): Seq[Long] =
+      Seq(h & 0xffffL, (h >>> 16) & 0xffffL, (h >>> 32) & 0xffffL, (h >>> 48) & 0xffffL)
+    val ids = hs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      if bands(hs(a)).zip(bands(hs(b))).exists { case (x, y) => x == y }
+      hd = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hd <= 8
+    } yield (a, b, hd)).toSet
+    assert(pairs == brute)
+    // every planted perturbation (d-1, d) for d % 50 == 1 is a pair at
+    // Hamming <= 1 (cell 0 feeds exactly one gradient comparison)
+    (0L until 200L).filter(_ % 50 == 1).foreach { d =>
+      val p = pairs.find(p => p._1 == d - 1 && p._2 == d)
+      assert(p.isDefined && p.get._3 <= 1, s"planted pair (${d - 1}, $d)")
+    }
+  }
+
   test("decodeBytes degrades truncated real-format headers to zero dims") {
     val (_, _, (m1, w1, _, _)) = Multimodal.decodeBytes(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)) // sig only

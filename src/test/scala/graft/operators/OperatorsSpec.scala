@@ -125,6 +125,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.size == 2, "url-less docs contribute no domains")
   }
 
+  test("urlCanonicalize: case/port/fragment/tracking/sort/empty-path/NULL routes") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://ExAmple.COM:443/Path/Sub?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://ex.org:8080/?z=1&utm_campaign=c&fbclid=f"),
+      (3L, "http://ex.org:80"),                  // default port + empty path
+      (4L, "https://ex.org/p?gclid=1"),          // all params stripped: no '?'
+      (5L, "https://ex.org/p?b=1&a=2&a=1"),      // duplicate keys kept, sorted
+      (6L, "ftp://x.org/y"),                     // non-http: NULL
+      (7L, null.asInstanceOf[String]),           // null in, null out
+    ).toDF("doc_id", "url")
+    val got = TextAnalysis.urlCanonicalize(urls).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(got(1L).contains("https://example.com/Path/Sub?a=1&b=2"),
+      "host lower-cased, path case kept, :443 dropped, fragment+utm gone, params sorted")
+    assert(got(2L).contains("http://ex.org:8080/?z=1"), "non-default port kept")
+    assert(got(3L).contains("http://ex.org/"), ":80 dropped, empty path becomes /")
+    assert(got(4L).contains("https://ex.org/p"), "empty query drops its ?")
+    assert(got(5L).contains("https://ex.org/p?a=1&a=2&b=1"))
+    assert(got(6L).isEmpty && got(7L).isEmpty)
+    // url_key = md5(url_canon), NULL-propagating
+    val keys = TextAnalysis.urlCanonicalize(urls).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(keys(1L).contains(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("https://example.com/Path/Sub?a=1&b=2".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    assert(keys(6L).isEmpty)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = TextAnalysis.fingerprint(docsDf(Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "different"))))

@@ -50,6 +50,8 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Dedup.winnowFingerprints(docs)) == 0)
     assert(shuffles(TextAnalysis.bpeTokenCounts(docs)) == 0)
     assert(shuffles(TextAnalysis.piiScrub(docs)) == 0)
+    assert(shuffles(TextAnalysis.urlCanonicalize(docs.select(col("doc_id"),
+      expr("concat('https://e.org/', doc_id)").as("url")))) == 0)
     // signed random projection: sign matrix is compile-time literals in
     // ONE codegen projection; posexplode is per-row fan-out, no exchange
     assert(shuffles(Similarity.randomProject(embeds, 64, 8)) == 0)
@@ -434,6 +436,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Dedup.minhashPairsAgainst(
       docs, docs.filter(col("doc_id") < 25), threshold = 0.5, maxBandFreq = 10)) <= 4)
     assert(shuffles(Dedup.simhashPairs(docs)) <= 3)
+    // image dHash pairs: same banded budget as the text SimHash relation —
+    // the decode is scan-shaped (binary never shuffles; only (id, hash)
+    // rows reach the band join)
+    assert(shuffles(Multimodal.imageDupPairs(
+      Multimodal.syntheticGridImagesFromDocs(docs))) <= 3)
     // multi-table form: band-rows candidate join (ids only) + distinct +
     // two vector rejoins — tables multiplies candidate ROWS, not exchanges
     assert(shuffles(Dedup.embeddingDupPairs(embeds, threshold = 0.9)) <= 5)
@@ -707,6 +714,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // score agg + the skinny id-only restore join exchange
     assert(nodes.collect { case s: ShuffleExchangeLike => s }.size <= 6,
       "shuffle budget exceeded")
+  }
+
+  test("nbQuality: fit, prior, and scoring share ONE gram-count exchange") {
+    // NB adds a THIRD consumer (the doc-count prior) to the same
+    // (doc, tgt, bucket) count exchange DSIR fits off — all but the
+    // first planned occurrence must collapse to ReusedExchange, the
+    // corpus text must scan once, and nothing windows
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Selection.nbQuality(docs, col("lang") === "en")
+    df.collect() // AQE settles the final stage graph
+    val nodes = walk(df.queryExecution.executedPlan)
+    assert(nodes.collect { case w: WindowExec => w }.isEmpty,
+      "no window anywhere — NB is pure aggregation")
+    assert(nodes.collect { case r: ReusedExchangeExec => r }.size >= 2,
+      "prior and scoring must reuse the count exchange, not re-explode the corpus")
+    val textScans = nodes.count(n =>
+      n.nodeName.contains("Scan") && n.toString.contains("text"))
+    assert(textScans <= 1, s"at most one visible corpus text scan, got $textScans")
   }
 
   test("knPerplexity: ONE corpus text scan; model + probe ride ReusedExchange") {
