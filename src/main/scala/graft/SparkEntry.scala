@@ -3800,7 +3800,7 @@ object SparkEntry {
         SELECT doc_id,
           CAST(n_events AS BIGINT) AS n_events,
           CAST(sm AS DOUBLE) / 1e6 AS logprob,
-          round(-CAST(sm AS DOUBLE) / (1e6 * CAST(n_events AS DOUBLE)), 6) AS xent_nats
+          -CAST(sm AS DOUBLE) / (1e6 * CAST(n_events AS DOUBLE)) AS xent_nats
         FROM agg""",
     "q_dsir_sample" -> DsirOracleSql.sampleSql(1000),
     // Target-mix resample: thresholds derived from counts + the same

@@ -175,3 +175,120 @@ case class TextWinnow(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): TextWinnow =
     copy(child = newChild)
 }
+
+/** Compiled BPE merge table for [[BpeEncode]] — replace-chain SEMANTICS
+  * (the proven DuckDB-mirrored contract of `TextAnalysis.bpeTokenCounts`)
+  * at array speed. The naive apply is one full padded-string `replace`
+  * per rule — O(merges × |word|) string traffic, ~10k allocations per
+  * word under a real tokenizer table. This implementation is
+  * value-identical (property-tested) but skips rules in O(1): it keeps
+  * the set of ADJACENT SYMBOL PAIRS currently present in the word and
+  * runs a rule's merge pass only when its pair is present — total work
+  * O(merges hash probes + applications × |word|), and applications are
+  * bounded by |word| (every pass shortens the symbol array).
+  *
+  * Replace-chain semantics reproduced exactly, including the
+  * alternate-pair artifact: one left-to-right pass per rule over the
+  * ORIGINAL symbols (replacements never re-match within the pass), and
+  * after a merge the next symbol cannot START a match (its leading
+  * delimiter space was consumed by the matched ` a b ` pattern — the
+  * java.lang.String.replace behavior the SQL chain compiles to).
+  */
+final class BpeRules(merges: Seq[(String, String)]) extends Serializable {
+  private val n = merges.length
+  private val fromA = new Array[String](n)
+  private val fromB = new Array[String](n)
+  private val to = new Array[String](n)
+  private val keys = new Array[String](n)
+  merges.zipWithIndex.foreach { case ((f, t), i) =>
+    val parts = f.split(" ", -1)
+    require(parts.length == 2 && parts.forall(_.nonEmpty),
+      s"merge LHS must be two space-separated symbols, got '$f'")
+    require(t.nonEmpty, "merge RHS must be non-empty")
+    fromA(i) = parts(0); fromB(i) = parts(1); to(i) = t
+    keys(i) = parts(0) + " " + parts(1)
+  }
+
+  /** Encode one word; returns the BPE symbol array. Empty input yields
+    * an empty array (the SQL chain renders a lone empty piece there —
+    * unreachable through the operators' `^[a-z]+$` word filter, and the
+    * array form is the saner contract for direct callers).
+    */
+  def encode(word: UTF8String): ArrayData = {
+    val s = word.toString
+    // codepoint-stepped initial spelling (= Spark split(w, ''))
+    var len = 0
+    var arr = new Array[String](math.max(s.length, 1))
+    var off = 0
+    while (off < s.length) {
+      val cp = s.codePointAt(off)
+      val cc = Character.charCount(cp)
+      arr(len) = s.substring(off, off + cc)
+      len += 1; off += cc
+    }
+    if (len >= 2 && n > 0) {
+      val pairs = new java.util.HashSet[String](len * 2)
+      var i = 0
+      while (i < len - 1) { pairs.add(arr(i) + " " + arr(i + 1)); i += 1 }
+      var r = 0
+      while (r < n && len >= 2) {
+        if (pairs.contains(keys(r))) {
+          val a = fromA(r); val b = fromB(r); val m = to(r)
+          val out = new Array[String](len)
+          var o = 0; var blocked = false
+          i = 0
+          while (i < len) {
+            if (!blocked && i + 1 < len && arr(i) == a && arr(i + 1) == b) {
+              out(o) = m; o += 1; i += 2; blocked = true
+            } else {
+              out(o) = arr(i); o += 1; i += 1; blocked = false
+            }
+          }
+          arr = out; len = o
+          pairs.clear()
+          i = 0
+          while (i < len - 1) { pairs.add(arr(i) + " " + arr(i + 1)); i += 1 }
+        }
+        r += 1
+      }
+    }
+    val out = new Array[AnyRef](len)
+    var j = 0
+    while (j < len) { out(j) = UTF8String.fromString(arr(j)); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native Catalyst expression: `bpe_encode(word)` under a fixed merge
+  * table — ARRAY<STRING> of BPE pieces, value-identical to the generated
+  * replace chain (the DuckDB-oracle contract) via [[BpeRules]]. The
+  * rules object rides the codegen reference table (addReferenceObj), so
+  * the hot path stays one static-shaped JVM call inside whole-stage
+  * codegen. Constructed directly by the BPE operators (the merge table
+  * is a Scala value, not a SQL literal).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  @transient private lazy val rules = new BpeRules(merges)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bpe_encode expects STRING, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(a: Any): Any =
+    rules.encode(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("bpeRules", rules, classOf[BpeRules].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $r.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}

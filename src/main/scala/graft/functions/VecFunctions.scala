@@ -382,7 +382,30 @@ object GraftFunctions {
       "gram_hashes(text, k) - per-position rolling k-gram hashes (prefilter-grade)"),
     ("zorder2",
       (es: Seq[Expression]) => ZOrder2(es(0), es(1)),
-      "zorder2(x, y) - 2-D Z-order (Morton) interleave of two BIGINTs' low 31 bits"))
+      "zorder2(x, y) - 2-D Z-order (Morton) interleave of two BIGINTs' low 31 bits"),
+    ("bpe_encode",
+      (es: Seq[Expression]) => BpeEncode(es(0), parseMerges(litStr(es(1)))),
+      "bpe_encode(word, 'a b>ab;th e>the;...') - BPE pieces under a " +
+        "rank-ordered merge table (replace-chain semantics, array speed)"))
+
+  /** The merge table is a structural parameter (it defines the tokenizer,
+    * like a hash seed) — a string literal `from>to;from>to;…` where each
+    * `from` is two space-separated symbols.
+    */
+  private def parseMerges(s: String): Seq[(String, String)] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { rule =>
+      val i = rule.indexOf('>')
+      require(i > 0 && i < rule.length - 1,
+        s"bpe_encode merge rule must be 'a b>merged', got '$rule'")
+      (rule.substring(0, i), rule.substring(i + 1))
+    }
+
+  private def litStr(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, StringType)
+      if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"bpe_encode merge table must be a string literal, got $other")
+  }
 
   /** k/w are structural parameters of the fingerprint (part of its
     * identity, like a hash seed), not data — they must be literals.

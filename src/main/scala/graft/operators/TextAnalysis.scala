@@ -1009,7 +1009,15 @@ object TextAnalysis {
         sum(expr("CAST(tf_doc AS DECIMAL(38,0)) * __lp_micro")).as("__sm"))
       .select(col("doc_id"), col("n_events"),
         expr("CAST(__sm AS DOUBLE) / 1e6").as("logprob"),
-        expr("round(-CAST(__sm AS DOUBLE) / (1e6 * CAST(n_events AS DOUBLE)), 6)")
+        // UNROUNDED division (the dsirWeights log_weight discipline):
+        // __sm and n_events are exact integers, so -sm/(1e6·n) is ONE
+        // IEEE operation — bit-identical in any engine. A round(…, 6)
+        // here looked harmless and survived sf0.001–sf3, but the sf10
+        // gate caught it: when the quotient's binary value sits just
+        // below a .5×1e-6 decimal boundary, Spark (which rounds the
+        // shortest decimal rendering, HALF_UP) and DuckDB (which rounds
+        // the binary value) disagree by one micro — 82 of 500k docs
+        expr("-CAST(__sm AS DOUBLE) / (1e6 * CAST(n_events AS DOUBLE))")
           .as("xent_nats"))
   }
 
@@ -1261,28 +1269,55 @@ object TextAnalysis {
     * cross-engine-identical artifact of replace-chain BPE, documented
     * here rather than patched with extra passes.
     *
-    * Pure per-row projection — zero shuffles, scan-bound; the nested
-    * replace chain is whole-stage-codegen'd string work, fan-out bounded
-    * by document length.
+    * Pure per-row projection — zero shuffles, scan-bound. Since r13 the
+    * apply runs through [[graft.functions.BpeEncode]]: replace-chain
+    * SEMANTICS exactly (property-proven against the original generated
+    * chain, which remains what the DuckDB oracle is generated from —
+    * [[bpeChainApplied]]) but at symbol-array speed with O(1) rule
+    * skipping. Measured (BpeProfile, sf0.1): 4.7× at 150 rules — the
+    * largest table the nested-replace SQL still parses; past ~300 rules
+    * the chain OVERFLOWS THE SQL PARSER STACK while bpe_encode runs any
+    * table size (a real tokenizer ships 10k+ merges), so the expression
+    * is what makes true-tokenizer budgeting possible at all, not just
+    * faster.
     */
   def bpeTokenCounts(
       docs: DataFrame,
       merges: Seq[(String, String)] = defaultBpeMerges,
       textCol: String = "text"): DataFrame = {
-    require(merges.forall { case (f, t) =>
-      !f.contains("'") && !t.contains("'") }, "merge symbols must not quote")
-    val applied = merges.foldLeft(
-      "concat(' ', concat_ws(' ', split(w, '')), ' ')") {
-      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
-    }
+    val table = bpeTableLiteral(merges)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("__w", expr(
         s"filter(split(lower(trim(`$textCol`)), ' +'), w -> w rlike '^[a-z]+$$')"))
       .select(col("doc_id"),
         expr("CAST(size(__w) AS BIGINT)").as("n_alpha_words"),
-        expr(s"CAST(aggregate(transform(__w, w -> size(split(trim($applied), ' '))), " +
+        expr(s"CAST(aggregate(transform(__w, w -> size(bpe_encode(w, '$table'))), " +
           "0, (a, x) -> a + x) AS BIGINT)").as("n_bpe_tokens"))
   }
+
+  /** Serialize a merge table as the `bpe_encode` literal (`from>to;…`)
+    * with the symbol-charset preconditions enforced loudly.
+    */
+  private def bpeTableLiteral(merges: Seq[(String, String)]): String = {
+    require(merges.forall { case (f, t) =>
+      Seq("'", ";", ">").forall(c => !f.contains(c) && !t.contains(c)) },
+      "merge symbols must not contain quote/semicolon/greater-than")
+    merges.map { case (f, t) => s"$f>$t" }.mkString(";")
+  }
+
+  /** The ORIGINAL generated replace chain over the space-padded spelling —
+    * retained as the semantic REFERENCE for the `bpe_encode` property
+    * suite (BpeEncodePropSpec proves the array-speed expression
+    * value-identical to this chain, which in turn is what the DuckDB
+    * oracles are generated from). Not used on the hot path: one full
+    * padded-string replace per rule is O(merges × |word|) string traffic
+    * — ~10k allocations per word under a real tokenizer table.
+    */
+  private[graft] def bpeChainApplied(merges: Seq[(String, String)]): String =
+    merges.foldLeft("concat(' ', concat_ws(' ', split(w, '')), ' ')") {
+      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+    }
 
   /** Corpus piece vocabulary under the BPE tokenizer — the third leg of
     * the BPE family ([[bpeTokenCounts]] budgets, [[bpeMergeCandidates]]
@@ -1302,18 +1337,14 @@ object TextAnalysis {
   def bpePieceCounts(
       docs: DataFrame, merges: Seq[(String, String)] = defaultBpeMerges,
       textCol: String = "text"): DataFrame = {
-    require(merges.forall { case (f, t) =>
-      !f.contains("'") && !t.contains("'") }, "merge symbols must not quote")
-    val applied = merges.foldLeft(
-      "concat(' ', concat_ws(' ', split(w, '')), ' ')") {
-      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
-    }
+    val table = bpeTableLiteral(merges)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val wf = docs
       .withColumn("__w", expr(
         s"filter(split(lower(trim(`$textCol`)), ' +'), w -> w rlike '^[a-z]+$$')"))
       .select(explode(col("__w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__wf"))
-    wf.select(explode(expr(s"split(trim($applied), ' ')")).as("piece"),
+    wf.select(explode(expr(s"bpe_encode(w, '$table')")).as("piece"),
         col("__wf"))
       .groupBy("piece").agg(sum("__wf").as("n"))
   }
@@ -1362,18 +1393,14 @@ object TextAnalysis {
       docs: DataFrame, merges: Seq[(String, String)] = Nil,
       topN: Int = 20, textCol: String = "text"): DataFrame = {
     require(topN >= 1, "topN must be >= 1")
-    require(merges.forall { case (f, t) =>
-      !f.contains("'") && !t.contains("'") }, "merge symbols must not quote")
-    val applied = merges.foldLeft(
-      "concat(' ', concat_ws(' ', split(w, '')), ' ')") {
-      case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
-    }
+    val table = bpeTableLiteral(merges)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val wf = docs
       .withColumn("__w", expr(
         s"filter(split(lower(trim(`$textCol`)), ' +'), w -> w rlike '^[a-z]+$$')"))
       .select(explode(col("__w")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("__wf"))
-    wf.withColumn("__s", expr(s"split(trim($applied), ' ')"))
+    wf.withColumn("__s", expr(s"bpe_encode(w, '$table')"))
       .filter(expr("size(__s) >= 2"))
       .select(explode(expr(
         "transform(sequence(1, size(__s) - 1), i -> " +

@@ -41,8 +41,6 @@ object KnPerplexityPropSpec extends Properties("TextAnalysis.knPerplexity") {
 
   private def r0(x: Double): BigInt =
     BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
-  private def r6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** doc_id -> (n_events, logprob, xent_nats), engine-identical
     * arithmetic.
@@ -99,7 +97,9 @@ object KnPerplexityPropSpec extends Properties("TextAnalysis.knPerplexity") {
       val n = events.values.sum
       val sm = events.map { case (g, tf) => lp(g) * tf }.sum
       val logprob = BigDecimal(sm).toDouble / 1e6
-      val xent = r6(-(BigDecimal(sm).toDouble) / (1e6 * n.toDouble))
+      // unrounded since r13 (the sf10-caught round-at-boundary fix):
+      // one IEEE division over exact integers, bit-identical everywhere
+      val xent = -(BigDecimal(sm).toDouble) / (1e6 * n.toDouble)
       id -> ((n, logprob, xent))
     }.toMap
   }
