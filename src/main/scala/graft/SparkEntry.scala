@@ -4,7 +4,7 @@ import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
 import graft.operators.{CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Selection, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -312,6 +312,44 @@ object SparkEntry {
           |  ELSE concat('ftp://ex', CAST(doc_id AS STRING), '.org/skip')
           |END""".stripMargin).as("url")))
         .select("doc_id", "url", "url_canon", "url_key")),
+    // Unicode normalization gate: planted-input discipline (the fixture
+    // is pure ASCII) — five doc_id-derived suffixes exercise decomposed
+    // accents, the zero-width family, C0 controls + CRLF, precomposed
+    // non-ASCII (the NFC no-op path), and untouched text; DuckDB's
+    // nfc_normalize (utf8proc) gates text_nfc (java.text.Normalizer)
+    // byte-for-byte on Unicode-stable codepoints
+    "q_unicode_clean" -> ((s, dir) => {
+      val idx = (col("doc_id") % 5).cast("int")
+      val sfx = uncleanSuffixes.zipWithIndex.tail
+        .foldLeft(when(idx === 0, lit(uncleanSuffixes.head))) {
+          case (acc, (u, i)) => acc.when(idx === lit(i), lit(u))
+        }
+      TextAnalysis.unicodeClean(docs(s, dir).select(col("doc_id"),
+          concat(col("text"), sfx).as("text")))
+        .select("doc_id", "text_norm", "n_crlf_fixed", "n_zero_width",
+          "n_control", "was_denormalized", "changed")
+    }),
+    // SymSpell fuzzy vocabulary map: planted typos (one hash-derived
+    // edit of a frequent base word, ~2000 docs at any scale via the
+    // corpus-count-derived modulus — the q_embed_recall_bounds anchor
+    // discipline) map back to their canonical form through the
+    // deletion-neighborhood join + exact levenshtein verify
+    "q_fuzzy_vocab" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = math.max(1L, d.count() / 2000L)
+      val planted = d
+        .withColumn("__h", expr("md5(concat('fz', CAST(doc_id AS STRING)))"))
+        .withColumn("__hv", expr(FuzzyTypo.hex6))
+        .withColumn("__base", expr(FuzzyTypo.base))
+        .withColumn("__op", expr(FuzzyTypo.op("DIV")))
+        .withColumn("__pos", expr(FuzzyTypo.pos("DIV")))
+        .withColumn("__letter", expr(FuzzyTypo.letter("DIV")))
+        .withColumn("__typo", expr(FuzzyTypo.typo))
+        .withColumn("text", expr(
+          s"CASE WHEN doc_id % $m = 0 THEN concat(text, ' ', __typo) ELSE text END"))
+        .select("doc_id", "text")
+      TextAnalysis.fuzzyVocabMap(planted)
+    }),
     // corpus-level curation ops: vocabulary, salient terms, repetition
     // quality signals, data-mix report, stratified mixing
     "q_vocabulary" -> ((s, dir) => TextAnalysis.vocabulary(docs(s, dir))),
@@ -1472,6 +1510,77 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Events.readEvents(s, s"$dir/events.parquet")
 
+  /** Planted dirty-text suffixes for q_unicode_clean (the q_pii_scrub /
+    * q_url_canon planted-input discipline — the fixture is pure ASCII, so
+    * the normalization paths need constructed input). One Scala constant
+    * feeds BOTH engines: the Spark side as `lit` columns, the oracle as
+    * SQL literals via [[sqlStr]] — they cannot drift. Shapes by
+    * doc_id % 5: decomposed accents (NFC composes), the zero-width
+    * family, C0 controls + CRLF/CR, precomposed accents (NFC no-op
+    * on non-ASCII — the false-positive path), untouched ASCII. Only
+    * Unicode-stable codepoints (normalization stability policy), so
+    * Java's and utf8proc's NFC agree byte-for-byte.
+    */
+  private val uncleanSuffixes: Seq[String] = Seq(
+    " café naïve rôle",
+    " zero​width‌join‍er ﻿bom",
+    " bellalertvt line\r\nnext\rend",
+    " café déjà vu",
+    "")
+
+  /** SQL string literal with quote doubling — raw codepoints ride the
+    * oracle JSON (Verify escapes controls; everything else is UTF-8).
+    */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** q_fuzzy_vocab planted-typo derivation — ONE set of expression
+    * templates instantiated for both engines (the c4Page discipline);
+    * the only dialect split is the integer-division spelling (`DIV` in
+    * Spark, `//` in DuckDB), injected as `div`. Expects a staged
+    * `__h = md5('fz' || doc_id)` column; every other primitive (instr,
+    * substr, length, concat, CASE) parses identically in both dialects.
+    * The typo is ONE edit (insert after / delete at / substitute at a
+    * hash-derived position) applied to a hash-picked frequent base word,
+    * so every planted word is within Levenshtein 1 of its canonical —
+    * and the plant gates on `doc_id % m = 0` with m derived from the
+    * corpus count (the q_embed_recall_bounds fixed-size-anchor
+    * discipline): ~2000 planted docs at ANY scale, keeping each typo
+    * type's frequency under the rare ceiling as the corpus grows.
+    */
+  private object FuzzyTypo {
+    /** Base words: top fixture tokens, all ≥ 4 chars and frequent at
+      * every SF (frequency checked in OperatorsSpec at sf0.001).
+      */
+    val bases = Seq("table", "window", "stream", "filter",
+      "column", "customer", "query", "batch")
+    private def hv(k: Int) =
+      s"(instr('0123456789abcdef', substr(__h, $k, 1)) - 1)"
+    /** Uniform value in [0, 16^6) from the first six md5 hex digits. */
+    val hex6: String = (2 to 6).foldLeft(hv(1)) {
+      case (acc, k) => s"($acc * 16 + ${hv(k)})"
+    }
+    val base: String = bases.zipWithIndex.map {
+      case (w, i) => s"WHEN $i THEN '$w'"
+    }.mkString("CASE CAST(__hv % 8 AS INT) ", " ", " END")
+    def op(div: String): String = s"CAST((__hv $div 8) % 3 AS INT)"
+    def pos(div: String): String =
+      s"CAST((__hv $div 24) % length(__base) AS INT) + 1"
+    def letter(div: String): String =
+      s"substr('abcdefghijklmnopqrstuvwxyz', CAST((__hv $div 240) % 26 AS INT) + 1, 1)"
+    val typo: String =
+      """CASE __op
+        | WHEN 0 THEN concat(substr(__base, 1, __pos), __letter, substr(__base, __pos + 1))
+        | WHEN 1 THEN concat(substr(__base, 1, __pos - 1), substr(__base, __pos + 1))
+        | ELSE concat(substr(__base, 1, __pos - 1), __letter, substr(__base, __pos + 1))
+        |END""".stripMargin
+  }
+
+  /** The q_fuzzy_vocab base-word list, exposed for the fixture-frequency
+    * guard in OperatorsSpec (a driver fixture regen that drops one below
+    * canonMin would otherwise thin the gate silently).
+    */
+  private[graft] def fuzzyBases: Seq[String] = FuzzyTypo.bases
+
   /** DuckDB mirror of the SimHash pair query ([[graft.operators.Dedup
     * .simhash]] / [[graft.operators.Dedup.simhashPairs]]) — the q_winnow
     * discipline applied to XXH64: the token hash is Spark's xxhash64
@@ -2210,6 +2319,78 @@ object SparkEntry {
             ELSE NULL END AS url_canon
           FROM p3)
         SELECT doc_id, url, url_canon, md5(url_canon) AS url_key FROM canon""",
+    // Unicode normalization: the planted suffixes come from the SAME
+    // Scala constant as the Spark side (sqlStr-embedded); each step is
+    // mirrored function-for-function (regexp_replace needs DuckDB's 'g'
+    // flag — Spark replaces all matches by default), the regex classes
+    // are the shared Java/RE2-common-subset constants, and nfc_normalize
+    // (utf8proc) mirrors text_nfc (java.text.Normalizer) — both UAX #15,
+    // identical on Unicode-stable codepoints. length() counts codepoints
+    // in both engines, so the per-step deltas are exact.
+    "q_unicode_clean" ->
+      s"""WITH aug AS (
+          SELECT doc_id, text || CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN ${sqlStr(uncleanSuffixes(0))}
+            WHEN 1 THEN ${sqlStr(uncleanSuffixes(1))}
+            WHEN 2 THEN ${sqlStr(uncleanSuffixes(2))}
+            WHEN 3 THEN ${sqlStr(uncleanSuffixes(3))}
+            ELSE '' END AS text
+          FROM documents),
+        t1 AS (SELECT doc_id, text,
+          regexp_replace(regexp_replace(text, ${sqlStr("\r\n")}, ${sqlStr("\n")}, 'g'),
+            ${sqlStr("\r")}, ${sqlStr("\n")}, 'g') AS a
+          FROM aug),
+        t2 AS (SELECT *, regexp_replace(a, '${graft.operators.TextAnalysis.zeroWidthClass}', '', 'g') AS b FROM t1),
+        t3 AS (SELECT *, regexp_replace(b, '${graft.operators.TextAnalysis.controlClass}', '', 'g') AS c FROM t2)
+        SELECT doc_id, nfc_normalize(c) AS text_norm,
+          length(text) - length(a) AS n_crlf_fixed,
+          length(a) - length(b) AS n_zero_width,
+          length(b) - length(c) AS n_control,
+          nfc_normalize(c) != c AS was_denormalized,
+          nfc_normalize(c) != text AS changed
+        FROM t3""",
+    // SymSpell fuzzy vocabulary map: the typo plant reuses the SAME
+    // FuzzyTypo expression templates as the Spark side (only the
+    // integer-division spelling differs); tokenization/vocab mirror
+    // q_vocabulary; deletion variants via generate_series (i = 0 keeps
+    // the word — the SymSpell losslessness trick); exact levenshtein
+    // verify; argmax tie-break as max-freq rejoin + min(canon).
+    "q_fuzzy_vocab" ->
+      s"""WITH nn AS (SELECT greatest(1, count(*) // 2000) AS m FROM documents),
+        hh AS (SELECT doc_id, text,
+          md5(concat('fz', CAST(doc_id AS VARCHAR))) AS __h FROM documents),
+        s1 AS (SELECT doc_id, text, ${FuzzyTypo.hex6} AS __hv FROM hh),
+        s2 AS (SELECT *, ${FuzzyTypo.base} AS __base FROM s1),
+        s3 AS (SELECT *, ${FuzzyTypo.op("//")} AS __op, ${FuzzyTypo.pos("//")} AS __pos,
+          ${FuzzyTypo.letter("//")} AS __letter FROM s2),
+        s4 AS (SELECT doc_id, CASE WHEN doc_id % (SELECT m FROM nn) = 0
+          THEN concat(text, ' ', ${FuzzyTypo.typo}) ELSE text END AS text FROM s3),
+        tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), ' +'),
+                              t -> t != '')) AS token
+          FROM s4),
+        pd AS (SELECT doc_id, token, count(*) AS tf_doc FROM tk GROUP BY 1, 2),
+        vocab AS (SELECT token AS word, CAST(sum(tf_doc) AS BIGINT) AS freq
+          FROM pd GROUP BY 1),
+        vf AS (SELECT word, freq FROM vocab
+          WHERE regexp_matches(word, '^[a-z]+${"$"}') AND length(word) >= 4),
+        rv AS (SELECT DISTINCT word, freq,
+            CASE WHEN i = 0 THEN word
+                 ELSE substr(word, 1, i - 1) || substr(word, i + 1) END AS v
+          FROM vf, unnest(generate_series(0, length(word))) AS u(i)
+          WHERE freq <= 2),
+        cv AS (SELECT DISTINCT word AS canon, freq AS canon_freq,
+            CASE WHEN i = 0 THEN word
+                 ELSE substr(word, 1, i - 1) || substr(word, i + 1) END AS v
+          FROM vf, unnest(generate_series(0, length(word))) AS u(i)
+          WHERE freq >= 10),
+        cand AS (SELECT DISTINCT r.word, r.freq, c.canon, c.canon_freq
+          FROM rv r JOIN cv c ON r.v = c.v AND r.word != c.canon
+          WHERE levenshtein(r.word, c.canon) <= 1),
+        best AS (SELECT word, max(canon_freq) AS mf FROM cand GROUP BY 1)
+        SELECT c.word AS word, c.freq AS freq, min(c.canon) AS canon,
+          c.canon_freq AS canon_freq
+        FROM cand c JOIN best b ON c.word = b.word AND c.canon_freq = b.mf
+        GROUP BY c.word, c.freq, c.canon_freq""",
     "q_split" ->
       """WITH h AS (
           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),

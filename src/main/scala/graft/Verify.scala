@@ -22,7 +22,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce removes the stage
+        // boundary, so the ENTIRE upstream pipeline of every query runs
+        // in one task — harmless on the 60k-row driver fixture, a 32×
+        // slowdown at the sf10 scale gate. The shuffle keeps compute
+        // parallel; one task then writes the single compare-friendly
+        // file (the hash compare sorts rows, so the shuffle's order
+        // nondeterminism is immaterial).
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

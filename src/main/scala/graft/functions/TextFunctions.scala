@@ -176,6 +176,55 @@ case class TextWinnow(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) — the
+  * mojibake-independent half of text cleaning: decomposed sequences
+  * ('e' + U+0301) become their composed forms ('é'), so byte-different
+  * renderings of the SAME text hash/dedup identically downstream.
+  *
+  * Cross-engine contract: DuckDB's `nfc_normalize` (utf8proc) and
+  * `java.text.Normalizer` both implement UAX #15, and the Unicode
+  * normalization STABILITY policy guarantees a string of codepoints
+  * assigned in both versions normalizes identically forever — so NFC is
+  * hash-gateable the way locale collation never is. Already-normalized
+  * input (the common case — virtually all real text is NFC) returns the
+  * INPUT reference: `isNormalized`'s quick-check pass is a scan with no
+  * allocation, so the hot path costs one branch per string.
+  */
+object NfcImpl {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Native Catalyst expression `text_nfc(s)` wrapping [[NfcImpl.nfc]] —
+  * same codegen shape as [[TextWinnow]] (one static JVM call from the
+  * generated stage; stays inside whole-stage codegen).
+  */
+case class TextNfc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"text_nfc expects STRING, got ${child.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "text_nfc"
+
+  override def nullSafeEval(a: Any): Any =
+    NfcImpl.nfc(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NfcImpl$$.MODULE$$.nfc($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextNfc =
+    copy(child = newChild)
+}
+
 /** Compiled BPE merge table for [[BpeEncode]] — replace-chain SEMANTICS
   * (the proven DuckDB-mirrored contract of `TextAnalysis.bpeTokenCounts`)
   * at array speed. The naive apply is one full padded-string `replace`

@@ -383,6 +383,9 @@ object GraftFunctions {
     ("zorder2",
       (es: Seq[Expression]) => ZOrder2(es(0), es(1)),
       "zorder2(x, y) - 2-D Z-order (Morton) interleave of two BIGINTs' low 31 bits"),
+    ("text_nfc",
+      (es: Seq[Expression]) => TextNfc(es(0)),
+      "text_nfc(s) - Unicode NFC normalization (UAX #15 canonical composition)"),
     ("bpe_encode",
       (es: Seq[Expression]) => BpeEncode(es(0), parseMerges(litStr(es(1)))),
       "bpe_encode(word, 'a b>ab;th e>the;...') - BPE pieces under a " +

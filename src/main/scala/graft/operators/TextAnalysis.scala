@@ -1222,6 +1222,127 @@ object TextAnalysis {
       .drop("__scheme", "__hostport", "__host", "__port", "__rest",
         "__path", "__query", "__params")
 
+  /** Zero-width codepoints removed by [[unicodeClean]] — ZWSP/ZWNJ/ZWJ
+    * and the BOM-as-content U+FEFF: invisible characters that split
+    * tokens, defeat exact dedup, and inflate token counts. `\x{...}`
+    * escapes are the Java/RE2 common subset (the [[piiPatterns]]
+    * discipline) so an external engine mirrors the class exactly.
+    */
+  val zeroWidthClass: String = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  /** Control characters stripped by [[unicodeClean]]: C0 controls except
+    * tab/newline (CR is handled by the newline-normalization step before
+    * this class applies), plus DEL.
+    */
+  val controlClass: String = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+
+  /** Unicode text normalization — the cleanup pass a crawl corpus runs
+    * BEFORE tokenization/dedup (decomposed accents, zero-width
+    * characters, and stray controls make byte-different renderings of
+    * identical text): adds `text_norm` plus per-step accounting. Steps,
+    * in order (each mirrored function-for-function in DuckDB):
+    *
+    *   1. newline normalization: CRLF → LF, then lone CR → LF;
+    *   2. zero-width removal ([[zeroWidthClass]]);
+    *   3. control-char strip ([[controlClass]] — tab/LF survive);
+    *   4. NFC canonical composition (`text_nfc`, UAX #15 — DuckDB's
+    *      `nfc_normalize` is the same algorithm, and Unicode's
+    *      normalization stability policy makes the two engines agree on
+    *      every assigned codepoint).
+    *
+    * Accounting: `n_crlf_fixed` (codepoints dropped by step 1 — one per
+    * CRLF pair), `n_zero_width`, `n_control` (codepoints removed by
+    * steps 2/3), `was_denormalized` (step 4 changed the string),
+    * `changed` (any step fired). Counts are `length()` deltas —
+    * codepoint counts in both engines.
+    *
+    * Pure codegen projection — zero shuffles, scan-bound at any corpus
+    * size; NFC costs one quick-check scan per string on already-clean
+    * text (the common case) via [[graft.functions.NfcImpl]].
+    */
+  def unicodeClean(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__t1", regexp_replace(
+        regexp_replace(col(textCol), "\r\n", "\n"), "\r", "\n"))
+      .withColumn("__t2", regexp_replace(col("__t1"), zeroWidthClass, ""))
+      .withColumn("__t3", regexp_replace(col("__t2"), controlClass, ""))
+      .withColumn("text_norm", expr("text_nfc(__t3)"))
+      .withColumn("n_crlf_fixed", length(col(textCol)) - length(col("__t1")))
+      .withColumn("n_zero_width", length(col("__t1")) - length(col("__t2")))
+      .withColumn("n_control", length(col("__t2")) - length(col("__t3")))
+      .withColumn("was_denormalized", col("text_norm") =!= col("__t3"))
+      .withColumn("changed", col("text_norm") =!= col(textCol))
+      .drop("__t1", "__t2", "__t3")
+  }
+
+  /** SymSpell-style fuzzy vocabulary matching (Garbe's deletion-
+    * neighborhood algorithm, the standard scalable spell/OCR-noise map):
+    * each RARE word (corpus frequency ≤ `rareMax`) is mapped to the most
+    * frequent CANONICAL word (frequency ≥ `canonMin`) within Levenshtein
+    * distance 1, if any. The candidate discipline is the SymSpell
+    * observation that two words at edit distance ≤ 1 ALWAYS share an
+    * element of their deletion neighborhoods (the word itself plus every
+    * single-character deletion): substitution at position i → both sides
+    * delete i; insertion/deletion → the shorter word IS a deletion of
+    * the longer. So an equi-join on deletion variants is LOSSLESS for
+    * k = 1 (property-tested against an all-pairs brute force in
+    * FuzzyVocabPropSpec) — never an all-pairs scan, never a similarity
+    * window. Candidates sharing a variant at distance 2 (delete-at-i vs
+    * delete-at-j) are removed by the exact `levenshtein` verification.
+    *
+    * Tie-break (exact, cross-engine): highest canonical frequency, then
+    * lexicographically smallest canonical word. Output: one row per
+    * mapped rare word — `word, freq, canon, canon_freq`.
+    *
+    * Scale posture: the vocabulary is TYPE-bounded (Heaps' law — far
+    * sublinear in corpus tokens) and built with the two staged partial
+    * aggregations of [[vocabulary]]; both frequency classes filter ONE
+    * shared vocab subtree. The variant explode multiplies the rare/canon
+    * tables by ~word length + 1. The join key is a deletion variant `v`
+    * of length L, reachable only from v itself and single-character
+    * insertions into v — at most 26·(L+1) + 1 words — so per-key fanout
+    * has a CONSTANT alphabet-size bound: the join is linear in vocab
+    * with no skewable key, at 100 TB as at test scale. `minLen` keeps
+    * short words (whose neighborhoods blur real distinctions: cat/car)
+    * out of both classes.
+    */
+  def fuzzyVocabMap(docs: DataFrame, textCol: String = "text",
+      rareMax: Long = 2, canonMin: Long = 10, minLen: Int = 4): DataFrame = {
+    require(rareMax < canonMin, "rare and canonical classes must be disjoint")
+    val vocab = vocabulary(docs, textCol)
+      .filter(col("token").rlike("^[a-z]+$") &&
+        length(col("token")) >= minLen)
+      .select(col("token").as("word"), col("tf").as("freq"))
+    // deletion neighborhood: __i = 0 keeps the word; __i = k deletes
+    // character k. Lambda-free (sequence + CASE, not transform) so the
+    // shared vocab subtree canonicalizes and plans ONE ReusedExchange.
+    def variants(df: DataFrame, w: String, f: String): DataFrame =
+      df.select(col("word").as(w), col("freq").as(f),
+          explode(expr("sequence(0, length(word))")).as("__i"))
+        .select(col(w), col(f), expr(
+          s"CASE WHEN __i = 0 THEN $w ELSE concat(substr($w, 1, __i - 1), substr($w, __i + 1)) END")
+          .as("v"))
+        .distinct()
+    val rareV = variants(vocab.filter(col("freq") <= rareMax), "word", "freq")
+    val canonV = variants(vocab.filter(col("freq") >= canonMin), "canon", "canon_freq")
+    val cand = rareV.join(canonV, "v")
+      .filter(col("word") =!= col("canon"))
+      .select("word", "freq", "canon", "canon_freq").distinct()
+      .filter(expr("levenshtein(word, canon) <= 1"))
+    // argmax without a window: per-word max frequency (aliased so the
+    // self-referencing join has unambiguous attributes), rejoin, then
+    // min(canon) among the frequency-tied — both aggs and the join are
+    // keyed on the rare word, whose candidate fanout is alphabet-bounded.
+    val best = cand.groupBy("word").agg(max("canon_freq").as("__mf"))
+      .select(col("word").as("__bw"), col("__mf"))
+    cand.join(best,
+        col("word") === col("__bw") && col("canon_freq") === col("__mf"))
+      .groupBy("word", "freq", "canon_freq")
+      .agg(min("canon").as("canon"))
+      .select("word", "freq", "canon", "canon_freq")
+  }
+
   /** PII scrub: adds `text_scrubbed` (all [[piiPatterns]] applied in
     * order) and `has_pii` (whether anything was redacted). Pure per-row
     * codegen'd projection — zero shuffles, scan-bound at any scale, and

@@ -1159,4 +1159,79 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = (bf & lsh).size.toDouble / bf.size
     assert(recall >= 0.9, s"LSH recall $recall too low on near-duplicate clusters")
   }
+
+  test("unicodeClean: CRLF, zero-width, controls, and NFC, each accounted") {
+    val dirty = "áb\r\nc\rd ​x‌y‍z﻿ wvu\ttab"
+    val r = TextAnalysis.unicodeClean(docsDf(Seq((1L, dirty), (2L, "plain ascii"))))
+      .orderBy("doc_id").collect()
+    val row = r(0)
+    // steps: CRLF->LF (1 dropped), CR->LF; 4 zero-width; bell+VT stripped
+    // (tab survives); a + combining acute composes to á under NFC
+    assert(row.getAs[String]("text_norm") == "áb\nc\nd xyz wvu\ttab")
+    assert(row.getAs[Int]("n_crlf_fixed") == 1)
+    assert(row.getAs[Int]("n_zero_width") == 4)
+    assert(row.getAs[Int]("n_control") == 2)
+    assert(row.getAs[Boolean]("was_denormalized"))
+    assert(row.getAs[Boolean]("changed"))
+    val clean = r(1)
+    assert(clean.getAs[String]("text_norm") == "plain ascii")
+    assert(clean.getAs[Int]("n_crlf_fixed") == 0)
+    assert(clean.getAs[Int]("n_zero_width") == 0)
+    assert(clean.getAs[Int]("n_control") == 0)
+    assert(!clean.getAs[Boolean]("was_denormalized"))
+    assert(!clean.getAs[Boolean]("changed"))
+  }
+
+  test("fuzzyVocabMap: maps typos to the frequent form, verifies distance, breaks ties") {
+    // 'tble' (deletion), 'tablle' (insertion), 'tabke' (substitution) are
+    // rare and within distance 1 of 'table' (freq 12); 'tbl' is distance 2
+    // (never mapped); 'cable' is rare but its only <=1 neighbor is 'table'
+    // via substitution; 'windo' could map to 'window' (freq 6) — below
+    // canonMin 10, so it must NOT map
+    val corpus = docsDf(Seq(
+      (1L, ("table " * 12).trim),
+      (2L, "tble tablle tabke tbl cable"),
+      (3L, ("window " * 6).trim + " windo"))).repartition(3)
+    val got = TextAnalysis.fuzzyVocabMap(corpus, rareMax = 2, canonMin = 10,
+        minLen = 4)
+      .collect().map(r => r.getAs[String]("word") ->
+        ((r.getAs[String]("canon"), r.getAs[Long]("canon_freq")))).toMap
+    assert(got == Map(
+      "tble" -> (("table", 12L)),
+      "tablle" -> (("table", 12L)),
+      "tabke" -> (("table", 12L)),
+      "cable" -> (("table", 12L))))
+  }
+
+  test("fuzzyVocabMap tie-break: max canonical frequency, then min word") {
+    // 'cble' is distance 1 from both 'cable' and 'coble' (same freq) —
+    // the lexicographically smaller canonical wins deterministically
+    val corpus = docsDf(Seq(
+      (1L, ("cable " * 10).trim),
+      (2L, ("coble " * 10).trim),
+      (3L, ("doble " * 11).trim),
+      (4L, "cble oble")))
+    val got = TextAnalysis.fuzzyVocabMap(corpus, rareMax = 2, canonMin = 10,
+        minLen = 4)
+      .collect().map(r => r.getAs[String]("word") ->
+        ((r.getAs[String]("canon"), r.getAs[Long]("canon_freq")))).toMap
+    // cble: cable/coble tie at 10 -> 'cable'; oble: coble(10) vs
+    // doble(11) -> higher frequency wins
+    assert(got("cble") == (("cable", 10L)))
+    assert(got("oble") == (("doble", 11L)))
+  }
+
+  test("q_fuzzy_vocab base words are canonical-frequency at the smallest fixture") {
+    // the planted-typo fixture maps onto these bases; if a driver fixture
+    // regen ever drops one below canonMin the gate would silently thin —
+    // fail here instead
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = TextAnalysis.vocabulary(docs)
+      .filter(col("token").isin(graft.SparkEntry.fuzzyBases: _*))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("tf")).toMap
+    graft.SparkEntry.fuzzyBases.foreach { w =>
+      assert(vocab.getOrElse(w, 0L) >= 10L,
+        s"base '$w' has freq ${vocab.getOrElse(w, 0L)} < canonMin at sf0.001")
+    }
+  }
 }
