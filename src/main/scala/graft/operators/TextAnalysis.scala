@@ -1323,23 +1323,27 @@ object TextAnalysis {
         .select(col(w), col(f), expr(
           s"CASE WHEN __i = 0 THEN $w ELSE concat(substr($w, 1, __i - 1), substr($w, __i + 1)) END")
           .as("v"))
-        .distinct()
+    // no per-side distinct: duplicate variants (deleting either of a
+    // doubled letter) only duplicate candidate PAIRS, which the one
+    // pair-level distinct below collapses — cheaper than two extra
+    // full-relation exchanges before the join
     val rareV = variants(vocab.filter(col("freq") <= rareMax), "word", "freq")
     val canonV = variants(vocab.filter(col("freq") >= canonMin), "canon", "canon_freq")
     val cand = rareV.join(canonV, "v")
       .filter(col("word") =!= col("canon"))
       .select("word", "freq", "canon", "canon_freq").distinct()
       .filter(expr("levenshtein(word, canon) <= 1"))
-    // argmax without a window: per-word max frequency (aliased so the
-    // self-referencing join has unambiguous attributes), rejoin, then
-    // min(canon) among the frequency-tied — both aggs and the join are
-    // keyed on the rare word, whose candidate fanout is alphabet-bounded.
-    val best = cand.groupBy("word").agg(max("canon_freq").as("__mf"))
-      .select(col("word").as("__bw"), col("__mf"))
-    cand.join(best,
-        col("word") === col("__bw") && col("canon_freq") === col("__mf"))
-      .groupBy("word", "freq", "canon_freq")
-      .agg(min("canon").as("canon"))
+    // argmax in ONE aggregation: min_by over the (-freq, word) struct
+    // realizes (max frequency, then min word) with a total order, so the
+    // pick is deterministic and the candidate pipeline is planned ONCE —
+    // the max+rejoin formulation re-derived the whole variant join (and
+    // with it the corpus tokenization) for the per-word max side. The
+    // DuckDB oracle keeps the two-aggregation rejoin form; the tie-break
+    // semantics are identical (FuzzyVocabPropSpec pins them against an
+    // independent brute force).
+    cand.groupBy("word", "freq")
+      .agg(expr("min_by(canon, struct(-canon_freq, canon))").as("canon"),
+        max("canon_freq").as("canon_freq"))
       .select("word", "freq", "canon", "canon_freq")
   }
 

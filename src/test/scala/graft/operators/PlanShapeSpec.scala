@@ -52,6 +52,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.piiScrub(docs)) == 0)
     assert(shuffles(TextAnalysis.urlCanonicalize(docs.select(col("doc_id"),
       expr("concat('https://e.org/', doc_id)").as("url")))) == 0)
+    assert(shuffles(TextAnalysis.unicodeClean(docs)) == 0)
     // signed random projection: sign matrix is compile-time literals in
     // ONE codegen projection; posexplode is per-row fan-out, no exchange
     assert(shuffles(Similarity.randomProject(embeds, 64, 8)) == 0)
@@ -457,6 +458,33 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(pf) == 3, "exact budget + one probe-set distinct")
     assert(pf.queryExecution.executedPlan.toString.contains("LeftSemi"),
       "hash-membership prune must be a semi-join")
+  }
+
+  test("fuzzyVocabMap: one vocab build feeds both classes via ReusedExchange") {
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import spark.implicits._
+    // the raw sf0.001 fixture has no rare→canon pair, and an empty
+    // result lets AQE collapse the whole plan to EmptyRelation before
+    // any stage materializes — plant one typo so the stages run
+    val corpus = spark.createDataset(Seq(
+        (1L, ("table " * 12).trim), (2L, "tble also rare"),
+        (3L, ("window " * 11).trim)))
+      .toDF("doc_id", "text").repartition(3)
+    val df = TextAnalysis.fuzzyVocabMap(corpus, rareMax = 2, canonMin = 10)
+    assert(df.collect().nonEmpty)
+    val nodes = walk(df.queryExecution.executedPlan)
+    // the rare and canonical classes must filter ONE shared vocab
+    // aggregation, not rebuild it: AQE dedupes the identical token
+    // exchanges into ReusedExchange at runtime
+    assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+      "vocab subtree must be shared between rare and canonical branches")
+    // vocab (2 staged aggs, reused across classes) + pair distinct +
+    // the single min_by argmax agg — all keyed on words/variants whose
+    // fanout is alphabet-bounded; NO per-side distinct before the join
+    // (the pair-level distinct collapses duplicate variants) and NO
+    // argmax rejoin (min_by over the (-freq, word) struct)
+    assert(nodes.collect { case s: ShuffleExchangeLike => s }.size <= 7,
+      "shuffle budget exceeded")
   }
 
   test("quantileBins: bins from the histogram, corpus broadcast-joined") {
