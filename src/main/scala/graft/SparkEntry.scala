@@ -610,6 +610,19 @@ object SparkEntry {
     // oracle
     "q_dsir_sample" -> ((s, dir) =>
       Selection.dsirSample(docs(s, dir), col("lang") === "en", k = 1000)),
+    // token-budget selection: keep docs in global (score DESC, md5 tie)
+    // order until 1/10 of the corpus token total is spent — the
+    // distributed two-pass prefix sum vs the oracle's window cumsum;
+    // the kept set AND every inclusive prefix value are hash-gated
+    "q_token_budget" -> ((s, dir) => {
+      val withTok = docs(s, dir).select(col("doc_id"),
+        col("n_chars").as("score"),
+        expr("size(filter(split(lower(text), ' +'), x -> x != ''))")
+          .cast("long").as("n_tokens"))
+      val total = withTok.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+        .head.getLong(0)
+      Selection.tokenBudgetSelect(withTok, "score", "n_tokens", total / 10L)
+    }),
     // engine-portable packing invariants (bin IDS are partition-local by
     // design — the conserved aggregates + FFD guarantees are the
     // oracle-able face; row-level packing is spec-covered)
@@ -3984,6 +3997,25 @@ object SparkEntry {
           -CAST(sm AS DOUBLE) / (1e6 * CAST(n_events AS DOUBLE)) AS xent_nats
         FROM agg""",
     "q_dsir_sample" -> DsirOracleSql.sampleSql(1000),
+    // token-budget selection: the oracle states the SEMANTICS as the
+    // single-node window cumsum the engine deliberately avoids (the
+    // md5 tie makes the order total, so RANGE peers never share a
+    // prefix); budget = total tokens // 10, derived from the same
+    // count in both engines
+    "q_token_budget" ->
+      """WITH t AS (
+          SELECT doc_id, n_chars AS score,
+            CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+                                 x -> x != '')) AS BIGINT) AS n_tokens,
+            md5(concat('tb', CAST(doc_id AS VARCHAR))) AS __tie
+          FROM documents),
+        b AS (SELECT CAST(sum(n_tokens) // 10 AS BIGINT) AS budget FROM t),
+        c AS (SELECT doc_id, score, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY score DESC, __tie ASC)
+                 AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, score, n_tokens, cum_tokens
+        FROM c, b WHERE cum_tokens <= b.budget""",
     // Target-mix resample: thresholds derived from counts + the same
     // DOUBLE-cast weight literals, selection via the q_split md5-bucket
     // arithmetic over 'doc_id|lang'.

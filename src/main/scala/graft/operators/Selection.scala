@@ -226,6 +226,69 @@ object Selection {
     * Returns (idCol, key) ordered nowhere in particular; `key` is the
     * perturbed log-weight in 1e-6 units, divided once for emission.
     */
+  /** Token-budget selection — the "budget the training run" cut: keep
+    * documents in GLOBAL (score DESC, md5 tie ASC) order while the
+    * running token total stays within `budget`; a document is kept iff
+    * its INCLUSIVE prefix-sum of `tokenCol` in that total order is
+    * ≤ `budget`. The md5 tie makes the order strict and total, so the
+    * kept SET (and each row's emitted `cum_tokens`) is a pure function
+    * of the data — independent of partitioning, engine, and corpus
+    * layout, hence hash-gateable.
+    *
+    * Scale posture: the naive formulation is
+    * `sum(tokens) OVER (ORDER BY score)` — ONE unpartitioned window
+    * task holding the entire corpus, the exact shape this codebase
+    * bans everywhere else. Here it is the classic distributed prefix
+    * sum instead: range-repartition on the sort key (one linear
+    * shuffle), pass 1 reduces each partition to a single token total
+    * (≤ shuffle-partition-count rows to the driver — the bounded
+    * `Stats.scala` collect class), pass 2 streams each partition once
+    * with its exclusive offset, emitting until the budget is crossed
+    * (partitions whose offset already exceeds the budget are skipped
+    * without decoding a row). The sorted relation is persisted across
+    * the two passes and the RESULT is eagerly localCheckpoint'ed
+    * before unpersist — recomputing a range shuffle may re-sample
+    * boundaries, and the offsets are only valid for the partitioning
+    * pass 1 measured (the q_self_theta determinism lesson).
+    *
+    * `tokenCol` must be non-negative (prefix monotonicity is what lets
+    * a partition stop at the first over-budget row).
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame, scoreCol: String, tokenCol: String, budget: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val keyed = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).cast("long").as("score"),
+        col(tokenCol).cast("long").as("n_tokens"),
+        md5(concat(lit("tb"), col(idCol).cast("string"))).as("__tie"))
+      .repartitionByRange(parts, col("score").desc, col("__tie").asc)
+      .sortWithinPartitions(col("score").desc, col("__tie").asc)
+      .as[(Long, Long, Long, String)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums = keyed.mapPartitions { it =>
+        var s = 0L; it.foreach(s += _._3)
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s))
+      }.collect().toMap
+      // exclusive prefix offset per range partition, in partition order
+      // (range partition ids ARE the global order)
+      val offsets = Array.tabulate(parts)(i => sums.getOrElse(i, 0L))
+        .scanLeft(0L)(_ + _)
+      val kept = keyed.mapPartitions { it =>
+        var cum = offsets(org.apache.spark.TaskContext.getPartitionId())
+        if (cum > budget) Iterator.empty
+        else it.map { case (id, s, t, _) => cum += t; (id, s, t, cum) }
+          .takeWhile(_._4 <= budget) // cum is monotone (tokens >= 0)
+      }.toDF("doc_id", "score", "n_tokens", "cum_tokens")
+      kept.localCheckpoint(true)
+    } finally keyed.unpersist()
+  }
+
   def dsirSample(
       docs: DataFrame, targetExpr: Column, k: Int,
       textCol: String = "text", idCol: String = "doc_id",
