@@ -24,12 +24,24 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def render(df):
+    # Byte-stream-identical to the original per-row loop (cells
+    # str()-rendered, |-joined, \n-terminated, after the same sorts) but
+    # vectorized: the itertuples loop costs ~30 min on a 60M-row sf10
+    # relation; Series.map(str) + string concat is ~20x faster and
+    # applies the SAME str() to the same numpy scalars on BOTH readers,
+    # so the r2 DECIMAL-divergence sensitivity is preserved.
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     h = hashlib.sha256()
-    for row in df.itertuples(index=False):
-        h.update("|".join(str(c) for c in row).encode())
-        h.update(b"\n")
+    if len(df) == 0:
+        return h.hexdigest()
+    cols = [df[c].map(str) for c in df.columns]
+    joined = cols[0]
+    for c in cols[1:]:
+        joined = joined + "|" + c
+    for start in range(0, len(joined), 2_000_000):
+        part = joined.iloc[start:start + 2_000_000]
+        h.update(("\n".join(part.tolist()) + "\n").encode())
     return h.hexdigest()
 
 
