@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Selection, Similarity, Stats, TextAnalysis}
+import graft.operators.{Audio, CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Selection, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, when}
 
@@ -1426,7 +1426,24 @@ object SparkEntry {
     "q_image_dedup" -> ((s, dir) =>
       Multimodal.imageDupPairs(
         Multimodal.syntheticGridImagesFromDocs(docs(s, dir)), maxHamming = 8)
-        .select("id_a", "id_b", "hamming")))
+        .select("id_a", "id_b", "hamming")),
+    // REAL RIFF/WAVE decode, oracle-backed: each doc_id becomes a real
+    // PCM16 WAV (md5-derivable samples; planted silence window, planted
+    // clipping, and a LIST junk chunk for ids % 5 = 0 so a fixed-offset
+    // 44-byte reader would misparse) — wavStats chunk-walks and streams
+    // the samples; DuckDB recomputes every exact-integer statistic from
+    // doc_id without touching a byte, pinning the full WAV encode →
+    // chunk-walk → streaming-decode cycle cross-engine
+    "q_audio_stats" -> ((s, dir) =>
+      Audio.wavStats(Audio.syntheticWavFromDocs(docs(s, dir)))
+        .select("media_id", "decode_ok", "sample_rate", "n_channels",
+          "n_samples", "duration_ms", "peak_abs", "sum_abs", "sum_sq",
+          "clip_count", "n_windows", "silent_windows")),
+    // FineWeb line-shape quality gate (Penedo et al. 2024): the three
+    // post-Gopher/C4 heuristics plus the newline/word ratio, all exact
+    // integer cross-multiplications in one zero-shuffle projection
+    "q_fineweb_rules" -> ((s, dir) =>
+      TextAnalysis.fineWebRules(docs(s, dir))))
 
   /** Fitted IVF indexes per dataset dir — train once, probe many (the
     * FAISS IVF usage contract; see [[graft.operators.Similarity.ivfFit]]).
@@ -4550,5 +4567,108 @@ object SparkEntry {
           SELECT max(score) AS cutoff FROM c, n
           WHERE cum >= CAST(ceil(0.2 * CAST(total AS DOUBLE)) AS BIGINT))
         SELECT doc_id, n_chars FROM documents, k
-        WHERE CAST(n_chars AS BIGINT) >= cutoff""")
+        WHERE CAST(n_chars AS BIGINT) >= cutoff""",
+    // audio: samples recomputed from the generator contract — md5 hex
+    // pairs as little-endian int16 (8 per block), silence plant (frames
+    // 0..63 for d % 23 = 3), then clipping plant (every 50th frame for
+    // d % 37 = 2, clip wins on overlap) — then the identical integer
+    // aggregates the engine computes from real decoded WAV bytes
+    "q_audio_stats" ->
+      """WITH p AS (
+          SELECT doc_id AS d, CAST(doc_id % 120 + 40 AS BIGINT) AS n,
+            CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER) AS rate
+          FROM documents),
+        idx AS (
+          SELECT d, n, rate, u.i FROM p, unnest(generate_series(0, n - 1)) AS u(i)),
+        s AS (
+          SELECT d, i,
+            CASE
+              WHEN d % 37 = 2 AND i % 50 = 0 THEN 32767
+              WHEN d % 23 = 3 AND i < 64 THEN 0
+              ELSE CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END
+            END AS v
+          FROM (
+            SELECT d, i,
+              ( (instr('0123456789abcdef', substr(h, (i % 8) * 4 + 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(h, (i % 8) * 4 + 2, 1)) - 1) )
+              + 256 * ( (instr('0123456789abcdef', substr(h, (i % 8) * 4 + 3, 1)) - 1) * 16
+                      + (instr('0123456789abcdef', substr(h, (i % 8) * 4 + 4, 1)) - 1) ) AS raw
+            FROM (
+              SELECT d, i,
+                md5(CAST(d AS VARCHAR) || ':' || CAST(i // 8 AS VARCHAR)) AS h
+              FROM idx))),
+        w AS (
+          SELECT d, i // 64 AS win, max(abs(v)) AS wmax FROM s GROUP BY 1, 2),
+        agg AS (
+          SELECT d,
+            CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+            CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+            CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+            CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END) AS BIGINT)
+              AS clip_count
+          FROM s GROUP BY 1),
+        wagg AS (
+          SELECT d, CAST(count(*) AS BIGINT) AS n_windows,
+            CAST(sum(CASE WHEN wmax < 512 THEN 1 ELSE 0 END) AS BIGINT)
+              AS silent_windows
+          FROM w GROUP BY 1)
+        SELECT p.d AS media_id, TRUE AS decode_ok, p.rate AS sample_rate,
+          CAST(1 AS INTEGER) AS n_channels, p.n AS n_samples,
+          p.n * 1000 // p.rate AS duration_ms,
+          agg.peak_abs, agg.sum_abs, agg.sum_sq, agg.clip_count,
+          wagg.n_windows, wagg.silent_windows
+        FROM p
+        JOIN agg ON agg.d = p.d
+        JOIN wagg ON wagg.d = p.d""",
+    // fineweb: trimmed non-empty lines, duplicate-occurrence chars per
+    // exact line value, whitespace words, per-mille integer thresholds —
+    // primitive-for-primitive the engine's projection
+    "q_fineweb_rules" ->
+      """WITH raw AS (SELECT doc_id AS d, text FROM documents),
+        lines AS (
+          SELECT d, trim(u.l) AS l
+          FROM raw, unnest(string_split(text, chr(10))) AS u(l)
+          WHERE trim(u.l) != ''),
+        lm AS (
+          SELECT d,
+            CAST(count(*) AS BIGINT) AS n_lines,
+            CAST(sum(CASE WHEN right(l, 1) IN ('.', '''', '"', '!', '?')
+              THEN 1 ELSE 0 END) AS BIGINT) AS punct_lines,
+            CAST(sum(CASE WHEN length(l) < 30 THEN 1 ELSE 0 END) AS BIGINT)
+              AS short_lines,
+            CAST(sum(length(l)) AS BIGINT) AS line_chars
+          FROM lines GROUP BY 1),
+        dups AS (
+          SELECT d,
+            CAST(coalesce(sum(CASE WHEN cnt > 1 THEN len * (cnt - 1) ELSE 0 END), 0)
+              AS BIGINT) AS dup_line_chars
+          FROM (SELECT d, l, length(l) AS len, count(*) AS cnt
+                FROM lines GROUP BY 1, 2, 3)
+          GROUP BY 1),
+        m AS (
+          SELECT r.d,
+            coalesce(lm.n_lines, 0) AS n_lines,
+            coalesce(lm.punct_lines, 0) AS punct_lines,
+            coalesce(lm.short_lines, 0) AS short_lines,
+            coalesce(lm.line_chars, 0) AS line_chars,
+            coalesce(dups.dup_line_chars, 0) AS dup_line_chars,
+            CAST(len(list_filter(regexp_split_to_array(r.text, '\s+'),
+              t -> t != '')) AS BIGINT) AS n_words,
+            CAST(length(r.text) - length(replace(r.text, chr(10), '')) AS BIGINT)
+              AS n_newlines
+          FROM raw r
+          LEFT JOIN lm ON lm.d = r.d
+          LEFT JOIN dups ON dups.d = r.d)
+        SELECT d AS doc_id, n_lines, punct_lines, short_lines, line_chars,
+          dup_line_chars, n_words, n_newlines,
+          punct_lines * 1000 >= 120 * n_lines AS r_punct,
+          short_lines * 1000 < 670 * n_lines AS r_short,
+          (dup_line_chars * 1000 < 10 * line_chars OR line_chars = 0)
+            AS r_dup_lines,
+          NOT (n_newlines * 1000 > 300 * n_words) AS r_newline,
+          (punct_lines * 1000 >= 120 * n_lines)
+            AND (short_lines * 1000 < 670 * n_lines)
+            AND (dup_line_chars * 1000 < 10 * line_chars OR line_chars = 0)
+            AND NOT (n_newlines * 1000 > 300 * n_words) AS fineweb_keep
+        FROM m""")
 }

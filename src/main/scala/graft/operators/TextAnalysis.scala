@@ -304,6 +304,110 @@ object TextAnalysis {
       .drop("__lines", "__kept", "__tc", "__ns")
   }
 
+  /** FineWeb custom quality filters (Penedo et al. 2024, "The FineWeb
+    * Datasets", §3.6 / App. — the three line-shape heuristics FineWeb
+    * added ON TOP of Gopher+C4 after ablations, plus the newline/word
+    * ratio shipped with them; thresholds are the published defaults).
+    * A document is DROPPED when any of:
+    *
+    *   1. fraction of lines ending in a stop char
+    *      (`.` `'` `"` `!` `?`) is BELOW `minPunctRatio` (0.12)
+    *   2. fraction of lines shorter than `shortLineLen` (30) chars is
+    *      AT LEAST `maxShortRatio` (0.67)
+    *   3. fraction of line characters sitting in DUPLICATE occurrences
+    *      of a repeated line (len × (count−1), counted over exact line
+    *      values within the document) is AT LEAST `maxDupCharRatio`
+    *      (0.01)
+    *   4. newline-to-word ratio EXCEEDS `maxNewlineWordRatio` (0.3)
+    *
+    * Engine-pinned semantics (the oracle hash gates these exactly):
+    * lines are the trimmed, non-empty `\n`-splits; words are the
+    * non-empty whitespace splits of the raw text; every ratio test is
+    * evaluated in exact integer cross-multiplication (numerator×100 vs
+    * threshold×100×denominator — no float thresholds). Zero-line edge:
+    * rule 2 FAILS (0 < 0.67·0 is false — an empty page is all short
+    * lines), rules 1 and 3 keep vacuously (0 ≥ 0.12·0; line_chars = 0),
+    * and rule 4 still compares raw newlines to words, so a page of bare
+    * newlines drops there too.
+    *
+    * Scale: one zero-shuffle projection over the corpus scan, the
+    * [[gopherRules]]/[[c4Rules]] posture. The duplicate-line scan is
+    * O(distinct_lines × lines) string comparisons PER DOCUMENT — row-
+    * local CPU, bounded by page size, no exchange; the corpus-level
+    * alternative (explode + groupBy) would shuffle every line of 100 TB
+    * to measure a per-document property.
+    */
+  def fineWebRules(
+      docs: DataFrame, textCol: String = "text",
+      minPunctRatio: Double = 0.12, shortLineLen: Int = 30,
+      maxShortRatio: Double = 0.67, maxDupCharRatio: Double = 0.01,
+      maxNewlineWordRatio: Double = 0.3): DataFrame =
+    withFineWebRules(docs, textCol, minPunctRatio, shortLineLen,
+      maxShortRatio, maxDupCharRatio, maxNewlineWordRatio).select(
+      col("doc_id"), col("n_lines"), col("punct_lines"),
+      col("short_lines"), col("line_chars"), col("dup_line_chars"),
+      col("n_words"), col("n_newlines"),
+      col("r_punct"), col("r_short"), col("r_dup_lines"),
+      col("r_newline"), col("fineweb_keep"))
+
+  /** [[fineWebRules]] as a COLUMN-ADDING pass — the [[withGopherRules]]
+    * composition contract. Ratio thresholds are scaled to exact integer
+    * per-mille cross-multiplications, so callers may pass any double
+    * with ≤3 decimals without a float compare entering the plan.
+    */
+  private[operators] def withFineWebRules(
+      docs: DataFrame, textCol: String = "text",
+      minPunctRatio: Double = 0.12, shortLineLen: Int = 30,
+      maxShortRatio: Double = 0.67, maxDupCharRatio: Double = 0.01,
+      maxNewlineWordRatio: Double = 0.3): DataFrame = {
+    def permille(x: Double, name: String): Long = {
+      val p = math.round(x * 1000)
+      require(p >= 0 && math.abs(x * 1000 - p) < 1e-9,
+        s"$name must be a non-negative multiple of 0.001, got $x")
+      p
+    }
+    val punctPm = permille(minPunctRatio, "minPunctRatio")
+    val shortPm = permille(maxShortRatio, "maxShortRatio")
+    val dupPm = permille(maxDupCharRatio, "maxDupCharRatio")
+    val nlPm = permille(maxNewlineWordRatio, "maxNewlineWordRatio")
+    require(shortLineLen >= 0, "need shortLineLen >= 0")
+    docs
+      // staged arrays (the gopherRules lesson: lambdas re-evaluate free
+      // sub-expressions per element — stage once per document)
+      .withColumn("__fwl", expr(
+        s"""coalesce(filter(transform(split($textCol, chr(10)), l -> trim(l)),
+           |  l -> l != ''), CAST(array() AS ARRAY<STRING>))""".stripMargin))
+      .withColumn("n_lines", expr("CAST(size(__fwl) AS BIGINT)"))
+      .withColumn("punct_lines", expr(
+        """CAST(size(filter(__fwl,
+          |  l -> right(l, 1) IN ('.', '\'', '"', '!', '?'))) AS BIGINT)""".stripMargin))
+      .withColumn("short_lines", expr(
+        s"CAST(size(filter(__fwl, l -> length(l) < $shortLineLen)) AS BIGINT)"))
+      .withColumn("line_chars", expr(
+        "aggregate(__fwl, CAST(0 AS BIGINT), (acc, l) -> acc + length(l))"))
+      // chars in duplicate occurrences beyond the first, per exact line
+      // value: for each DISTINCT line, count its occurrences in the doc
+      .withColumn("dup_line_chars", expr(
+        """aggregate(array_distinct(__fwl), CAST(0 AS BIGINT), (acc, l) ->
+          |  acc + length(l) * (size(filter(__fwl, x -> x = l)) - 1))""".stripMargin))
+      .withColumn("n_words", expr(
+        s"""CAST(size(filter(split($textCol, '\\\\s+'), t -> t != '')) AS BIGINT)"""))
+      .withColumn("n_newlines", expr(
+        s"CAST(length($textCol) - length(replace($textCol, chr(10), '')) AS BIGINT)"))
+      .withColumn("r_punct", expr(
+        s"coalesce(punct_lines * 1000 >= $punctPm * n_lines, false)"))
+      .withColumn("r_short", expr(
+        s"coalesce(short_lines * 1000 < $shortPm * n_lines, false)"))
+      .withColumn("r_dup_lines", expr(
+        s"coalesce(dup_line_chars * 1000 < $dupPm * line_chars" +
+          s" OR line_chars = 0, false)"))
+      .withColumn("r_newline", expr(
+        s"coalesce(NOT (n_newlines * 1000 > $nlPm * n_words), false)"))
+      .withColumn("fineweb_keep",
+        expr("r_punct AND r_short AND r_dup_lines AND r_newline"))
+      .drop("__fwl")
+  }
+
   /** Token counting: whitespace tokens plus a BPE-ish regex token count
     * (letter runs, digit runs, single punctuation — the shape a byte-pair
     * tokenizer's pre-tokenizer produces).

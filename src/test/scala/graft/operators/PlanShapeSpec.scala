@@ -40,6 +40,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.qualityScore(docs)) == 0)
     assert(shuffles(TextAnalysis.gopherRules(docs)) == 0)
     assert(shuffles(TextAnalysis.c4Rules(docs)) == 0)
+    assert(shuffles(TextAnalysis.fineWebRules(docs)) == 0)
+    // WAV decode: mapPartitions (streamed byte parse) but scan-shaped —
+    // audio bytes never cross an exchange
+    assert(shuffles(Audio.wavStats(Audio.syntheticWavFromDocs(docs))) == 0)
     assert(shuffles(TextAnalysis.fingerprint(docs)) == 0)
     assert(shuffles(TextAnalysis.assignSplit(docs,
       Seq("train" -> 0.8, "val" -> 0.2))) == 0)
