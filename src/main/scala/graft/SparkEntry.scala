@@ -1443,7 +1443,14 @@ object SparkEntry {
     // post-Gopher/C4 heuristics plus the newline/word ratio, all exact
     // integer cross-multiplications in one zero-shuffle projection
     "q_fineweb_rules" -> ((s, dir) =>
-      TextAnalysis.fineWebRules(docs(s, dir))))
+      TextAnalysis.fineWebRules(docs(s, dir))),
+    // deterministic global shuffle → fixed-size training shards: the
+    // tokenBudget two-pass prefix-sum discipline with weight 1 (one
+    // range shuffle + a #partitions-sized driver exchange — never the
+    // unpartitioned row_number window); the oracle states the semantics
+    // as the window form DuckDB can afford single-node
+    "q_shard_plan" -> ((s, dir) =>
+      Packing.shardPlan(docs(s, dir), shardSize = 1000L)))
 
   /** Fitted IVF indexes per dataset dir — train once, probe many (the
     * FAISS IVF usage contract; see [[graft.operators.Similarity.ivfFit]]).
@@ -4670,5 +4677,20 @@ object SparkEntry {
             AND (short_lines * 1000 < 670 * n_lines)
             AND (dup_line_chars * 1000 < 10 * line_chars OR line_chars = 0)
             AND NOT (n_newlines * 1000 > 300 * n_words) AS fineweb_keep
-        FROM m""")
+        FROM m""",
+    // shard plan: the oracle is the single-node window form of the
+    // engine's distributed two-pass ordinal — identical strict total
+    // order (md5 shuffle key, id tiebreak), identical shard arithmetic
+    "q_shard_plan" ->
+      """WITH o AS (
+          SELECT doc_id,
+            md5('sh' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+            CAST(row_number() OVER (
+              ORDER BY md5('sh' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) - 1
+              AS BIGINT) AS ordinal
+          FROM documents)
+        SELECT doc_id, shuffle_key, ordinal,
+          CAST(ordinal // 1000 AS BIGINT) AS shard,
+          CAST(ordinal % 1000 AS BIGINT) AS pos_in_shard
+        FROM o""")
 }

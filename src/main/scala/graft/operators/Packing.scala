@@ -170,6 +170,65 @@ object Packing {
   }
 
   /** Packing efficiency summary: bins, mean fill ratio, padding waste. */
+  /** Deterministic corpus shard plan: globally shuffle the corpus into a
+    * reproducible pseudo-random order (md5 of the id — the engine's
+    * standard cross-engine uniform) and cut it into fixed-size training
+    * shards, emitting `(doc_id, shuffle_key, ordinal, shard,
+    * pos_in_shard)`. This is the "global shuffle before sharding" step
+    * every training-data pipeline runs last — shard files must be a
+    * random sample of the corpus (so data order doesn't correlate with
+    * crawl order during training), yet byte-reproducible across runs,
+    * engines, and input partitionings.
+    *
+    * The global ordinal is the [[Selection.tokenBudgetSelect]] two-pass
+    * prefix-sum discipline with weight 1: ONE range shuffle on
+    * (shuffle_key, doc_id), pass 1 reduces each range partition to a
+    * single row COUNT (≤ shuffle-partition-count rows to the driver —
+    * the bounded-collect class), pass 2 streams each partition once from
+    * its exclusive offset. The naive form — `row_number() OVER (ORDER BY
+    * shuffle_key)` — is ONE unpartitioned window task holding the
+    * corpus, the shape this codebase bans. The result is a pure function
+    * of the data (strict total order via the unique id tiebreak), so
+    * range-bound placement cannot leak into the plan — property-tested
+    * under arbitrary input repartitioning.
+    */
+  def shardPlan(
+      docs: DataFrame, shardSize: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val keyed = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        md5(concat(lit("sh"), col(idCol).cast("string"))).as("shuffle_key"))
+      .repartitionByRange(parts, col("shuffle_key").asc, col("doc_id").asc)
+      .sortWithinPartitions(col("shuffle_key").asc, col("doc_id").asc)
+      .as[(Long, String)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = keyed.mapPartitions { it =>
+        var n = 0L; it.foreach(_ => n += 1L)
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), n))
+      }.collect().toMap
+      // exclusive prefix offset per range partition, in partition order
+      // (range partition ids ARE the global order)
+      val offsets = Array.tabulate(parts)(i => counts.getOrElse(i, 0L))
+        .scanLeft(0L)(_ + _)
+      val planned = keyed.mapPartitions { it =>
+        var ord = offsets(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, h) =>
+          val o = ord; ord += 1L
+          (id, h, o, o / shardSize, o % shardSize)
+        }
+      }.toDF("doc_id", "shuffle_key", "ordinal", "shard", "pos_in_shard")
+      // pin the offsets-consistent result: a downstream replan must not
+      // recompute pass 2 against a re-ranged pass-1 (same contract as
+      // tokenBudgetSelect)
+      planned.localCheckpoint(true)
+    } finally keyed.unpersist()
+  }
+
   def packingStats(packed: DataFrame, capacity: Int): DataFrame =
     packed
       .groupBy("bin_id").agg(expr("first(bin_fill)").as("fill"))
