@@ -4,7 +4,7 @@ import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
 import graft.operators.{Audio, CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Selection, Similarity, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, expr, greatest, least, lit, when}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -967,7 +967,8 @@ object SparkEntry {
     // signature cells themselves cannot be oracled.
     "q_simhash_bounds" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sim = Dedup.simhashPairs(d).select("doc_a", "doc_b")
+      val simAll = Dedup.simhashPairs(d)
+      val sim = simAll.select("doc_a", "doc_b")
       // precision is a 99th-PERCENTILE floor, not a min: 64-bit Hamming
       // collisions between token-disjoint docs appear at rate ~n²·3e-10
       // (4 of 444,705 emitted pairs at sf1, min jaccard 0.125, p01 0.48),
@@ -977,10 +978,27 @@ object SparkEntry {
         .agg(expr("count(1)").as("__npairs"),
           expr("sum(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END)").as("__nabove"),
           expr("sum(CASE WHEN jaccard IS NULL THEN 1 ELSE 0 END)").as("__nnull"))
+      // recall is CLOSURE-aware: simhashPairs emits identity classes as
+      // linear (canonical, member, 0) rows and cross-signature pairs
+      // between canonicals, so an exact pair (a, b) counts as recalled
+      // when a and b share a canonical OR their canonicals' pair was
+      // emitted — the connectivity the linear relation implies
+      val cmap = simAll.filter(col("hamming") === 0)
+        .select(col("doc_b").as("__m"), col("doc_a").as("__c"))
       val rec = Dedup.ngramJaccardPairs(d, threshold = 0.5)
-        .join(sim.withColumn("__hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .join(cmap.select(col("__m").as("doc_a"), col("__c").as("__ca")),
+          Seq("doc_a"), "left")
+        .join(cmap.select(col("__m").as("doc_b"), col("__c").as("__cb")),
+          Seq("doc_b"), "left")
+        .withColumn("__ka", coalesce(col("__ca"), col("doc_a")))
+        .withColumn("__kb", coalesce(col("__cb"), col("doc_b")))
+        .withColumn("__pa", least(col("__ka"), col("__kb")))
+        .withColumn("__pb", greatest(col("__ka"), col("__kb")))
+        .join(sim.select(col("doc_a").as("__pa"), col("doc_b").as("__pb"))
+          .withColumn("__hit", lit(true)), Seq("__pa", "__pb"), "left")
         .agg(expr("count(1)").as("n_exact_pairs"),
-          expr("sum(CASE WHEN __hit THEN 1 ELSE 0 END)").as("__nhit"))
+          expr("sum(CASE WHEN __ka = __kb OR __hit THEN 1 ELSE 0 END)")
+            .as("__nhit"))
       rec.crossJoin(prec).select(
         col("n_exact_pairs"),
         (coalesce(col("__nabove"), lit(0L)) >= col("__npairs") * 0.99)
@@ -1743,16 +1761,23 @@ object SparkEntry {
           SELECT d.doc_id, coalesce(sg.lo, 0) AS lo, coalesce(sg.hi, 0) AS hi
           FROM (SELECT doc_id FROM documents WHERE lower(text) IS NOT NULL) d
           LEFT JOIN sg USING (doc_id)),
+        rep AS (SELECT lo, hi, min(doc_id) AS rep FROM sig GROUP BY 1, 2),
+        classes AS (
+          SELECT r.rep AS doc_a, s.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+          FROM sig s JOIN rep r ON r.lo = s.lo AND r.hi = s.hi
+          WHERE s.doc_id != r.rep),
         band AS (
-          SELECT doc_id, lo, hi,
+          SELECT rep AS doc_id, lo, hi,
             unnest([lo % 65536, lo // 65536, hi % 65536, hi // 65536]) AS bucket,
             unnest([0, 1, 2, 3]) AS band
-          FROM sig)
+          FROM rep)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+          CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+            AS INTEGER) AS hamming
         FROM band a JOIN band b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8"""
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8
+        UNION ALL SELECT doc_a, doc_b, hamming FROM classes"""
     }
   }
 
@@ -2281,7 +2306,7 @@ object SparkEntry {
         FROM s""",
     "q_fingerprint" ->
       """SELECT doc_id,
-          md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_md5
+          md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp_md5
         FROM documents""",
     "q_pii_scrub" ->
       """SELECT doc_id, text_scrubbed, (text_scrubbed != text) AS has_pii
@@ -2302,7 +2327,7 @@ object SparkEntry {
               || '.org/p/' || CAST(doc_id AS VARCHAR) AS text
           FROM documents),
         u AS (
-          SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s/]+[^\s]*')) AS url
+          SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r/]+[^ \t\n\x0B\f\r]*')) AS url
           FROM aug)
         SELECT lower(regexp_extract(url, 'https?://([^/:?#]+)', 1)) AS domain,
           count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
@@ -2590,16 +2615,34 @@ object SparkEntry {
           SELECT i.d, u.k, coalesce(b.band, 0) AS band
           FROM ids i CROSS JOIN unnest(generate_series(0, 3)) AS u(k)
           LEFT JOIN bagg b ON b.d = i.d AND b.k = u.k),
+        sigs AS (
+          SELECT d,
+            max(CASE WHEN k = 0 THEN band END) AS b0,
+            max(CASE WHEN k = 1 THEN band END) AS b1,
+            max(CASE WHEN k = 2 THEN band END) AS b2,
+            max(CASE WHEN k = 3 THEN band END) AS b3
+          FROM bands GROUP BY 1),
+        rep AS (SELECT b0, b1, b2, b3, min(d) AS rep
+                FROM sigs GROUP BY 1, 2, 3, 4),
+        classes AS (
+          SELECT r.rep AS id_a, s.d AS id_b, CAST(0 AS INTEGER) AS hamming
+          FROM sigs s JOIN rep r USING (b0, b1, b2, b3)
+          WHERE s.d != r.rep),
+        rbands AS (
+          SELECT rep AS d, unnest([b0, b1, b2, b3]) AS band,
+            unnest([0, 1, 2, 3]) AS k
+          FROM rep),
         pairs AS (
           SELECT DISTINCT a.d AS id_a, b.d AS id_b
-          FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band AND a.d < b.d)
+          FROM rbands a JOIN rbands b ON a.k = b.k AND a.band = b.band AND a.d < b.d)
         SELECT p.id_a, p.id_b,
           CAST(sum(bit_count(xor(x.band, y.band))) AS INTEGER) AS hamming
         FROM pairs p
-        JOIN bands x ON x.d = p.id_a
-        JOIN bands y ON y.d = p.id_b AND y.k = x.k
+        JOIN rbands x ON x.d = p.id_a
+        JOIN rbands y ON y.d = p.id_b AND y.k = x.k
         GROUP BY 1, 2
-        HAVING sum(bit_count(xor(x.band, y.band))) <= 8""",
+        HAVING sum(bit_count(xor(x.band, y.band))) <= 8
+        UNION ALL SELECT id_a, id_b, hamming FROM classes""",
     "q_mix_report" ->
       """SELECT lang, source, count(*) AS n_docs,
           CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
@@ -2616,7 +2659,7 @@ object SparkEntry {
           min(doc_id) OVER (PARTITION BY h) AS canonical_id,
           count(*) OVER (PARTITION BY h) AS dup_count,
           doc_id = min(doc_id) OVER (PARTITION BY h) AS is_canonical
-        FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS h
               FROM documents)""",
     "q_line_dedup" ->
       """WITH d AS (
@@ -2644,7 +2687,7 @@ object SparkEntry {
           SELECT doc_id,
             min(doc_id) OVER (PARTITION BY h) AS canonical_id,
             count(*) OVER (PARTITION BY h) AS dup_count
-          FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+          FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS h
                 FROM documents)),
         qual AS (
           SELECT doc_id,
@@ -2844,7 +2887,7 @@ object SparkEntry {
           SELECT doc_id, lang, text FROM (
             SELECT doc_id, lang, text,
               min(doc_id) OVER (PARTITION BY coalesce(
-                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), '__NULL_TEXT__')) AS can
+                md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))), '__NULL_TEXT__')) AS can
             FROM gated)
           WHERE doc_id = can),
         jtoks AS (
@@ -4659,7 +4702,7 @@ object SparkEntry {
             coalesce(lm.short_lines, 0) AS short_lines,
             coalesce(lm.line_chars, 0) AS line_chars,
             coalesce(dups.dup_line_chars, 0) AS dup_line_chars,
-            CAST(len(list_filter(regexp_split_to_array(r.text, '\s+'),
+            CAST(len(list_filter(regexp_split_to_array(r.text, '[ \t\n\x0B\f\r]+'),
               t -> t != '')) AS BIGINT) AS n_words,
             CAST(length(r.text) - length(replace(r.text, chr(10), '')) AS BIGINT)
               AS n_newlines
@@ -4668,15 +4711,17 @@ object SparkEntry {
           LEFT JOIN dups ON dups.d = r.d)
         SELECT d AS doc_id, n_lines, punct_lines, short_lines, line_chars,
           dup_line_chars, n_words, n_newlines,
-          punct_lines * 1000 >= 120 * n_lines AS r_punct,
-          short_lines * 1000 < 670 * n_lines AS r_short,
-          (dup_line_chars * 1000 < 10 * line_chars OR line_chars = 0)
-            AS r_dup_lines,
-          NOT (n_newlines * 1000 > 300 * n_words) AS r_newline,
-          (punct_lines * 1000 >= 120 * n_lines)
-            AND (short_lines * 1000 < 670 * n_lines)
-            AND (dup_line_chars * 1000 < 10 * line_chars OR line_chars = 0)
-            AND NOT (n_newlines * 1000 > 300 * n_words) AS fineweb_keep
+          coalesce(punct_lines * 1000 >= 120 * n_lines, false) AS r_punct,
+          coalesce(short_lines * 1000 < 670 * n_lines, false) AS r_short,
+          coalesce(dup_line_chars * 1000 < 10 * line_chars OR line_chars = 0,
+            false) AS r_dup_lines,
+          coalesce(NOT (n_newlines * 1000 > 300 * n_words), false) AS r_newline,
+          coalesce(punct_lines * 1000 >= 120 * n_lines, false)
+            AND coalesce(short_lines * 1000 < 670 * n_lines, false)
+            AND coalesce(dup_line_chars * 1000 < 10 * line_chars
+              OR line_chars = 0, false)
+            AND coalesce(NOT (n_newlines * 1000 > 300 * n_words), false)
+            AS fineweb_keep
         FROM m""",
     // shard plan: the oracle is the single-node window form of the
     // engine's distributed two-pass ordinal — identical strict total

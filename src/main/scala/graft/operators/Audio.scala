@@ -90,11 +90,11 @@ object Audio {
           else {
             // chunk walk: find fmt and data
             var pos = 12
-            var fmtAt = -1; var dataAt = -1; var dataLen = 0L
+            var fmtAt = -1; var fmtLen = 0L; var dataAt = -1; var dataLen = 0L
             var walking = true
             while (walking && pos + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
               val sz = u32(pos + 4)
-              if (tag(pos, "fmt ")) fmtAt = pos + 8
+              if (tag(pos, "fmt ")) { fmtAt = pos + 8; fmtLen = sz }
               else if (tag(pos, "data")) { dataAt = pos + 8; dataLen = sz }
               // chunks pad to even length per the RIFF spec; a declared
               // size past the buffer is a corrupt/hostile header — stop
@@ -102,7 +102,12 @@ object Audio {
               if (sz > b.length.toLong) walking = false
               else pos += 8 + sz.toInt + (sz.toInt & 1)
             }
-            if (fmtAt < 0 || dataAt < 0 || fmtAt + 16 > b.length) bad
+            // the fmt chunk must DECLARE >= 16 bytes (PCM header size):
+            // a malformed size < 16 would otherwise read rate/bits from
+            // the following chunk's bytes — plausible garbage with
+            // decode_ok = true instead of the documented degrade
+            if (fmtAt < 0 || dataAt < 0 || fmtLen < 16 ||
+              fmtAt + 16 > b.length) bad
             else {
               val fmt = u16(fmtAt); val nCh = u16(fmtAt + 2)
               val rate = u32(fmtAt + 4).toInt; val bits = u16(fmtAt + 14)

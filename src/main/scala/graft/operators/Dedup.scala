@@ -536,22 +536,47 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4 bands of 16 bits as LSH buckets, verified by
     * Hamming distance ≤ `maxHamming`.
+    *
+    * Signature-identical collapse (the 100 TB posture): a class of k
+    * byte-identical documents (boilerplate, mirrored pages) shares all 4
+    * bands, so a naive band self-join emits k·(k−1)/2 pairs AND makes
+    * its bucket the join's hottest key. Instead, exactly ONE
+    * representative per distinct 64-bit signature (min doc_id) enters
+    * the band join, and each identity class is emitted as linear
+    * `(canonical, member, hamming = 0)` rows — the exact-dedup shape.
+    * Cross-signature near-dup pairs are emitted between canonicals.
+    * Downstream connectivity (components, clustering) is identical to
+    * the full quadratic relation: a class is a star through its
+    * canonical, and every cross-class edge lands on the canonicals.
+    * The hamming ≤ `maxHamming` filter runs BEFORE the pair
+    * deduplication so the dedup exchange only carries survivors.
     */
   def simhashPairs(
       docs: DataFrame, textCol: String = "text", maxHamming: Int = 8): DataFrame = {
     val sh = simhash(docs, textCol)
-    val bandRows = sh.select(col("doc_id"), col("simhash"),
+    // one representative per distinct signature; the join back to sh is
+    // co-partitioned on simhash with the aggregation's own exchange
+    val rep = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("__rep"))
+    val classes = sh.join(rep, Seq("simhash"))
+      .filter(col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"),
+        expr("CAST(0 AS INT)").as("hamming"))
+    val reps = rep.select(col("__rep").as("doc_id"), col("simhash"))
+    val bandRows = reps.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "array(simhash & 65535, shiftright(simhash, 16) & 65535, " +
           "shiftright(simhash, 32) & 65535, shiftright(simhash, 48) & 65535)"))
         .as(Seq("__band", "__bucket")))
-    bandRows.as("a").join(bandRows.as("b"),
+    val repPairs = bandRows.as("a").join(bandRows.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+    // disjoint by construction: repPairs join distinct signatures, so
+    // their hamming is >= 1, while class rows are exactly hamming = 0
+    classes.unionByName(repPairs)
   }
 
   /** Exact full-set n-gram Jaccard for an EXPLICIT candidate pair relation

@@ -434,10 +434,12 @@ object Multimodal {
     * SimHash relation (`Dedup.simhashPairs`, same Hamming-band LSH
     * discipline: 4 bands of 16 bits as join buckets, exact popcount
     * verification on candidates). The emitted relation is DETERMINISTIC
-    * by contract: pairs sharing ≥ 1 band of their [[dHash64]] AND with
-    * total Hamming distance ≤ `maxHamming` — banding is part of the
-    * operator's semantics (Hamming-ball LSH), not a recall gamble, so a
-    * second engine computes the identical set.
+    * by contract: each identity class (equal [[dHash64]]) appears as
+    * `(canonical = min id, member, hamming = 0)` rows, and canonicals
+    * of DISTINCT signatures pair when they share ≥ 1 band AND total
+    * Hamming ≤ `maxHamming` — banding is part of the operator's
+    * semantics (Hamming-ball LSH), not a recall gamble, so a second
+    * engine computes the identical set.
     *
     * At 100 TB: the hash is row-local (one decode pass, binary never
     * shuffles); the join carries only (id, 64-bit hash) rows keyed on
@@ -448,18 +450,35 @@ object Multimodal {
       idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
     require(maxHamming >= 0, "non-negative maxHamming required")
     val sh = dHash64(media, idCol, bytesCol)
-    val bandRows = sh.select(col("media_id"), col("dhash"),
+    // signature-identical collapse (the Dedup.simhashPairs discipline):
+    // k byte-identical images — logos, icons, ubiquitous in crawls —
+    // share all 4 bands; only ONE representative per distinct dHash
+    // enters the band join, and the identity class is emitted as linear
+    // (canonical, member, 0) rows, keeping both the output and the
+    // join's hottest buckets linear in class size. Cross-signature
+    // pairs (hamming >= 1 by construction) join between canonicals;
+    // connectivity matches the full quadratic relation exactly.
+    val rep = sh.groupBy(col("dhash")).agg(min(col("media_id")).as("__rep"))
+    val classes = sh.join(rep, Seq("dhash"))
+      .filter(col("media_id") =!= col("__rep"))
+      .select(col("__rep").as("id_a"), col("media_id").as("id_b"),
+        expr("CAST(0 AS INT)").as("hamming"))
+    val reps = rep.select(col("__rep").as("media_id"), col("dhash"))
+    val bandRows = reps.select(col("media_id"), col("dhash"),
       posexplode(expr(
         "array(dhash & 65535, shiftright(dhash, 16) & 65535, " +
           "shiftright(dhash, 32) & 65535, shiftright(dhash, 48) & 65535)"))
         .as(Seq("__band", "__bucket")))
-    bandRows.as("a").join(bandRows.as("b"),
+    val repPairs = bandRows.as("a").join(bandRows.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bucket") === col("b.__bucket") &&
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
         expr("CAST(bit_count(a.dhash ^ b.dhash) AS INT)").as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter BEFORE the pair dedup: hamming is a pure function of the
+      // pair, so the dedup exchange only carries surviving candidates
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+    classes.unionByName(repPairs)
   }
 
   /** Synthetic grid PNGs with PLANTED near-duplicates — the image-dedup

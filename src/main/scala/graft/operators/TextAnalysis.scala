@@ -28,6 +28,22 @@ object TextAnalysis {
     */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Java's `\s` whitespace class written out explicitly:
+    * `[ \t\n\x0B\f\r]`. Java regex `\s` includes U+000B (vertical tab)
+    * but DuckDB's RE2 `\s` does not — every cross-engine tokenization
+    * pins this exact class on BOTH sides so text containing U+000B
+    * cannot diverge the hash gates (engine behavior is byte-identical
+    * to the former `\s`). Oracle mirrors live in SparkEntry's
+    * q_fingerprint / q_dedup_exact / q_clean_corpus / q_curate_corpus /
+    * q_domain_stats / q_fineweb_rules SQL.
+    */
+  val wsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
+  /** [[wsClass]] escaped for embedding inside a Spark SQL string
+    * literal (the SQL parser consumes one level of backslashes).
+    */
+  val wsClassSql: String = wsClass.replace("\\", "\\\\")
+
   /** Whitespace tokens of a text column (lower-cased). */
   def tokensExpr(text: String): String =
     s"filter(split(lower($text), ' +'), t -> t != '')"
@@ -322,9 +338,11 @@ object TextAnalysis {
     *
     * Engine-pinned semantics (the oracle hash gates these exactly):
     * lines are the trimmed, non-empty `\n`-splits; words are the
-    * non-empty whitespace splits of the raw text; every ratio test is
-    * evaluated in exact integer cross-multiplication (numerator×100 vs
-    * threshold×100×denominator — no float thresholds). Zero-line edge:
+    * non-empty whitespace splits of the raw text (the explicit
+    * [[wsClass]] — identical in Java and RE2); every ratio test is
+    * evaluated in exact integer per-mille cross-multiplication
+    * (numerator×1000 vs threshold-permille×denominator — no float
+    * thresholds, 0.001 granularity). Zero-line edge:
     * rule 2 FAILS (0 < 0.67·0 is false — an empty page is all short
     * lines), rules 1 and 3 keep vacuously (0 ≥ 0.12·0; line_chars = 0),
     * and rule 4 still compares raw newlines to words, so a page of bare
@@ -391,7 +409,7 @@ object TextAnalysis {
         """aggregate(array_distinct(__fwl), CAST(0 AS BIGINT), (acc, l) ->
           |  acc + length(l) * (size(filter(__fwl, x -> x = l)) - 1))""".stripMargin))
       .withColumn("n_words", expr(
-        s"""CAST(size(filter(split($textCol, '\\\\s+'), t -> t != '')) AS BIGINT)"""))
+        s"""CAST(size(filter(split($textCol, '$wsClassSql+'), t -> t != '')) AS BIGINT)"""))
       .withColumn("n_newlines", expr(
         s"CAST(length($textCol) - length(replace($textCol, chr(10), '')) AS BIGINT)"))
       .withColumn("r_punct", expr(
@@ -427,11 +445,11 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       normalizedMd5(textCol).as("fp_md5"),
-      expr(s"xxhash64(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))))").as("fp_xx64"))
+      expr(s"xxhash64(lower(trim(regexp_replace($textCol, '$wsClassSql+', ' '))))").as("fp_xx64"))
 
   /** Normalization + md5 used as the exact-dedup key. */
   def normalizedMd5(textCol: String): Column =
-    expr(s"md5(lower(trim(regexp_replace($textCol, '\\\\s+', ' '))))")
+    expr(s"md5(lower(trim(regexp_replace($textCol, '$wsClassSql+', ' '))))")
 
   /** Exploded (doc_id, token) pairs — the shared base of the corpus-level
     * operators below. split+explode are codegen'd; the only shuffle cost
@@ -1245,10 +1263,13 @@ object TextAnalysis {
     ("phone", "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>"))
 
   /** URL pattern (Java-regex/RE2-common, like [[piiPatterns]]): scheme +
-    * non-space host + non-space tail. Deliberately greedy on the tail —
-    * trailing punctuation stays attached, the standard cheap extractor.
+    * non-space host + non-space tail, with whitespace pinned to the
+    * explicit [[wsClass]] members so Java and RE2 agree on U+000B.
+    * Deliberately greedy on the tail — trailing punctuation stays
+    * attached, the standard cheap extractor.
     */
-  val urlPattern: String = "https?://[^\\s/]+[^\\s]*"
+  val urlPattern: String =
+    "https?://[^ \\t\\n\\x0B\\f\\r/]+[^ \\t\\n\\x0B\\f\\r]*"
 
   /** Per-domain URL statistics over a corpus: extract every URL
     * ([[urlPattern]]), reduce to the lower-cased host, and aggregate URL

@@ -131,9 +131,27 @@ object AudioPropSpec extends Properties("Audio.wavStats") {
         val b = buildWav(Array[Short](1, 2), 1, 8000, junkChunk = true)
         b(40) = -1; b(41) = -1; b(42) = -1; b(43) = -1; b
       },
-      8L -> good) // control: still decodes
+      8L -> good,
+      9L -> { // fmt chunk DECLARING size 0: the 16 header bytes at fmtAt
+        // belong to the NEXT chunk, crafted here so they parse as
+        // plausible PCM (fmt=1, ch=1, rate=16, bits=16) — without the
+        // fmtLen >= 16 guard this decodes to garbage with decode_ok=true
+        val bb = java.nio.ByteBuffer.allocate(56)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(48)
+          .put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")).putInt(0) // declared size 0
+        bb.put(Array[Byte](1, 0, 1, 0)).putInt(16)    // fake tag + size
+        val payload = new Array[Byte](16)
+        payload(6) = 16 // lands at offset 34 = the "bits" field
+        bb.put(payload)
+        bb.put("data".getBytes("US-ASCII")).putInt(4)
+          .putShort(100.toShort).putShort(-200.toShort)
+        bb.array()
+      })
     val got = stats(cases, 64, 512)
     (1L to 7L).forall(i => !got(i).getAs[Boolean]("decode_ok")) &&
+      !got(9L).getAs[Boolean]("decode_ok") &&
       got(8L).getAs[Boolean]("decode_ok") &&
       got(8L).getAs[Long]("n_samples") == 4L
   }

@@ -36,8 +36,11 @@ object FineWebRulesPropSpec extends Properties("TextAnalysis.fineWebRules") {
     Gen.oneOf(".", "!", "?", "\"", "'", "", "", ",", ":")
   private val line: Gen[String] = for {
     body <- lineBody
-    lead <- Gen.oneOf("", " ", "  ")
-    trail <- Gen.oneOf("", " ")
+    // includes U+000B (vertical tab) and U+000C (form feed): the word
+    // split is pinned to the explicit [ \t\n\x0B\f\r] class on both
+    // engines (ADVICE r13), so the generator must exercise them
+    lead <- Gen.oneOf("", " ", "  ", "\u000B", "\f\t")
+    trail <- Gen.oneOf("", " ", "\u000B")
     term <- terminator
   } yield lead + body + term + trail
   private val doc: Gen[String] = for {
@@ -60,7 +63,9 @@ object FineWebRulesPropSpec extends Properties("TextAnalysis.fineWebRules") {
     val dup = lines.groupBy(identity).valuesIterator
       .collect { case g if g.size > 1 => g.head.length.toLong * (g.size - 1) }
       .sum
-    val words = text.split("\\s+", -1).count(_.nonEmpty).toLong
+    // the pinned explicit whitespace class, NOT \s — an independent
+    // spelling of TextAnalysis.wsClass semantics
+    val words = text.split("[ \t\n\u000B\f\r]+", -1).count(_.nonEmpty).toLong
     val nl = text.count(_ == '\n').toLong
     val rPunct = punct * 1000 >= punctPm * nLines
     val rShort = short * 1000 < shortPm * nLines

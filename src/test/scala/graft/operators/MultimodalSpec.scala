@@ -220,18 +220,25 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val media = Multimodal.syntheticGridImagesFromDocs(docs)
     val pairs = Multimodal.imageDupPairs(media, maxHamming = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // independent reference: brute-force over the hashes — pairs sharing
-    // >= 1 of the 4 16-bit bands with total Hamming <= 8 (the contract)
+    // independent reference for the collapsed contract: identity classes
+    // as (canonical = min id, member, 0) rows; canonicals of DISTINCT
+    // hashes pair when they share >= 1 of the 4 16-bit bands with total
+    // Hamming <= 8
     val hs = Multimodal.dHash64(media).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def bands(h: Long): Seq[Long] =
       Seq(h & 0xffffL, (h >>> 16) & 0xffffL, (h >>> 32) & 0xffffL, (h >>> 48) & 0xffffL)
-    val ids = hs.keys.toSeq.sorted
+    val canon = hs.groupBy(_._2).map { case (h, m) => h -> m.keys.min }
+    val classes = hs.toSeq.collect {
+      case (id, h) if canon(h) != id => (canon(h), id, 0)
+    }.toSet
+    val repIds = canon.values.toSeq.sorted
+    val repHash = canon.map { case (h, r) => r -> h }
     val brute = (for {
-      a <- ids; b <- ids if a < b
-      if bands(hs(a)).zip(bands(hs(b))).exists { case (x, y) => x == y }
-      hd = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hd <= 8
-    } yield (a, b, hd)).toSet
+      a <- repIds; b <- repIds if a < b
+      if bands(repHash(a)).zip(bands(repHash(b))).exists { case (x, y) => x == y }
+      hd = java.lang.Long.bitCount(repHash(a) ^ repHash(b)) if hd <= 8
+    } yield (a, b, hd)).toSet ++ classes
     assert(pairs == brute)
     // every planted perturbation (d-1, d) for d % 50 == 1 is a pair at
     // Hamming <= 1 (cell 0 feeds exactly one gradient comparison)
@@ -239,6 +246,31 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       val p = pairs.find(p => p._1 == d - 1 && p._2 == d)
       assert(p.isDefined && p.get._3 <= 1, s"planted pair (${d - 1}, $d)")
     }
+  }
+
+  test("a 100-image identical class emits linearly, not quadratically") {
+    import spark.implicits._
+    // 100 byte-identical copies of one image + 3 distinct images: the
+    // identity class must emit exactly 99 (canonical, member, 0) rows —
+    // NOT C(100,2) = 4950 clique pairs — and the band join must see one
+    // representative, so no member id other than the canonical appears
+    // in any cross-signature pair
+    val one = gridPng(Array.tabulate(72)(i => (i * 37) % 256), 2)
+    val others = Seq(500L, 501L, 502L).map(d =>
+      d -> gridPng(Array.tabulate(72)(i => ((i + d.toInt) * 53) % 256), 1))
+    val media = ((0L until 100L).map(_ -> one) ++ others)
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.imageDupPairs(media, maxHamming = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val classRows = pairs.filter(p => p._1 == 0L && p._3 == 0)
+    assert(classRows.map(_._2).toSet == (1L until 100L).toSet,
+      "identity class must be the canonical star 0 -> {1..99}")
+    val nonCanonMembers = (1L until 100L).toSet
+    assert(!pairs.exists(p => p._3 > 0 &&
+      (nonCanonMembers(p._1) || nonCanonMembers(p._2))),
+      "non-canonical members must never reach the band join")
+    // total pair count is linear: 99 class rows + at most C(4,2) rep pairs
+    assert(pairs.length <= 99 + 6, s"got ${pairs.length} pairs")
   }
 
   test("decodeBytes degrades truncated real-format headers to zero dims") {

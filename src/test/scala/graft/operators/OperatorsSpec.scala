@@ -876,6 +876,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keys.contains((1L, 3L)))
   }
 
+  test("simhash identical-signature class emits the canonical star, linearly") {
+    // 60 copies of one text + 2 distinct docs: the class is 59
+    // (canonical = 10, member, 0) rows — never C(60,2) clique pairs —
+    // and non-canonical members stay out of every cross-signature pair
+    val copies = (10L until 70L).map(i => (i, "the same boilerplate footer text " +
+      "repeated across every mirrored page of the crawl"))
+    val df = docsDf(copies ++ Seq(
+      (500L, "a completely different document about gardens and weather"),
+      (501L, "yet another unrelated page discussing ships and harbors")))
+    val pairs = Dedup.simhashPairs(df, maxHamming = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val classRows = pairs.filter(p => p._1 == 10L && p._3 == 0)
+    assert(classRows.map(_._2).toSet == (11L until 70L).toSet)
+    val members = (11L until 70L).toSet
+    assert(!pairs.exists(p => p._3 > 0 && (members(p._1) || members(p._2))))
+    assert(pairs.length <= 59 + 3, s"got ${pairs.length} pairs")
+  }
+
   // ----------------------------------------------- embeddings / similarity
 
   /** Clustered synthetic vectors: `nClusters` random centers; members are

@@ -440,12 +440,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(Dedup.minhashPairs(docs, threshold = 0.5, maxBandFreq = 10)) <= 3)
     assert(shuffles(Dedup.minhashPairsAgainst(
       docs, docs.filter(col("doc_id") < 25), threshold = 0.5, maxBandFreq = 10)) <= 4)
-    assert(shuffles(Dedup.simhashPairs(docs)) <= 3)
+    // r14 signature-identical collapse adds the per-signature canonical
+    // aggregation (+its class join) ahead of the band join: one exchange
+    // on the signature (the join back rides it / broadcasts), the band
+    // join pair (b-side reuses a-side), and the pair dedup — and the
+    // hamming filter now runs BEFORE the dedup exchange
+    assert(shuffles(Dedup.simhashPairs(docs)) <= 5)
     // image dHash pairs: same banded budget as the text SimHash relation —
     // the decode is scan-shaped (binary never shuffles; only (id, hash)
     // rows reach the band join)
     assert(shuffles(Multimodal.imageDupPairs(
-      Multimodal.syntheticGridImagesFromDocs(docs))) <= 3)
+      Multimodal.syntheticGridImagesFromDocs(docs))) <= 5)
     // multi-table form: band-rows candidate join (ids only) + distinct +
     // two vector rejoins — tables multiplies candidate ROWS, not exchanges
     assert(shuffles(Dedup.embeddingDupPairs(embeds, threshold = 0.9)) <= 5)
