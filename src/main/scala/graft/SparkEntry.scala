@@ -1420,6 +1420,15 @@ object SparkEntry {
       Multimodal.decode(Multimodal.fakeMediaFromDocs(docs(s, dir)))
         .select(col("media_id"), col("n_bytes"),
           col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
+    // REAL WebP container walk, oracle-backed: synthetic VP8L / VP8 /
+    // VP8X-animated containers whose headers are arithmetic on doc_id —
+    // the engine parses actual RIFF bytes (signature checks, 14-bit
+    // packed dims, 24-bit canvas, ANMF frame count) while DuckDB
+    // recomputes mime/dims/frames/length from the generator contract
+    "q_webp_decode" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.syntheticWebpFromDocs(docs(s, dir)))
+        .select(col("media_id"), col("n_bytes"),
+          col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.decode(Multimodal.fakeMediaFromDocs(docs(s, dir))))
@@ -2561,6 +2570,19 @@ object SparkEntry {
           CAST(n_chars % 65536 AS INTEGER) AS width,
           CAST(64 AS INTEGER) AS height,
           CAST(n_chars % 7 + 1 AS INTEGER) AS n_frames
+        FROM documents""",
+    // WebP: the generator contract (Multimodal.syntheticWebpFromDocs) in
+    // arithmetic — variant doc_id % 3 (VP8L 26 B / VP8 30 B / VP8X
+    // animated 30 + 8·frames B), dims doc_id % 300 + 1 × doc_id % 200 + 1
+    "q_webp_decode" ->
+      """SELECT doc_id AS media_id,
+          CAST(CASE doc_id % 3 WHEN 0 THEN 26 WHEN 1 THEN 30
+            ELSE 30 + 8 * (doc_id % 5 + 1) END AS INTEGER) AS n_bytes,
+          'image/webp' AS mime,
+          CAST(doc_id % 300 + 1 AS INTEGER) AS width,
+          CAST(doc_id % 200 + 1 AS INTEGER) AS height,
+          CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 + 1 ELSE 1 END
+            AS INTEGER) AS n_frames
         FROM documents""",
     "q_frame_sample" ->
       """WITH m AS (

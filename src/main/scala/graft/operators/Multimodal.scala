@@ -57,6 +57,10 @@ object Multimodal {
     *    height := channel count (the schema's spatial fields repurposed —
     *    documented mapping, audio has no pixels); n_frames := `data` size
     *    / block align (the real sample-frame count).
+    *  - WebP (`RIFF....WEBP`): VP8 lossy (start-code check + 14-bit LE
+    *    dims), VP8L lossless (0x2f signature + packed 14-bit dims), and
+    *    VP8X extended (24-bit LE canvas dims; animation flag → one ANMF
+    *    chunk per frame).
     *  - MP4/ISO-BMFF (`....ftyp`): box walk into moov/trak/mdia; `mvhd`
     *    timescale+duration (version 0 and 1 layouts), first video
     *    `tkhd`'s 16.16 fixed-point width/height; n_frames := whole
@@ -161,6 +165,41 @@ object Multimodal {
         }
         val frames = if (blockAlign > 0) (dataSize / blockAlign).toInt else 0
         ("audio/wav", rate, channels, math.max(frames, 1))
+      } else if (ascii(0, "RIFF") && ascii(8, "WEBP")) {
+        // WebP — the dominant crawl image format (RIFF container; published
+        // layouts: VP8 bitstream RFC 6386 §9.1, WebP container spec):
+        //   VP8  (lossy):    3-byte frame tag, 0x9d 0x01 0x2a start code,
+        //                    then 14-bit LE width and height
+        //   VP8L (lossless): 0x2f signature, then width-1 / height-1 as
+        //                    two 14-bit fields packed LE
+        //   VP8X (extended): 4 flag/reserved bytes, then 24-bit LE
+        //                    canvas width-1 / height-1; the animation
+        //                    flag (0x02) means one ANMF chunk per frame
+        def u24le(i: Int): Int =
+          if (i + 3 <= n) at(i) | (at(i + 1) << 8) | (at(i + 2) << 16) else 0
+        var w = 0; var h = 0; var frames = 0; var animated = false
+        var p = 12
+        var done = false
+        while (!done && p + 8 <= n) {
+          val size = u32le(p + 4)
+          if (ascii(p, "VP8 ") && w == 0) {
+            if (at(p + 11) == 0x9d && at(p + 12) == 0x01 && at(p + 13) == 0x2a) {
+              w = u16le(p + 14) & 0x3fff; h = u16le(p + 16) & 0x3fff
+            }
+          } else if (ascii(p, "VP8L") && w == 0) {
+            if (at(p + 8) == 0x2f) {
+              val b = u32le(p + 9)
+              w = (b & 0x3fff).toInt + 1; h = ((b >> 14) & 0x3fff).toInt + 1
+            }
+          } else if (ascii(p, "VP8X")) {
+            // canvas dims are authoritative; VP8X is the first chunk
+            animated = (at(p + 8) & 0x02) != 0
+            if (w == 0) { w = u24le(p + 12) + 1; h = u24le(p + 15) + 1 }
+          } else if (ascii(p, "ANMF")) frames += 1
+          if (size < 0 || size > Int.MaxValue) done = true
+          else p += 8 + size.toInt + (size.toInt & 1)
+        }
+        ("image/webp", w, h, if (animated) math.max(frames, 1) else 1)
       } else if (n >= 12 && u32be(0) >= 8 && ascii(4, "ftyp")) {
         // ISO-BMFF (MP4/MOV/3GP): [size:u32be][type:4cc][payload] box
         // sequence; size==1 → u64 largesize follows the type, size==0 →
@@ -533,6 +572,66 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
+        Row(r.get(idIdx), bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(out))
+  }
+
+  /** Synthetic WebP containers from the documents fixture — REAL
+    * RIFF/WEBP headers (the dominant crawl image format) whose every
+    * field is arithmetic on doc_id, so the DuckDB oracle recomputes the
+    * decode output without touching a byte while the engine walks the
+    * actual container ([[decodeBytes]]'s WebP branch). Three variants
+    * cycle by doc_id % 3:
+    *   0 → VP8L lossless: 0x2f signature + 14-bit-packed (w−1, h−1),
+    *       declared size 5 with the RIFF odd-size pad byte (26 bytes);
+    *   1 → VP8 lossy: 3-byte frame tag + 0x9d 0x01 0x2a start code +
+    *       14-bit LE dims (30 bytes);
+    *   2 → VP8X animated canvas (flag 0x02, 24-bit LE w−1/h−1) followed
+    *       by (doc_id % 5 + 1) empty ANMF chunks (30 + 8·frames bytes).
+    * Dims: w = doc_id % 300 + 1, h = doc_id % 200 + 1 (inside 14 bits).
+    */
+  def syntheticWebpFromDocs(docs: DataFrame): DataFrame = {
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val out = StructType(Seq(
+      StructField("media_id", docs.schema("doc_id").dataType),
+      StructField("bytes", BinaryType)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (id % 300 + 1).toInt; val h = (id % 200 + 1).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+        def u32le(v: Int): Unit = {
+          bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+          bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+        }
+        def u24le(v: Int): Unit = {
+          bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+          bos.write((v >> 16) & 0xff)
+        }
+        (id % 3) match {
+          case 0 => // VP8L
+            tag("RIFF"); u32le(18); tag("WEBP")
+            tag("VP8L"); u32le(5)
+            bos.write(0x2f)
+            u32le((w - 1) | ((h - 1) << 14))
+            bos.write(0) // RIFF odd-size pad
+          case 1 => // VP8 lossy
+            tag("RIFF"); u32le(22); tag("WEBP")
+            tag("VP8 "); u32le(10)
+            bos.write(0); bos.write(0); bos.write(0) // frame tag
+            bos.write(0x9d); bos.write(0x01); bos.write(0x2a)
+            bos.write(w & 0xff); bos.write((w >> 8) & 0xff)
+            bos.write(h & 0xff); bos.write((h >> 8) & 0xff)
+          case _ => // VP8X animated
+            val frames = (id % 5 + 1).toInt
+            tag("RIFF"); u32le(22 + 8 * frames); tag("WEBP")
+            tag("VP8X"); u32le(10)
+            bos.write(0x02); bos.write(0); bos.write(0); bos.write(0)
+            u24le(w - 1); u24le(h - 1)
+            (0 until frames).foreach { _ => tag("ANMF"); u32le(0) }
+        }
         Row(r.get(idIdx), bos.toByteArray)
       }
     }(RowEncoder.encoderFor(out))

@@ -191,13 +191,22 @@ object Packing {
     * of the data (strict total order via the unique id tiebreak), so
     * range-bound placement cannot leak into the plan — property-tested
     * under arbitrary input repartitioning.
+    *
+    * `checkpointDir` picks how the offsets-consistent result is pinned
+    * (the [[Dedup.components]] knob): None (default) `localCheckpoint`s —
+    * executor block storage, no lineage fallback, corpus-sized rows
+    * pinned, so on a real cluster one executor loss kills the job —
+    * while Some(dir) writes a RELIABLE checkpoint (HDFS/S3), the 100 TB
+    * posture. Identical result either way.
     */
   def shardPlan(
       docs: DataFrame, shardSize: Long,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
     val spark = docs.sparkSession
     import spark.implicits._
+    checkpointDir.foreach(d =>
+      Checkpoints.ensureCheckpointDir(spark.sparkContext, d))
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val keyed = docs.select(
         col(idCol).cast("long").as("doc_id"),
@@ -225,7 +234,8 @@ object Packing {
       // pin the offsets-consistent result: a downstream replan must not
       // recompute pass 2 against a re-ranged pass-1 (same contract as
       // tokenBudgetSelect)
-      planned.localCheckpoint(true)
+      if (checkpointDir.isDefined) planned.checkpoint()
+      else planned.localCheckpoint(true)
     } finally keyed.unpersist()
   }
 

@@ -246,19 +246,29 @@ object Selection {
     * with its exclusive offset, emitting until the budget is crossed
     * (partitions whose offset already exceeds the budget are skipped
     * without decoding a row). The sorted relation is persisted across
-    * the two passes and the RESULT is eagerly localCheckpoint'ed
-    * before unpersist — recomputing a range shuffle may re-sample
-    * boundaries, and the offsets are only valid for the partitioning
-    * pass 1 measured (the q_self_theta determinism lesson).
+    * the two passes and the RESULT is eagerly pinned before unpersist —
+    * recomputing a range shuffle may re-sample boundaries, and the
+    * offsets are only valid for the partitioning pass 1 measured (the
+    * q_self_theta determinism lesson).
+    *
+    * `checkpointDir` picks the pinning mechanism (the [[Dedup.components]]
+    * knob): None (default) uses `localCheckpoint` — executor block
+    * storage with NO lineage fallback, right locally, but on a real
+    * cluster one executor loss after the checkpoint kills the job —
+    * while Some(dir) writes a RELIABLE checkpoint (`setCheckpointDir` +
+    * `checkpoint()`, dir should be HDFS/S3), the 100 TB posture.
+    * Identical result either way.
     *
     * `tokenCol` must be non-negative (prefix monotonicity is what lets
     * a partition stop at the first over-budget row).
     */
   def tokenBudgetSelect(
       docs: DataFrame, scoreCol: String, tokenCol: String, budget: Long,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", checkpointDir: Option[String] = None): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val spark = docs.sparkSession
+    checkpointDir.foreach(d =>
+      graft.operators.Checkpoints.ensureCheckpointDir(spark.sparkContext, d))
     import spark.implicits._
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val keyed = docs.select(
@@ -285,7 +295,8 @@ object Selection {
         else it.map { case (id, s, t, _) => cum += t; (id, s, t, cum) }
           .takeWhile(_._4 <= budget) // cum is monotone (tokens >= 0)
       }.toDF("doc_id", "score", "n_tokens", "cum_tokens")
-      kept.localCheckpoint(true)
+      if (checkpointDir.isDefined) kept.checkpoint()
+      else kept.localCheckpoint(true)
     } finally keyed.unpersist()
   }
 

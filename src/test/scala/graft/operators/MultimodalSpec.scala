@@ -273,6 +273,40 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.length <= 99 + 6, s"got ${pairs.length} pairs")
   }
 
+  test("decodeBytes parses the three WebP container variants") {
+    import spark.implicits._
+    val docs = Seq(300L, 301L, 302L, 303L, 304L, 305L).toDF("doc_id")
+    val got = Multimodal.decode(Multimodal.syntheticWebpFromDocs(docs))
+      .select(col("media_id"), col("n_bytes"), col("meta.mime"),
+        col("meta.width"), col("meta.height"), col("meta.n_frames"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    (300L to 305L).foreach { id =>
+      val w = (id % 300 + 1).toInt; val h = (id % 200 + 1).toInt
+      val frames = if (id % 3 == 2) (id % 5 + 1).toInt else 1
+      val bytes = (id % 3) match {
+        case 0 => 26; case 1 => 30; case _ => 30 + 8 * frames
+      }
+      assert(got(id) == ((bytes, "image/webp", w, h, frames)), s"id=$id")
+    }
+    // truncation degrades to zero dims, and a VP8 chunk missing its
+    // start code is not trusted
+    val trunc = new java.io.ByteArrayOutputStream()
+    trunc.write("RIFF".getBytes("US-ASCII"))
+    trunc.write(Array[Byte](4, 0, 0, 0)); trunc.write("WEBP".getBytes("US-ASCII"))
+    val (_, _, (m1, w1, _, _)) = Multimodal.decodeBytes(trunc.toByteArray)
+    assert(m1 == "image/webp" && w1 == 0)
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write("RIFF".getBytes("US-ASCII")); bad.write(Array[Byte](22, 0, 0, 0))
+    bad.write("WEBPVP8 ".getBytes("US-ASCII")); bad.write(Array[Byte](10, 0, 0, 0))
+    bad.write(new Array[Byte](10)) // zeroed payload: no 9d 01 2a start code
+    val full = Multimodal.decodeBytes(bad.toByteArray)
+    assert(full._3._1 == "image/webp" && full._3._2 == 0,
+      "missing 9d 01 2a start code must not yield dims")
+  }
+
   test("decodeBytes degrades truncated real-format headers to zero dims") {
     val (_, _, (m1, w1, _, _)) = Multimodal.decodeBytes(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)) // sig only

@@ -56,4 +56,18 @@ object ShardPlanPropSpec extends Properties("Packing.shardPlan") {
         s" engine=$got\n ref=$want\n ids=$ids")
       ok
     }
+
+  property("reliable-checkpoint knob leaves the plan identical") = {
+    import spark.implicits._
+    val df = spark.createDataset((0L until 60L).toSeq).toDF("doc_id")
+      .repartition(4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sp-ckpt").toString
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val base = rows(Packing.shardPlan(df, 7L))
+    val rel = rows(Packing.shardPlan(df, 7L, checkpointDir = Some(dir)))
+    base == rel && base.size == 60
+  }
 }

@@ -63,4 +63,20 @@ object TokenBudgetPropSpec extends Properties("Selection.tokenBudgetSelect") {
         s" engine=$got\n ref=$want\n data=$data")
       ok
     }
+
+  property("reliable-checkpoint knob leaves the result identical") = {
+    import spark.implicits._
+    val data = (0L until 50L).map(i => (i, i % 7, i % 11))
+    val df = spark.createDataset(data).toDF("doc_id", "score", "n_tokens")
+      .repartition(5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tb-ckpt").toString
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val base = rows(Selection.tokenBudgetSelect(df, "score", "n_tokens", 120L))
+    val rel = rows(Selection.tokenBudgetSelect(df, "score", "n_tokens", 120L,
+      checkpointDir = Some(dir)))
+    base == rel && base.nonEmpty
+  }
 }
