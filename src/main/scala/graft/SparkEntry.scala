@@ -1471,6 +1471,15 @@ object SparkEntry {
     // integer cross-multiplications in one zero-shuffle projection
     "q_fineweb_rules" -> ((s, dir) =>
       TextAnalysis.fineWebRules(docs(s, dir))),
+    // HTML → text boilerplate extraction (jusText/trafilatura family):
+    // the engine parses REAL synthetic markup (script/style skip,
+    // comments, entities, nav/footer/latin plants each failing exactly
+    // one keep rule, an inline anchor for doc_id % 4 = 0) in one
+    // zero-shuffle codegen projection; the oracle re-derives every
+    // column from the generator contract without an HTML parser
+    "q_html_extract" -> ((s, dir) =>
+      TextAnalysis.htmlExtract(
+        TextAnalysis.syntheticHtmlFromDocs(docs(s, dir)))),
     // deterministic global shuffle → fixed-size training shards: the
     // tokenBudget two-pass prefix-sum discipline with weight 1 (one
     // range shuffle + a #partitions-sized driver exchange — never the
@@ -4745,6 +4754,64 @@ object SparkEntry {
             AND coalesce(NOT (n_newlines * 1000 > 300 * n_words), false)
             AS fineweb_keep
         FROM m""",
+    // HTML extraction: the oracle re-derives every column from the
+    // syntheticHtmlFromDocs generator contract — plant literals for the
+    // title/nav/latin/footer blocks (each dropped by exactly one rule),
+    // per-line keep arithmetic on the raw document text, inline-anchor
+    // link chars for doc_id % 4 = 0 — no HTML parser on the oracle side
+    "q_html_extract" ->
+      """WITH raw AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM raw),
+        l AS (
+          SELECT doc_id, u.i - 1 AS i, ls[u.i] AS lraw,
+            trim(ls[u.i], ' ' || chr(9) || chr(11) || chr(12) || chr(13)) AS t
+          FROM lx, unnest(generate_series(1, len(ls))) AS u(i)),
+        lc AS (
+          SELECT doc_id, i, t,
+            CAST(length(t) AS BIGINT) AS nc,
+            CASE WHEN doc_id % 4 = 0 AND i = 0 AND length(lraw) > 0
+                  AND substr(lraw, 1, 1) != ' '
+              THEN CAST(length(regexp_replace(string_split(lraw, ' ')[1],
+                '[\t\x0B\f\r]', '', 'g')) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS lk,
+            CAST(len(list_filter(regexp_split_to_array(t, '[ \t\n\x0B\f\r]+'),
+              x -> x != '')) AS BIGINT) AS words,
+            CAST(len(list_filter(regexp_split_to_array(t, '[ \t\n\x0B\f\r]+'),
+              x -> lower(x) IN ('the', 'and', 'of', 'to', 'in', 'is', 'you',
+                'that', 'it', 'was'))) AS BIGINT) AS stops
+          FROM l WHERE t != ''),
+        lk2 AS (
+          SELECT doc_id, i, t, nc, lk,
+            (nc >= 25 AND lk * 1000 <= 300 * nc
+              AND (stops * 1000 >= 100 * words OR nc >= 200)) AS keep
+          FROM lc),
+        agg AS (
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS nb,
+            CAST(sum(nc) AS BIGINT) AS line_chars,
+            CAST(sum(lk) AS BIGINT) AS line_link,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+            CAST(coalesce(sum(CASE WHEN keep THEN nc END), 0) AS BIGINT)
+              AS kept_chars,
+            coalesce(string_agg(CASE WHEN keep THEN t END, chr(10) ORDER BY i),
+              '') AS text_extracted
+          FROM lk2 GROUP BY 1)
+        SELECT r.doc_id,
+          coalesce(a.text_extracted, '') AS text_extracted,
+          CAST(4 + coalesce(a.nb, 0) AS INTEGER) AS n_blocks,
+          CAST(coalesce(a.nk, 0) AS INTEGER) AS n_kept,
+          CAST(length('d' || CAST(r.doc_id AS VARCHAR))
+            + length('home page link about the team pages contact and support desk')
+            + length('lorem ipsum dolor sit amet consectetur adipiscing elit vestibulum')
+            + length('&copy; 2031 example site')
+            + coalesce(a.line_chars, 0) AS BIGINT) AS chars_raw,
+          CAST(coalesce(a.kept_chars, 0) AS BIGINT) AS chars_kept,
+          CAST(length(replace('home page link', ' ', ''))
+            + length(replace('about the team pages', ' ', ''))
+            + length(replace('contact and support desk', ' ', ''))
+            + coalesce(a.line_link, 0) AS BIGINT) AS link_chars
+        FROM raw r LEFT JOIN agg a USING (doc_id)""",
     // shard plan: the oracle is the single-node window form of the
     // engine's distributed two-pass ordinal — identical strict total
     // order (md5 shuffle key, id tiebreak), identical shard arithmetic

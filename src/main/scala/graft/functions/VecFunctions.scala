@@ -389,7 +389,12 @@ object GraftFunctions {
     ("bpe_encode",
       (es: Seq[Expression]) => BpeEncode(es(0), parseMerges(litStr(es(1)))),
       "bpe_encode(word, 'a b>ab;th e>the;...') - BPE pieces under a " +
-        "rank-ordered merge table (replace-chain semantics, array speed)"))
+        "rank-ordered merge table (replace-chain semantics, array speed)"),
+    ("html_extract",
+      (es: Seq[Expression]) => HtmlExtract(es(0), litInt(es(1)),
+        litInt(es(2)), litInt(es(3)), litInt(es(4))),
+      "html_extract(html, minChars, maxLinkPm, minStopPm, longChars) - " +
+        "jusText-style boilerplate-stripping block extraction struct"))
 
   /** The merge table is a structural parameter (it defines the tokenizer,
     * like a hash seed) — a string literal `from>to;from>to;…` where each

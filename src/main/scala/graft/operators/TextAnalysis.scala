@@ -1704,4 +1704,79 @@ object TextAnalysis {
           AS n_bpe_tokens
       FROM ws"""
   }
+
+  /** HTML → text extraction ([[graft.functions.HtmlExtractImpl]] — the
+    * jusText/trafilatura block-scoring family): strip script/style/
+    * comments, segment into blocks at block-level tags, and keep blocks
+    * by length + link-density + stopword-density rules. The single
+    * highest-traffic operator of a crawl pipeline: every downstream text
+    * gate (gopherRules, c4Rules, fineWebRules, the dedup family)
+    * consumes its `text_extracted` column in production.
+    *
+    * Scale: ONE codegen projection — zero shuffles (plan-pinned); the
+    * scanner is row-local and single-pass over the HTML bytes.
+    */
+  def htmlExtract(docs: DataFrame, htmlCol: String = "html",
+      minChars: Int = 25, maxLinkPm: Int = 300, minStopPm: Int = 100,
+      longChars: Int = 200): DataFrame = {
+    require(minChars >= 0 && maxLinkPm >= 0 && minStopPm >= 0 && longChars >= 0,
+      "html_extract thresholds must be non-negative")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), expr(
+        s"html_extract($htmlCol, $minChars, $maxLinkPm, $minStopPm, $longChars)")
+        .as("__hx"))
+      .select(col("doc_id"),
+        col("__hx.text_extracted").as("text_extracted"),
+        col("__hx.n_blocks").as("n_blocks"),
+        col("__hx.n_kept").as("n_kept"),
+        col("__hx.chars_raw").as("chars_raw"),
+        col("__hx.chars_kept").as("chars_kept"),
+        col("__hx.link_chars").as("link_chars"))
+  }
+
+  /** Synthetic crawl HTML from the documents fixture — the q_pixel_stats
+    * pattern: the engine parses REAL markup while every expected output
+    * is arithmetic the DuckDB oracle re-derives from the document text
+    * without an HTML parser. Each page is:
+    *
+    *   title `d<doc_id>` (always dropped: length) · a `<script>` with a
+    *   raw `<` and a `<style>` (skipped content) · an HTML comment · a
+    *   NAV of three links (60 chars, 50 link chars → dropped by the LINK
+    *   rule specifically) · a stopword-free latin block (65 chars →
+    *   dropped by the STOPWORD rule specifically) · one `<p>` per text
+    *   line with `&`/`<`/`>` entity-escaped — and for doc_id % 4 = 0 the
+    *   first line's first space-token wrapped in an inline `<a>` (when
+    *   the line doesn't start with a space), pinning inline link-char
+    *   accounting — · a short `&copy;` footer (dropped by length,
+    *   pinning unrecognized-entity literal `&`).
+    *
+    * Every plant fails exactly one keep rule, so each rule is
+    * individually hash-gated; the document's own lines carry the
+    * data-dependent keeps.
+    */
+  def syntheticHtmlFromDocs(docs: DataFrame): DataFrame = {
+    def esc(x: String) =
+      s"replace(replace(replace($x, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    val tok = s"element_at(split(${esc("l")}, ' '), 1)"
+    docs.select(col("doc_id"), expr(
+      s"""concat(
+         |  '<html><head><title>d', CAST(doc_id AS STRING), '</title>',
+         |  '<script>var x = 1 < 2;</script><style>p { color: red; }</style>',
+         |  '</head><body><!-- chrome follows -->',
+         |  '<div class="nav"><a href="/">home page link</a> ',
+         |  '<a href="/about">about the team pages</a> ',
+         |  '<a href="/contact">contact and support desk</a></div>',
+         |  '<div>lorem ipsum dolor sit amet consectetur adipiscing elit vestibulum</div>',
+         |  array_join(transform(split(coalesce(text, ''), '\\n'), (l, i) ->
+         |    concat('<p>',
+         |      CASE WHEN doc_id % 4 = 0 AND i = 0 AND length(l) > 0
+         |                AND substring(l, 1, 1) != ' '
+         |        THEN concat('<a href="#">', $tok, '</a>',
+         |          substring(${esc("l")}, length($tok) + 1))
+         |        ELSE ${esc("l")} END,
+         |      '</p>')), ''),
+         |  '<div class="footer">&copy; 2031 example site</div></body></html>')"""
+        .stripMargin).as("html"))
+  }
 }

@@ -41,6 +41,10 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(TextAnalysis.gopherRules(docs)) == 0)
     assert(shuffles(TextAnalysis.c4Rules(docs)) == 0)
     assert(shuffles(TextAnalysis.fineWebRules(docs)) == 0)
+    // HTML boilerplate extraction: the crawl pipeline's highest-traffic
+    // operator is one codegen projection — the scan is the only cost
+    assert(shuffles(TextAnalysis.htmlExtract(
+      TextAnalysis.syntheticHtmlFromDocs(docs))) == 0)
     // WAV decode: mapPartitions (streamed byte parse) but scan-shaped —
     // audio bytes never cross an exchange
     assert(shuffles(Audio.wavStats(Audio.syntheticWavFromDocs(docs))) == 0)
