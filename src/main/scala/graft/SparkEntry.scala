@@ -564,6 +564,13 @@ object SparkEntry {
     // both expression chains generated from TextAnalysis.defaultBpeMerges
     "q_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(docs(s, dir))),
+    // real-scale table: 150 rules (75 corpus-trained + deterministic
+    // compounds to the DuckDB chain-parse ceiling) through the BpeEncode
+    // array-speed expression; the oracle runs the same table as 150
+    // generated nested replaces
+    "q_bpe_tokens_large" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(docs(s, dir),
+        TextAnalysis.largeBpeMerges)),
     // one BPE TRAINING step mid-table (4 merges learned): weighted
     // adjacent-pair counts over the word-frequency table, top-25
     // candidates — the argmax is the next merge rule
@@ -4177,6 +4184,11 @@ object SparkEntry {
     // BPE token counting: oracle chain generated from the SAME merge
     // table as the Spark expression (TextAnalysis.bpeOracleSql).
     "q_bpe_tokens" -> TextAnalysis.bpeOracleSql(),
+    // staged CTE layers: DuckDB's binder caps one nested chain at 128
+    // recursion depth, so the large-table oracle applies 50 rules per
+    // layer — identical semantics, any table size
+    "q_bpe_tokens_large" ->
+      TextAnalysis.bpeOracleSqlStaged(TextAnalysis.largeBpeMerges),
     // generated from the SAME 4-merge prefix as the Spark side
     "q_bpe_merges" ->
       TextAnalysis.bpeMergeOracleSql(

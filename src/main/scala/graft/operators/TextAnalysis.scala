@@ -1500,6 +1500,74 @@ object TextAnalysis {
     "o u" -> "ou", "e d" -> "ed", "i s" -> "is", "o r" -> "or",
     "s t" -> "st", "a t" -> "at", "e n" -> "en", "o f" -> "of")
 
+  /** Corpus-trained 150-rule merge table for the real-scale BPE gate
+    * (q_bpe_tokens_large). The first 75 rules are the exact (count DESC,
+    * pair ASC) argmax sequence of the replace-chain BPE training loop
+    * over the sf0.01 documents fixture (BpeTrain in test sources — each
+    * step computes what one `bpeMergeCandidates(docs, merges, topN = 1)`
+    * job returns; training EXHAUSTS this corpus' 31-word alphabetic
+    * vocabulary at 89 merges, so the table stops at 75 to keep words
+    * partially merged and the per-document counts non-trivial). The
+    * remaining 75 rules are deterministic compound rules in the
+    * BpeProfile shape (symbols drawn from frequency-ordered letters plus
+    * prior outputs, prime-stepped, duplicate-from suppressed): rules
+    * whose pair never occurs are exercised as O(1) skips by BpeEncode
+    * and as binder depth by the oracle's staged replace layers
+    * ([[bpeOracleSqlStaged]] — DuckDB's binder caps ONE nested chain at
+    * 128 recursion depth, so the large-table oracle applies 50 rules
+    * per CTE layer; identical semantics, any table size). The 10k-rule
+    * throughput-and-equivalence check lives in BpeEncodePropSpec
+    * (spec-only on the oracle side by cost, not parseability).
+    */
+  val largeBpeMerges: Seq[(String, String)] = {
+    val corpusTrained: Seq[(String, String)] = Seq(
+    "e r" -> "er", "i n" -> "in", "o w" -> "ow",
+    "o r" -> "or", "s t" -> "st", "m er" -> "mer",
+    "a t" -> "at", "l u" -> "lu", "a r" -> "ar",
+    "p ar" -> "par", "j o" -> "jo", "jo in" -> "join",
+    "a s" -> "as", "as h" -> "ash", "h ash" -> "hash",
+    "r ow" -> "row", "at c" -> "atc", "atc h" -> "atch",
+    "b atch" -> "batch", "a n" -> "an", "c an" -> "can",
+    "s can" -> "scan", "c o" -> "co", "c u" -> "cu",
+    "co lu" -> "colu", "colu m" -> "colum", "colum n" -> "column",
+    "cu st" -> "cust", "cust o" -> "custo", "custo mer" -> "customer",
+    "f i" -> "fi", "fi l" -> "fil", "fil t" -> "filt",
+    "filt er" -> "filter", "a l" -> "al", "al l" -> "all",
+    "m all" -> "mall", "s mall" -> "small", "g e" -> "ge",
+    "l ow" -> "low", "mer ge" -> "merge", "s low" -> "slow",
+    "c t" -> "ct", "ct or" -> "ctor", "d er" -> "der",
+    "e ctor" -> "ector", "or der" -> "order", "v ector" -> "vector",
+    "in e" -> "ine", "l ine" -> "line", "a b" -> "ab",
+    "ab l" -> "abl", "abl e" -> "able", "at a" -> "ata",
+    "d ata" -> "data", "t able" -> "table", "u p" -> "up",
+    "a g" -> "ag", "ag g" -> "agg", "a lu" -> "alu",
+    "alu e" -> "alue", "v alue" -> "value", "e y" -> "ey",
+    "k ey" -> "key", "a m" -> "am", "e am" -> "eam",
+    "r eam" -> "ream", "st ream" -> "stream", "d ow" -> "dow",
+    "in dow" -> "indow", "w indow" -> "window", "par k" -> "park",
+    "s park" -> "spark", "g r" -> "gr", "gr o" -> "gro")
+    val letters = "etaoinshrdlucmfwypvbgkjqxz".map(_.toString)
+    val rules = scala.collection.mutable.ArrayBuffer[(String, String)](
+      corpusTrained: _*)
+    val symbols = scala.collection.mutable.ArrayBuffer[String](
+      (letters ++ corpusTrained.map(_._2)): _*)
+    val seen = scala.collection.mutable.HashSet[String](
+      corpusTrained.map(_._1): _*)
+    var i = 0
+    while (rules.length < 150) {
+      val a = symbols((i * 7919) % symbols.length)
+      val b = symbols((i * 104729 + 13) % symbols.length)
+      val key = s"$a $b"
+      if (!seen(key) && (a + b).length <= 12) {
+        seen += key
+        rules += (key -> (a + b))
+        symbols += (a + b)
+      }
+      i += 1
+    }
+    rules.toSeq
+  }
+
   /** True token counting under a BPE tokenizer: each lowercase alphabetic
     * word is spelled into space-separated symbols, the merge table is
     * applied in rank order (each merge = one string replace of the
@@ -1683,6 +1751,46 @@ object TextAnalysis {
         FROM sym WHERE len(s) >= 2),
       pc AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM pr GROUP BY 1)
       SELECT pair, n FROM pc ORDER BY n DESC, pair ASC LIMIT $topN"""
+  }
+
+  /** [[bpeOracleSql]] STAGED for large tables: DuckDB's binder rejects
+    * expressions past 128 recursion depth, so one nested replace chain
+    * caps the oracle near 120 rules — far below a real tokenizer. This
+    * form unnests words to rows and applies the chain in `stageSize`-rule
+    * CTE layers (depth per layer < 128, layers unbounded), re-aggregating
+    * token counts per document — byte-identical semantics to the single
+    * chain, any table size. Used by q_bpe_tokens_large (150 rules).
+    */
+  def bpeOracleSqlStaged(
+      merges: Seq[(String, String)], stageSize: Int = 50): String = {
+    require(stageSize >= 1 && stageSize <= 100,
+      "stageSize must stay below the DuckDB binder depth")
+    val stages = merges.grouped(stageSize).toSeq
+    val ctes = stages.zipWithIndex.map { case (g, i) =>
+      val applied = g.foldLeft("s") {
+        case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+      }
+      s"s${i + 1} AS (SELECT doc_id, $applied AS s FROM s$i)"
+    }
+    val last = s"s${stages.length}"
+    s"""WITH ws AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), ' +'),
+            w -> regexp_full_match(w, '[a-z]+')) AS w
+        FROM documents),
+      wx AS (SELECT doc_id, unnest(w) AS w FROM ws),
+      s0 AS (
+        SELECT doc_id,
+          ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+        FROM wx),
+      ${ctes.mkString(",\n      ")},
+      cnt AS (
+        SELECT doc_id, CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+          AS nb
+        FROM $last GROUP BY 1)
+      SELECT ws.doc_id, CAST(len(ws.w) AS BIGINT) AS n_alpha_words,
+        CAST(coalesce(cnt.nb, 0) AS BIGINT) AS n_bpe_tokens
+      FROM ws LEFT JOIN cnt USING (doc_id)"""
   }
 
   /** DuckDB equivalent of [[bpeTokenCounts]], generated from the SAME

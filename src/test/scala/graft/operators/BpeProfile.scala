@@ -30,8 +30,8 @@ object BpeProfile {
     val seen = scala.collection.mutable.HashSet[String]()
     var i = 0
     while (rules.length < nMerges) {
-      val a = symbols((i * 7919) % symbols.length)
-      val b = symbols((i * 104729 + 13) % symbols.length)
+      val a = symbols(((i.toLong * 7919L) % symbols.length).toInt)
+      val b = symbols(((i.toLong * 104729L + 13L) % symbols.length).toInt)
       val key = s"$a $b"
       if (!seen(key) && (a + b).length <= 12) {
         seen += key
