@@ -1,0 +1,84 @@
+"""Generate the README/SCALE evidence-count block from the committed
+artifacts — never hand-edit the numbers (three rounds of stale counts).
+
+Usage:
+  python3 tools/gen_counts.py            # print the block
+  python3 tools/gen_counts.py --check    # verify README.md contains every number
+
+Sources of truth:
+  - test count:    target/test-count.txt (written by tools/run_tests.sh) or
+                   the "Total number of tests run" line of the last sbt test log
+  - driver gate:   the latest CORRECTNESS_r*.json (hash-green / total)
+  - scale gates:   CORRECTNESS_sf1.json / CORRECTNESS_sf3.json /
+                   CORRECTNESS_sf10_subset.json
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+
+def gate(path):
+    if not os.path.exists(path):
+        return None
+    d = json.load(open(path))
+    green = sum(1 for v in d.values() if v.get("hash_match"))
+    return green, len(d)
+
+
+def latest_driver_gate():
+    files = sorted(glob.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return None, None
+    d = json.load(open(files[-1]))
+    green = sum(1 for v in d.values() if v.get("hash_match"))
+    no_oracle = sum(1 for v in d.values()
+                    if v.get("err") and "no_oracle" in str(v.get("err")))
+    return files[-1], (green, len(d), no_oracle)
+
+
+def test_count():
+    for p in ["target/test-count.txt"]:
+        if os.path.exists(p):
+            return open(p).read().strip()
+    for p in ["/tmp/sbttest_r14.log"]:
+        if os.path.exists(p):
+            m = re.findall(r"Total number of tests run: (\d+)", open(p).read())
+            if m:
+                return m[-1]
+    return "UNKNOWN"
+
+
+def main():
+    lines = []
+    lines.append(f"tests: {test_count()}")
+    f, g = latest_driver_gate()
+    if g:
+        lines.append(f"driver gate ({f}): {g[0]} hash-green of {g[1]} rows"
+                     f" ({g[2]} no_oracle by design)")
+    for name, path in [("sf1", "CORRECTNESS_sf1.json"),
+                       ("sf3", "CORRECTNESS_sf3.json"),
+                       ("sf10 subset", "CORRECTNESS_sf10_subset.json")]:
+        r = gate(path)
+        if r:
+            lines.append(f"{name} gate ({path}): {r[0]}/{r[1]} hash-green")
+    block = "\n".join(lines)
+    if "--check" in sys.argv:
+        readme = open("README.md").read()
+        missing = []
+        for ln in lines:
+            nums = re.findall(r"(\d+/\d+|\b\d{3,4}\b)", ln)
+            for n in nums:
+                if n not in readme:
+                    missing.append((ln, n))
+        if missing:
+            print("STALE COUNTS — README.md lacks:", missing)
+            sys.exit(1)
+        print("README counts match the artifacts")
+    else:
+        print(block)
+
+
+if __name__ == "__main__":
+    main()
