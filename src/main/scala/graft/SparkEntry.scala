@@ -1436,6 +1436,14 @@ object SparkEntry {
       Multimodal.decode(Multimodal.syntheticWebpFromDocs(docs(s, dir)))
         .select(col("media_id"), col("n_bytes"),
           col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
+    // compressed-audio header metadata (r15): REAL FLAC STREAMINFO /
+    // MP3 frame-header (+ID3v2 syncsafe skip) / OGG-Vorbis page walks
+    // over doc_id-arithmetic containers — the majority of crawl audio,
+    // same row-local zero-shuffle posture as q_webp_decode
+    "q_audio_formats" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.syntheticAudioFormatsFromDocs(docs(s, dir)))
+        .select(col("media_id"), col("n_bytes"),
+          col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.decode(Multimodal.fakeMediaFromDocs(docs(s, dir))))
@@ -1487,6 +1495,16 @@ object SparkEntry {
     "q_html_extract" -> ((s, dir) =>
       TextAnalysis.htmlExtract(
         TextAnalysis.syntheticHtmlFromDocs(docs(s, dir)))),
+    // profile-dispatched HTML extraction: lang cycles the 10 stopword
+    // profiles by doc_id arithmetic; the kept block is the assigned
+    // language's own stopword sentence and the cross-language plant
+    // fails exactly the stopword rule (disjointness spec-pinned), so a
+    // broken dispatch flips the hash in both directions; the fixture
+    // also plants the r15 scanner rules (quoted '>' in an href, a
+    // decoy </scripts> close, a self-closing anchor)
+    "q_html_extract_multi" -> ((s, dir) =>
+      TextAnalysis.htmlExtractLang(
+        TextAnalysis.syntheticHtmlMultiFromDocs(docs(s, dir)))),
     // deterministic global shuffle → fixed-size training shards: the
     // tokenBudget two-pass prefix-sum discipline with weight 1 (one
     // range shuffle + a #partitions-sized driver exchange — never the
@@ -2188,19 +2206,11 @@ object SparkEntry {
             / CAST(len(list_filter(string_split_regex(lower(text), ' +'), t -> t != '')) AS DOUBLE) AS avg_token_len
         FROM documents""",
     "q_lang_id" ->
-      """SELECT doc_id,
-          CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-               WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
-               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-               WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' END AS lang_pred
+      s"""SELECT doc_id,
+          ${TextAnalysis.langPredCaseDuck} AS lang_pred
         FROM (
           SELECT doc_id, text,
-            len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','you','that','it','was'))) AS s_en,
-            len(list_filter(tk, t -> t IN ('der','die','und','das','nicht','ich','ist','du','sich','wir'))) AS s_de,
-            len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','un','une','du','je'))) AS s_fr,
-            len(list_filter(tk, t -> t IN ('el','los','de','que','y','en','un','ser','se','no'))) AS s_es
+            ${TextAnalysis.langScoresDuck}
           FROM (SELECT doc_id, text,
                   list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
                 FROM documents))""",
@@ -2210,15 +2220,13 @@ object SparkEntry {
           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens
         FROM documents""",
     "q_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
           round(
             least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4 +
             (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
                / CAST(length(text) AS DOUBLE)) * 0.4 +
             least(CAST(len(list_filter(tk, t -> t IN
-                ('the','and','of','to','in','is','you','that','it','was','der','die','und','das',
-                 'nicht','ich','ist','du','sich','wir','le','la','et','les','des','est','un','une',
-                 'du','je','el','los','de','que','y','en','ser','se','no'))) AS DOUBLE)
+                (${TextAnalysis.allStopDuck}))) AS DOUBLE)
                / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.2
           , 6) AS quality
         FROM (SELECT doc_id, text,
@@ -2600,6 +2608,34 @@ object SparkEntry {
           CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 + 1 ELSE 1 END
             AS INTEGER) AS n_frames
         FROM documents""",
+    // compressed audio: the generator contract
+    // (Multimodal.syntheticAudioFormatsFromDocs) in arithmetic — variant
+    // doc_id % 3 (FLAC 42 B / MP3 kbps·125·seconds (+20 ID3 when
+    // doc_id % 6 = 4) / OGG 87 B), fields driven by k = doc_id // 3
+    "q_audio_formats" ->
+      """WITH base AS (
+          SELECT doc_id, doc_id % 3 AS v, doc_id // 3 AS k FROM documents),
+        m AS (
+          SELECT doc_id, v, k,
+            list_value(8000, 16000, 22050, 24000, 32000, 44100, 48000)[CAST(k % 7 AS INT) + 1] AS arate,
+            list_value(32, 40, 48, 56, 64)[CAST(k % 5 AS INT) + 1] AS kbps,
+            CAST(k % 2 + 1 AS INTEGER) AS seconds,
+            list_value(44100, 48000, 32000)[CAST(k % 3 AS INT) + 1] AS mrate
+          FROM base)
+        SELECT doc_id AS media_id,
+          CAST(CASE v WHEN 0 THEN 42
+            WHEN 1 THEN kbps * 125 * seconds
+              + CASE WHEN doc_id % 6 = 4 THEN 20 ELSE 0 END
+            ELSE 87 END AS INTEGER) AS n_bytes,
+          CASE v WHEN 0 THEN 'audio/flac' WHEN 1 THEN 'audio/mpeg'
+            ELSE 'audio/ogg' END AS mime,
+          CAST(CASE v WHEN 1 THEN mrate ELSE arate END AS INTEGER) AS width,
+          CAST(CASE v WHEN 1 THEN (CASE WHEN k % 2 = 1 THEN 1 ELSE 2 END)
+            ELSE k % 2 + 1 END AS INTEGER) AS height,
+          CAST(CASE v WHEN 0 THEN doc_id % 90000 + 1000
+            WHEN 1 THEN seconds
+            ELSE doc_id % 50000 + 500 END AS INTEGER) AS n_frames
+        FROM m""",
     "q_frame_sample" ->
       """WITH m AS (
           SELECT doc_id AS media_id, CAST(n_chars % 7 + 1 AS INTEGER) AS n_frames
@@ -2717,7 +2753,7 @@ object SparkEntry {
             AS text_deduped
         FROM m GROUP BY 1""",
     "q_clean_corpus" ->
-      """WITH tk AS (
+      s"""WITH tk AS (
           SELECT doc_id, text,
             list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
           FROM documents),
@@ -2725,7 +2761,7 @@ object SparkEntry {
           SELECT doc_id,
             min(doc_id) OVER (PARTITION BY h) AS canonical_id,
             count(*) OVER (PARTITION BY h) AS dup_count
-          FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS h
+          FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))) AS h
                 FROM documents)),
         qual AS (
           SELECT doc_id,
@@ -2734,26 +2770,16 @@ object SparkEntry {
               (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
                  / CAST(length(text) AS DOUBLE)) * 0.4 +
               least(CAST(len(list_filter(tk, t -> t IN
-                  ('the','and','of','to','in','is','you','that','it','was','der','die','und','das',
-                   'nicht','ich','ist','du','sich','wir','le','la','et','les','des','est','un','une',
-                   'du','je','el','los','de','que','y','en','ser','se','no'))) AS DOUBLE)
+                  (${TextAnalysis.allStopDuck}))) AS DOUBLE)
                  / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.2
             , 6) AS quality
           FROM tk),
         lang AS (
           SELECT doc_id,
-            CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
-                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' END AS lang_pred
+            ${TextAnalysis.langPredCaseDuck} AS lang_pred
           FROM (
             SELECT doc_id, text,
-              len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','you','that','it','was'))) AS s_en,
-              len(list_filter(tk, t -> t IN ('der','die','und','das','nicht','ich','ist','du','sich','wir'))) AS s_de,
-              len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','un','une','du','je'))) AS s_fr,
-              len(list_filter(tk, t -> t IN ('el','los','de','que','y','en','un','ser','se','no'))) AS s_es
+              ${TextAnalysis.langScoresDuck}
             FROM tk)),
         st AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens FROM tk)
         SELECT d.doc_id, lang.lang_pred, qual.quality, st.n_tokens, d.dup_count
@@ -2764,12 +2790,12 @@ object SparkEntry {
         WHERE d.doc_id = d.canonical_id
           AND qual.quality >= 0.3
           AND st.n_tokens >= 8
-          AND lang.lang_pred IN ('en','de','fr','es','zh')""",
+          AND lang.lang_pred IN (${TextAnalysis.keepLangsDuck})""",
     // Near-dup-aware cleaning: WITH RECURSIVE closure over the exact pair
     // relation (== the MinHash pair relation, proven by q_minhash_pairs)
     // for component canonicals, plus the q_clean_corpus floors.
     "q_clean_neardup" ->
-      """WITH RECURSIVE toks AS (
+      s"""WITH RECURSIVE toks AS (
           SELECT doc_id, text,
             list_filter(string_split_regex(lower(text), ' +'), t -> t != '') AS tk
           FROM documents),
@@ -2808,26 +2834,16 @@ object SparkEntry {
               (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
                  / CAST(length(text) AS DOUBLE)) * 0.4 +
               least(CAST(len(list_filter(tk, t -> t IN
-                  ('the','and','of','to','in','is','you','that','it','was','der','die','und','das',
-                   'nicht','ich','ist','du','sich','wir','le','la','et','les','des','est','un','une',
-                   'du','je','el','los','de','que','y','en','ser','se','no'))) AS DOUBLE)
+                  (${TextAnalysis.allStopDuck}))) AS DOUBLE)
                  / CAST(len(tk) AS DOUBLE) * 5.0, 1.0) * 0.2
             , 6) AS quality
           FROM toks),
         lang AS (
           SELECT doc_id,
-            CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-                 WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
-                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es' END AS lang_pred
+            ${TextAnalysis.langPredCaseDuck} AS lang_pred
           FROM (
             SELECT doc_id, text,
-              len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','you','that','it','was'))) AS s_en,
-              len(list_filter(tk, t -> t IN ('der','die','und','das','nicht','ich','ist','du','sich','wir'))) AS s_de,
-              len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','un','une','du','je'))) AS s_fr,
-              len(list_filter(tk, t -> t IN ('el','los','de','que','y','en','un','ser','se','no'))) AS s_es
+              ${TextAnalysis.langScoresDuck}
             FROM toks)),
         st AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens FROM toks)
         SELECT c.doc_id, lang.lang_pred, qual.quality, st.n_tokens
@@ -2838,7 +2854,7 @@ object SparkEntry {
         WHERE c.doc_id = c.component_id
           AND qual.quality >= 0.3
           AND st.n_tokens >= 8
-          AND lang.lang_pred IN ('en','de','fr','es','zh')""",
+          AND lang.lang_pred IN (${TextAnalysis.keepLangsDuck})""",
     // Curation chain: the gate mirrors are q_gopher_rules (minWords=10)
     // and q_c4_rules reduced to their keep booleans over the SAME planted
     // page; exact dedup is the q_exact_dedup md5 canonical as a window
@@ -4824,6 +4840,10 @@ object SparkEntry {
             + length(replace('contact and support desk', ' ', ''))
             + coalesce(a.line_link, 0) AS BIGINT) AS link_chars
         FROM raw r LEFT JOIN agg a USING (doc_id)""",
+    // profile-dispatched HTML extraction: generated from the SAME
+    // StopwordProfiles table as the engine kernel (plant literals +
+    // per-line stop counts dispatched by the same doc_id%10 CASE)
+    "q_html_extract_multi" -> TextAnalysis.htmlMultiOracleSql,
     // shard plan: the oracle is the single-node window form of the
     // engine's distributed two-pass ordinal — identical strict total
     // order (md5 shuffle key, id tiebreak), identical shard arithmetic

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,23 +21,33 @@ import org.apache.spark.unsafe.types.UTF8String
   * NON-WHITESPACE characters rendered inside <a> elements (navigation
   * chrome is link-saturated), words split on the pinned explicit
   * whitespace class (TextAnalysis.wsClass semantics, incl. U+000B), and
-  * n_stop counts lowercase membership in the standard English
-  * high-frequency function-word list (TextAnalysis.profiles "en") —
-  * content prose carries stopwords, keyword chrome does not; the
-  * longChars escape keeps long non-English/technical blocks.
+  * n_stop counts lowercase membership in a per-language high-frequency
+  * function-word list ([[StopwordProfiles]] — "en" for the unary
+  * `html_extract`; dispatched on a lang column for `html_extract_lang`,
+  * unknown languages falling back to "en") — content prose carries
+  * stopwords, keyword chrome does not; the longChars escape keeps long
+  * technical / unprofiled-language blocks.
   *
   * Deterministic scanner contract (what the DuckDB oracle mirrors via
   * the fixture-generator arithmetic, and HtmlExtractPropSpec re-derives
   * with an independent regex-based reference):
   *  - `<!-- ... -->` skipped; an unterminated comment runs to EOF;
   *  - `<script ...>` / `<style ...>` raw content skipped to the matching
-  *    case-insensitive close tag (to EOF when unclosed);
-  *  - a tag is `<` to the next `>`; an unterminated tag is junk to EOF;
-  *    the tag NAME is the leading letter/digit run after an optional `/`;
+  *    case-insensitive close tag (to EOF when unclosed); the close-tag
+  *    NAME must end at a non-letter/digit (`</scripts>` does NOT close a
+  *    `<script>` — r15, was a prefix match);
+  *  - a tag is `<` to the next `>` OUTSIDE single/double-quoted
+  *    attribute values (r15 — `<a href="x>y">` is ONE tag; a quote left
+  *    open makes the tag unterminated); an unterminated tag is junk to
+  *    EOF; the tag NAME is the leading letter/digit run after an
+  *    optional `/`;
   *  - block boundaries: p div h1-h6 li ul ol br table tr td th section
   *    article header footer nav blockquote pre title body html head
   *    form hr — open OR close flushes the current text buffer;
-  *  - `<a>` nesting is tracked by depth (a close below zero clamps);
+  *  - `<a>` nesting is tracked by depth (a close below zero clamps); a
+  *    tag whose body ends with `/` outside quotes is SELF-CLOSING and
+  *    leaves anchor depth unchanged (r15 — XHTML `<a ... />` no longer
+  *    leaks link saturation over the rest of the document);
   *  - entities: &amp; &lt; &gt; &quot; &apos; &#39; &nbsp; (nbsp → one
   *    space); an unrecognized `&` is a literal ampersand;
   *  - blocks are trimmed of the explicit 6-char whitespace set;
@@ -61,16 +71,23 @@ object HtmlExtractImpl {
     StructField("chars_kept", LongType, nullable = false),
     StructField("link_chars", LongType, nullable = false)))
 
-  /** The "en" profile of TextAnalysis.profiles (duplicated literally to
-    * keep this file free of an operators-package dependency;
-    * HtmlExtractPropSpec pins the two lists equal).
+  /** lang → profile word set, built from the ONE canonical table
+    * ([[StopwordProfiles]] — TextAnalysis.profiles is the same object).
     */
-  val stopwords: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "was")
-      .foreach(s.add)
-    s
+  val profileSets: java.util.HashMap[String, java.util.HashSet[String]] = {
+    val m = new java.util.HashMap[String, java.util.HashSet[String]]()
+    StopwordProfiles.table.foreach { case (lang, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      m.put(lang, s)
+    }
+    m
   }
+
+  /** The "en" profile — the unary `html_extract` stopword list and the
+    * unknown-language fallback of `html_extract_lang`.
+    */
+  val stopwords: java.util.HashSet[String] = profileSets.get("en")
 
   private val blockTags: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
@@ -85,18 +102,64 @@ object HtmlExtractImpl {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
       c == '\r'
 
-  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+  /** First occurrence of `</name` at/after `from` where the character
+    * after the name is NOT a letter/digit (or the string ends) — the
+    * r15 boundary rule: `</scripts>` must not close a `<script>`.
+    */
+  private def closeTagIndex(s: String, name: String, from: Int): Int = {
+    val target = "</" + name
     var i = math.max(from, 0)
     val max = s.length - target.length
     while (i <= max) {
-      if (s.regionMatches(true, i, target, 0, target.length)) return i
+      if (s.regionMatches(true, i, target, 0, target.length)) {
+        val after = i + target.length
+        if (after >= s.length || !Character.isLetterOrDigit(s.charAt(after)))
+          return i
+      }
       i += 1
     }
     -1
   }
 
+  /** Index of the tag-closing `>` at/after `from`, skipping `>` inside
+    * single/double-quoted attribute values; −1 when the tag (or an open
+    * quote) runs to EOF.
+    */
+  private def tagEnd(s: String, from: Int): Int = {
+    var j = from
+    var quote: Char = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (quote == 0) {
+        if (c == '>') return j
+        if (c == '"' || c == '\'') quote = c
+      } else if (c == quote) quote = 0
+      j += 1
+    }
+    -1
+  }
+
   def extract(html: UTF8String, minChars: Int, maxLinkPm: Int,
-      minStopPm: Int, longChars: Int): InternalRow = {
+      minStopPm: Int, longChars: Int): InternalRow =
+    extractWith(html, stopwords, minChars, maxLinkPm, minStopPm, longChars)
+
+  /** Profile-dispatched variant: a null/unprofiled lang falls back to
+    * "en" (the fallback is part of the pinned contract — a crawl's lang
+    * column routinely carries 'unknown').
+    */
+  def extractLang(html: UTF8String, lang: UTF8String, minChars: Int,
+      maxLinkPm: Int, minStopPm: Int, longChars: Int): InternalRow = {
+    val set =
+      if (lang == null) stopwords
+      else {
+        val p = profileSets.get(lang.toString)
+        if (p == null) stopwords else p
+      }
+    extractWith(html, set, minChars, maxLinkPm, minStopPm, longChars)
+  }
+
+  def extractWith(html: UTF8String, stops: java.util.HashSet[String],
+      minChars: Int, maxLinkPm: Int, minStopPm: Int, longChars: Int): InternalRow = {
     val s = html.toString
     val n = s.length
     val kept = new java.lang.StringBuilder()
@@ -113,22 +176,22 @@ object HtmlExtractImpl {
       if (en > st) {
         val text = buf.substring(st, en)
         val nChars = text.length.toLong
-        var words = 0L; var stops = 0L
+        var words = 0L; var nStop = 0L
         var i = 0
         while (i < text.length) {
           if (!isWs(text.charAt(i))) {
             var j = i
             while (j < text.length && !isWs(text.charAt(j))) j += 1
             words += 1
-            if (stopwords.contains(
-              text.substring(i, j).toLowerCase(java.util.Locale.ROOT))) stops += 1
+            if (stops.contains(
+              text.substring(i, j).toLowerCase(java.util.Locale.ROOT))) nStop += 1
             i = j
           } else i += 1
         }
         nBlocks += 1; charsRaw += nChars; linkTotal += bufLink
         val keep = nChars >= minChars &&
           bufLink * 1000L <= maxLinkPm.toLong * nChars &&
-          (stops * 1000L >= minStopPm.toLong * words || nChars >= longChars)
+          (nStop * 1000L >= minStopPm.toLong * words || nChars >= longChars)
         if (keep) {
           if (kept.length > 0) kept.append('\n')
           kept.append(text)
@@ -151,18 +214,20 @@ object HtmlExtractImpl {
           val e = s.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else {
-          val gt = s.indexOf('>', i + 1)
-          if (gt < 0) i = n // unterminated tag: junk to EOF
+          val gt = tagEnd(s, i + 1)
+          if (gt < 0) i = n // unterminated tag (or open quote): junk to EOF
           else {
             val body = s.substring(i + 1, gt)
             val closing = body.startsWith("/")
+            val selfClosing = !closing && body.nonEmpty &&
+              body.charAt(body.length - 1) == '/'
             val st = if (closing) 1 else 0
             var k = st
             while (k < body.length && Character.isLetterOrDigit(body.charAt(k))) k += 1
             val name = body.substring(st, k).toLowerCase(java.util.Locale.ROOT)
             i = gt + 1
-            if (!closing && (name == "script" || name == "style")) {
-              val e = indexOfIgnoreCase(s, "</" + name, i)
+            if (!closing && !selfClosing && (name == "script" || name == "style")) {
+              val e = closeTagIndex(s, name, i)
               if (e < 0) i = n
               else {
                 val g2 = s.indexOf('>', e)
@@ -171,7 +236,8 @@ object HtmlExtractImpl {
             }
             if (blockTags.contains(name)) flush()
             if (name == "a") {
-              if (closing) aDepth = math.max(0, aDepth - 1) else aDepth += 1
+              if (closing) aDepth = math.max(0, aDepth - 1)
+              else if (!selfClosing) aDepth += 1
             }
           }
         }
@@ -224,4 +290,39 @@ case class HtmlExtract(child: Expression, minChars: Int, maxLinkPm: Int,
 
   override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
     copy(child = newChild)
+}
+
+/** `html_extract_lang(html, lang, minChars, maxLinkPm, minStopPm,
+  * longChars)` — [[HtmlExtract]] with the stopword rule dispatched on a
+  * per-row language column ([[StopwordProfiles]]; unprofiled/null lang
+  * values fall back to the "en" list). A real crawl is majority
+  * non-English — the stopword-density keep rule only works when the
+  * function words it counts are the document's own.
+  */
+case class HtmlExtractLang(left: Expression, right: Expression,
+    minChars: Int, maxLinkPm: Int, minStopPm: Int, longChars: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"html_extract_lang expects (STRING html, STRING lang), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = HtmlExtractImpl.schema
+  override def prettyName: String = "html_extract_lang"
+
+  override def nullSafeEval(html: Any, lang: Any): Any =
+    HtmlExtractImpl.extractLang(html.asInstanceOf[UTF8String],
+      lang.asInstanceOf[UTF8String], minChars, maxLinkPm, minStopPm, longChars)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, l) =>
+      s"${ev.value} = graft.functions.HtmlExtractImpl$$.MODULE$$.extractLang(" +
+        s"$h, $l, $minChars, $maxLinkPm, $minStopPm, $longChars);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HtmlExtractLang =
+    copy(left = newLeft, right = newRight)
 }

@@ -394,7 +394,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => HtmlExtract(es(0), litInt(es(1)),
         litInt(es(2)), litInt(es(3)), litInt(es(4))),
       "html_extract(html, minChars, maxLinkPm, minStopPm, longChars) - " +
-        "jusText-style boilerplate-stripping block extraction struct"))
+        "jusText-style boilerplate-stripping block extraction struct"),
+    ("html_extract_lang",
+      (es: Seq[Expression]) => HtmlExtractLang(es(0), es(1), litInt(es(2)),
+        litInt(es(3)), litInt(es(4)), litInt(es(5))),
+      "html_extract_lang(html, lang, minChars, maxLinkPm, minStopPm, " +
+        "longChars) - html_extract with the stopword keep rule dispatched " +
+        "on a per-row language column (StopwordProfiles; fallback 'en')"))
 
   /** The merge table is a structural parameter (it defines the tokenizer,
     * like a hash seed) — a string literal `from>to;from>to;…` where each

@@ -25,7 +25,7 @@ object CorpusPipeline {
   def clean(
       docs: DataFrame, textCol: String = "text",
       minQuality: Double = 0.3, minTokens: Int = 8,
-      keepLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+      keepLangs: Seq[String] = TextAnalysis.defaultKeepLangs,
       headMinDupes: Long = 100000L): DataFrame = {
     val featured = TextAnalysis.withLangPred(docs, textCol)
       .withColumn("quality", TextAnalysis.qualityExpr(textCol))
@@ -54,7 +54,7 @@ object CorpusPipeline {
   def cleanNearDup(
       docs: DataFrame, textCol: String = "text",
       minQuality: Double = 0.3, minTokens: Int = 8,
-      keepLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh"),
+      keepLangs: Seq[String] = TextAnalysis.defaultKeepLangs,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val comps = Dedup.components(
       docs.select(col("doc_id").as("id")),

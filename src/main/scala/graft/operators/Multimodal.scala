@@ -66,6 +66,16 @@ object Multimodal {
     *    `tkhd`'s 16.16 fixed-point width/height; n_frames := whole
     *    seconds of duration (documented mapping — true frame counts
     *    live in the `stts` sample table).
+    *  - FLAC (`fLaC`): STREAMINFO metadata block — 20-bit rate, 3-bit
+    *    channels−1, 36-bit total samples; width := rate, height :=
+    *    channels, n_frames := total samples (exact).
+    *  - OGG (`OggS`): Vorbis identification header (0x01`vorbis`) in the
+    *    first page for rate/channels; n_frames := the LAST page's
+    *    granule position (total PCM samples per RFC 3533).
+    *  - MP3 (`ID3` tag or `FF Ex` frame sync): ID3v2 syncsafe skip +
+    *    bounded sync scan, then version/layer/bitrate/samplerate from
+    *    the published header tables; width := rate, height := channels,
+    *    n_frames := whole seconds of CBR audio (documented estimate).
     *  - `F!`: the deterministic test-fixture header of
     *    [[fakeMediaFromDocs]] (w, h, frames as 16-bit LE at offsets 2/4/6).
     *  - anything else: `application/octet-stream`, zero dims, 1 frame.
@@ -183,23 +193,90 @@ object Multimodal {
         while (!done && p + 8 <= n) {
           val size = u32le(p + 4)
           if (ascii(p, "VP8 ") && w == 0) {
-            if (at(p + 11) == 0x9d && at(p + 12) == 0x01 && at(p + 13) == 0x2a) {
+            // dim fields must be fully present: a truncated payload would
+            // decode 0-extended garbage instead of the documented 0-dims
+            if (p + 18 <= n &&
+                at(p + 11) == 0x9d && at(p + 12) == 0x01 && at(p + 13) == 0x2a) {
               w = u16le(p + 14) & 0x3fff; h = u16le(p + 16) & 0x3fff
             }
           } else if (ascii(p, "VP8L") && w == 0) {
-            if (at(p + 8) == 0x2f) {
+            // same bounds rule: the 4-byte packed dim field must be whole,
+            // or the +1 bias would turn a truncated read into 1×1
+            if (p + 13 <= n && at(p + 8) == 0x2f) {
               val b = u32le(p + 9)
               w = (b & 0x3fff).toInt + 1; h = ((b >> 14) & 0x3fff).toInt + 1
             }
           } else if (ascii(p, "VP8X")) {
-            // canvas dims are authoritative; VP8X is the first chunk
+            // canvas dims are AUTHORITATIVE: a well-formed file leads with
+            // VP8X, and on a malformed one (frame chunk first) the canvas
+            // still overwrites the frame dims — matching the container
+            // spec's precedence, not first-writer-wins
             animated = (at(p + 8) & 0x02) != 0
-            if (w == 0) { w = u24le(p + 12) + 1; h = u24le(p + 15) + 1 }
+            if (p + 18 <= n) { w = u24le(p + 12) + 1; h = u24le(p + 15) + 1 }
           } else if (ascii(p, "ANMF")) frames += 1
           if (size < 0 || size > Int.MaxValue) done = true
           else p += 8 + size.toInt + (size.toInt & 1)
         }
         ("image/webp", w, h, if (animated) math.max(frames, 1) else 1)
+      } else if (ascii(0, "fLaC")) {
+        // FLAC (published layout, xiph.org format spec): metadata blocks
+        // [last(1)|type(7)][u24be length][payload]; STREAMINFO (type 0,
+        // 34 B) carries rate (20 bits), channels-1 (3), bps-1 (5), total
+        // samples (36) bit-packed from byte offset 10. Same spatial-field
+        // repurposing as WAV: width := rate, height := channels,
+        // n_frames := total samples (EXACT for FLAC, unlike the MP3
+        // duration estimate).
+        var rate = 0; var channels = 0; var samples = 0L
+        var p = 4
+        var done = false
+        while (!done && p + 4 <= n) {
+          val head = at(p)
+          val len = (at(p + 1) << 16) | (at(p + 2) << 8) | at(p + 3)
+          if ((head & 0x7f) == 0 && len >= 34 && p + 4 + 18 <= n) {
+            val b = p + 4
+            rate = (at(b + 10) << 12) | (at(b + 11) << 4) | (at(b + 12) >> 4)
+            channels = ((at(b + 12) >> 1) & 0x7) + 1
+            samples = ((at(b + 13) & 0x0f).toLong << 32) |
+              (at(b + 14).toLong << 24) | (at(b + 15) << 16) |
+              (at(b + 16) << 8) | at(b + 17)
+          }
+          if ((head & 0x80) != 0 || head < 0 || len < 0) done = true
+          else p += 4 + len
+        }
+        ("audio/flac", rate, channels, math.max(samples.toInt, 1))
+      } else if (ascii(0, "OggS")) {
+        // OGG (published layout, RFC 3533): pages are
+        // [OggS][ver][type][granule u64le][serial u32le][seq u32le]
+        // [crc u32le][nsegs][segtable][payload]; the first packet of a
+        // Vorbis stream is the identification header 0x01"vorbis" with
+        // channels (u8) and rate (u32le); the LAST page's granule is the
+        // total PCM sample count. width := rate, height := channels,
+        // n_frames := final granule.
+        var rate = 0; var channels = 0; var granule = 0L
+        var p = 0
+        var first = true
+        var done = false
+        while (!done && ascii(p, "OggS") && p + 27 <= n) {
+          val nsegs = at(p + 26)
+          if (nsegs < 0) done = true
+          else {
+            var payload = 0
+            var k = 0
+            while (k < nsegs) { payload += math.max(at(p + 27 + k), 0); k += 1 }
+            val body = p + 27 + nsegs
+            // page granule (u64le) — track the last page's value
+            val g = u32le(p + 6) | (u32le(p + 10) << 32)
+            if (g >= 0) granule = g
+            if (first && at(body) == 0x01 && ascii(body + 1, "vorbis") &&
+                body + 16 <= n) {
+              channels = at(body + 11)
+              rate = u32le(body + 12).toInt
+            }
+            first = false
+            p = body + payload
+          }
+        }
+        ("audio/ogg", rate, channels, math.max(granule.toInt, 1))
       } else if (n >= 12 && u32be(0) >= 8 && ascii(4, "ftyp")) {
         // ISO-BMFF (MP4/MOV/3GP): [size:u32be][type:4cc][payload] box
         // sequence; size==1 → u64 largesize follows the type, size==0 →
@@ -249,6 +326,59 @@ object Multimodal {
         // a real frame count needs the stts sample table; same spirit as
         // WAV's rate/channels repurposing of the spatial fields)
         ("video/mp4", w, h, math.max(durSec.toInt, 1))
+      } else if (ascii(0, "ID3") ||
+          (n >= 4 && at(0) == 0xff && (at(1) & 0xe0) == 0xe0)) {
+        // MP3 (published layout, ISO/IEC 11172-3 + the de-facto ID3v2
+        // spec): optional ID3v2 tag [ID3][ver u16][flags][syncsafe u32
+        // size] skipped (+10 footer when flag 0x10), then the first
+        // frame header FF Ex: version (2 bits: V1/V2/V2.5), layer (2),
+        // bitrate index (4) and samplerate index (2) looked up in the
+        // published tables, channel mode (2 bits, mode 3 = mono).
+        // width := samplerate, height := channels; n_frames := whole
+        // seconds of CBR audio from the tag end — bytes*8/bitrate (a
+        // documented ESTIMATE; exact counts need the full frame walk).
+        var off = 0
+        if (ascii(0, "ID3") && n >= 10) {
+          val size = ((at(6) & 0x7f) << 21) | ((at(7) & 0x7f) << 14) |
+            ((at(8) & 0x7f) << 7) | (at(9) & 0x7f)
+          off = 10 + size + (if ((at(5) & 0x10) != 0) 10 else 0)
+        }
+        // scan (bounded) for the frame sync — crawl files carry junk
+        // between tag and first frame
+        while (off + 4 <= n &&
+          !(at(off) == 0xff && (at(off + 1) & 0xe0) == 0xe0)) off += 1
+        var rate = 0; var channels = 0; var seconds = 0
+        if (off + 4 <= n) {
+          val b1 = at(off + 1); val b2 = at(off + 2); val b3 = at(off + 3)
+          val version = (b1 >> 3) & 0x3 // 0=V2.5, 2=V2, 3=V1 (1 reserved)
+          val layer = (b1 >> 1) & 0x3   // 1=III, 2=II, 3=I (0 reserved)
+          val brIdx = (b2 >> 4) & 0xf
+          val srIdx = (b2 >> 2) & 0x3
+          // published bitrate tables (kbps); row 0 = free, row 15 = bad
+          val v1 = Array(
+            Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0),
+            Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0),
+            Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0))
+          val v2 = Array(
+            Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0),
+            Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),
+            Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0))
+          val rates = Array(
+            Array(11025, 12000, 8000),   // V2.5
+            Array(0, 0, 0),              // reserved
+            Array(22050, 24000, 16000),  // V2
+            Array(44100, 48000, 32000))  // V1
+          if (version != 1 && layer != 0 && srIdx != 3 &&
+              brIdx != 0 && brIdx != 15) {
+            val table = if (version == 3) v1 else v2
+            val kbps = table(3 - layer)(brIdx)
+            rate = rates(version)(srIdx)
+            channels = if (((b3 >> 6) & 0x3) == 3) 1 else 2
+            if (kbps > 0)
+              seconds = (((n - off).toLong * 8L) / (kbps * 1000L)).toInt
+          }
+        }
+        ("audio/mpeg", rate, channels, math.max(seconds, 1))
       } else if (n >= 2 && at(0) == 'F'.toInt && at(1) == '!'.toInt) {
         ("image/fake", u16le(2), u16le(4), math.max(u16le(6), 1))
       } else ("application/octet-stream", 0, 0, 1)
@@ -631,6 +761,105 @@ object Multimodal {
             bos.write(0x02); bos.write(0); bos.write(0); bos.write(0)
             u24le(w - 1); u24le(h - 1)
             (0 until frames).foreach { _ => tag("ANMF"); u32le(0) }
+        }
+        Row(r.get(idIdx), bos.toByteArray)
+      }
+    }(RowEncoder.encoderFor(out))
+  }
+
+  /** Synthetic compressed-audio containers from the documents fixture —
+    * REAL FLAC / MP3 / OGG headers (the q_webp_decode discipline: the
+    * engine walks actual container bytes, the oracle recomputes every
+    * output from doc_id arithmetic without touching a byte). Variants
+    * cycle by doc_id % 3, with k = doc_id / 3 driving the fields so
+    * same-variant docs still differ:
+    *   0 → FLAC: fLaC magic + last-flagged STREAMINFO (34 B) —
+    *       rate = rateList(k % 7), channels = k % 2 + 1, bps 16,
+    *       total samples = doc_id % 90000 + 1000; 42 bytes.
+    *   1 → MP3: V1 Layer III frame header — bitrate index k % 5 + 1
+    *       (32..64 kbps keeps the sf3 fixture lean; MultimodalSpec
+    *       covers the full published table incl. V2/V2.5), samplerate
+    *       index k % 3, mono when k % 2 = 1 — padded with zero bytes
+    *       to EXACTLY (k % 2 + 1) seconds at the declared
+    *       bitrate (bitrate·125·seconds bytes total, so the engine's
+    *       bytes·8/bitrate estimate is oracle-exact); doc_id % 6 == 4
+    *       prepends a 20-byte ID3v2 tag (10 header + 10 payload),
+    *       pinning the syncsafe skip.
+    *   2 → OGG: a BOS page whose single packet is the Vorbis
+    *       identification header (rate = rateList(k % 7), channels =
+    *       k % 2 + 1) + an EOS page with granule = doc_id % 50000 + 500
+    *       (the total-sample contract); 58 + 29 = 87 bytes.
+    */
+  def syntheticAudioFormatsFromDocs(docs: DataFrame): DataFrame = {
+    val idIdx = docs.schema.fieldIndex("doc_id")
+    val out = StructType(Seq(
+      StructField("media_id", docs.schema("doc_id").dataType),
+      StructField("bytes", BinaryType)))
+    val rateList = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+    val v1l3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val k = id / 3
+        val bos = new java.io.ByteArrayOutputStream()
+        def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+        def u32le(v: Long): Unit = {
+          bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+          bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+        }
+        (id % 3) match {
+          case 0 => // FLAC
+            val rate = rateList((k % 7).toInt)
+            val channels = (k % 2 + 1).toInt
+            val samples = id % 90000 + 1000
+            tag("fLaC")
+            bos.write(0x80); bos.write(0); bos.write(0); bos.write(34)
+            bos.write(0x10); bos.write(0); bos.write(0x10); bos.write(0) // blocksizes
+            (0 until 6).foreach(_ => bos.write(0)) // frame sizes
+            bos.write(rate >> 12)
+            bos.write((rate >> 4) & 0xff)
+            bos.write(((rate & 0xf) << 4) | ((channels - 1) << 1) | (15 >> 4))
+            bos.write(((15 & 0xf) << 4) | ((samples >> 32) & 0xf).toInt)
+            bos.write(((samples >> 24) & 0xff).toInt)
+            bos.write(((samples >> 16) & 0xff).toInt)
+            bos.write(((samples >> 8) & 0xff).toInt)
+            bos.write((samples & 0xff).toInt)
+            (0 until 16).foreach(_ => bos.write(0)) // MD5
+          case 1 => // MP3
+            val brIdx = (k % 5 + 1).toInt
+            val srIdx = (k % 3).toInt
+            val seconds = (k % 2 + 1).toInt
+            val mono = k % 2 == 1
+            if (id % 6 == 4) { // ID3v2 tag: 10-byte header + 10-byte payload
+              tag("ID3"); bos.write(3); bos.write(0); bos.write(0)
+              bos.write(0); bos.write(0); bos.write(0); bos.write(10)
+              (0 until 10).foreach(_ => bos.write(0))
+            }
+            bos.write(0xff); bos.write(0xfb) // sync + V1 + Layer III
+            bos.write((brIdx << 4) | (srIdx << 2))
+            bos.write(if (mono) 0xc0 else 0x00)
+            val total = v1l3(brIdx) * 125 * seconds // bitrate·1000/8 · s
+            (0 until total - 4).foreach(_ => bos.write(0))
+          case _ => // OGG: BOS page w/ Vorbis id header + EOS page
+            val rate = rateList((k % 7).toInt)
+            val channels = (k % 2 + 1).toInt
+            val granule = id % 50000 + 500
+            val serial = id % 100000
+            tag("OggS"); bos.write(0); bos.write(0x02)
+            u32le(0L); u32le(0L) // granule 0
+            u32le(serial); u32le(0L); u32le(0L) // serial, seq, crc
+            bos.write(1); bos.write(30) // one 30-byte segment
+            bos.write(0x01); tag("vorbis")
+            u32le(0L) // vorbis version
+            bos.write(channels)
+            u32le(rate.toLong)
+            u32le(0L); u32le(0L); u32le(0L) // bitrates
+            bos.write(0x66); bos.write(0x01) // blocksizes + framing
+            tag("OggS"); bos.write(0); bos.write(0x04)
+            u32le(granule & 0xffffffffL); u32le(granule >> 32)
+            u32le(serial); u32le(1L); u32le(0L)
+            bos.write(1); bos.write(1) // one 1-byte segment
+            bos.write(0)
         }
         Row(r.get(idIdx), bos.toByteArray)
       }

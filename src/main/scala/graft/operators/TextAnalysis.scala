@@ -13,13 +13,52 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Language stopword profiles (occurrence scoring). Public, standard
-    * high-frequency function words per language.
+    * high-frequency function words per language — the canonical table
+    * lives in [[graft.functions.StopwordProfiles]] (shared with the
+    * profile-dispatched `html_extract_lang` kernel); 10 languages since
+    * r15 (was en/de/fr/es). Table order is the argmax tie-break order.
     */
-  val profiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "was"),
-    "de" -> Seq("der", "die", "und", "das", "nicht", "ich", "ist", "du", "sich", "wir"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "je"),
-    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "ser", "se", "no"))
+  val profiles: Seq[(String, Seq[String])] =
+    graft.functions.StopwordProfiles.table
+
+  /** DuckDB mirror of [[withLangPred]]'s per-profile token-hit scores:
+    * `len(list_filter(tk, …)) AS s_<lang>` lines, one per profile —
+    * machine-generated from the SAME table as the engine expression so
+    * the oracle IN-lists cannot drift (`tk` must be the lowercased
+    * non-empty whitespace-token list in scope).
+    */
+  def langScoresDuck: String =
+    profiles.map { case (l, words) =>
+      s"len(list_filter(tk, t -> t IN (${words.map(sqlStr).mkString(",")}))) AS s_$l"
+    }.mkString(",\n              ")
+
+  /** DuckDB mirror of [[withLangPred]]'s argmax CASE (zh codepoint
+    * short-cut, zero-score → 'unknown', table-order tie-break) over the
+    * [[langScoresDuck]] columns.
+    */
+  def langPredCaseDuck: String = {
+    val g = s"greatest(${profiles.map("s_" + _._1).mkString(", ")})"
+    val whens = profiles.map { case (l, _) =>
+      s"WHEN s_$l = $g THEN '$l'"
+    }.mkString("\n               ")
+    s"""CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN $g = 0 THEN 'unknown'
+               $whens END"""
+  }
+
+  /** DuckDB mirror of [[qualityExpr]]'s all-profile stopword union —
+    * the distinct union in table order, comma-joined quoted literals.
+    */
+  def allStopDuck: String =
+    profiles.flatMap(_._2).distinct.map(sqlStr).mkString(",")
+
+  /** The languages the corpus-cleaning recipes recognize by default:
+    * every profiled language plus the zh codepoint short-cut.
+    */
+  def defaultKeepLangs: Seq[String] = profiles.map(_._1) :+ "zh"
+
+  /** [[defaultKeepLangs]] as a DuckDB IN-list. */
+  def keepLangsDuck: String = defaultKeepLangs.map(sqlStr).mkString(",")
 
   /** SQL single-quoted string literal with '' escaping — shadows
     * functions.lit on String args by design (use `flit` for a Column
@@ -1886,5 +1925,156 @@ object TextAnalysis {
          |      '</p>')), ''),
          |  '<div class="footer">&copy; 2031 example site</div></body></html>')"""
         .stripMargin).as("html"))
+  }
+
+  /** [[htmlExtract]] with the stopword keep rule dispatched on a
+    * per-row language column (`html_extract_lang` —
+    * [[graft.functions.StopwordProfiles]]; null/unprofiled lang values
+    * fall back to "en"). A real crawl is majority non-English, and the
+    * stopword-density rule only reads content vs chrome correctly when
+    * it counts the document's OWN function words; jusText ships ~30
+    * such profiles — this is the same dispatch discipline over the
+    * canonical 10-language table.
+    *
+    * Scale: identical to [[htmlExtract]] — ONE codegen projection, zero
+    * shuffles; the dispatch is a per-row hash-map lookup.
+    */
+  def htmlExtractLang(docs: DataFrame, htmlCol: String = "html",
+      langCol: String = "lang", minChars: Int = 25, maxLinkPm: Int = 300,
+      minStopPm: Int = 100, longChars: Int = 200): DataFrame = {
+    require(minChars >= 0 && maxLinkPm >= 0 && minStopPm >= 0 && longChars >= 0,
+      "html_extract_lang thresholds must be non-negative")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col(langCol).as("lang"), expr(
+        s"html_extract_lang($htmlCol, $langCol, $minChars, $maxLinkPm, " +
+          s"$minStopPm, $longChars)").as("__hx"))
+      .select(col("doc_id"), col("lang"),
+        col("__hx.text_extracted").as("text_extracted"),
+        col("__hx.n_blocks").as("n_blocks"),
+        col("__hx.n_kept").as("n_kept"),
+        col("__hx.chars_raw").as("chars_raw"),
+        col("__hx.chars_kept").as("chars_kept"),
+        col("__hx.link_chars").as("link_chars"))
+  }
+
+  /** Mixed-language synthetic crawl HTML (the [[syntheticHtmlFromDocs]]
+    * discipline, profile-dispatch edition): lang cycles through the 10
+    * profiles by doc_id arithmetic, and each page plants
+    *
+    *   title `d<doc_id>` (dropped: length) · a `<script>` whose content
+    *   contains a DECOY `</scripts>` close (pins the r15 close-tag
+    *   boundary rule: prefix-matching would leak "raw" as an extra
+    *   block) · a `<style>` · a comment · the three-link NAV with a
+    *   QUOTED `>` inside the first href (pins the r15 quote-aware tag
+    *   scan: splitting there would corrupt the nav block) · a kept
+    *   block = the ASSIGNED language's 10-stopword sentence opened by a
+    *   SELF-CLOSING `<a href="#"/>` (pins the r15 anchor rule: a depth
+    *   leak would link-saturate this and every later block) · a
+    *   cross-language plant = the en sentence (de for en docs), which
+    *   shares zero words with the assigned profile
+    *   (StopwordProfilesSpec) so it fails exactly the stopword rule ·
+    *   one `<p>` per text line (entity-escaped; stopwords counted
+    *   against the ASSIGNED profile) · the short footer (dropped:
+    *   length).
+    *
+    * If dispatch broke (everything scored against "en"), the kept block
+    * of every non-en page would drop and the cross-language plant would
+    * keep — the hash gate fails in both directions.
+    */
+  def syntheticHtmlMultiFromDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.StopwordProfiles.{langs, sentence}
+    def esc(x: String) =
+      s"replace(replace(replace($x, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    val langArr = langs.map(sqlStr).mkString(", ")
+    val sentArr = langs.map(l => sqlStr(sentence(l))).mkString(", ")
+    val pick = "CAST(doc_id % 10 AS INT) + 1"
+    docs.select(col("doc_id"),
+      expr(s"element_at(array($langArr), $pick)").as("lang"),
+      expr(
+        s"""concat(
+           |  '<html><head><title>d', CAST(doc_id AS STRING), '</title>',
+           |  '<script>var x = 1 < 2;</scripts>raw</script>',
+           |  '<style>p { color: red; }</style>',
+           |  '</head><body><!-- chrome follows -->',
+           |  '<div class="nav"><a href="/a>b">home page link</a> ',
+           |  '<a href="/about">about the team pages</a> ',
+           |  '<a href="/contact">contact and support desk</a></div>',
+           |  '<p><a href="#"/>', element_at(array($sentArr), $pick), '</p>',
+           |  '<p>', element_at(array($sentArr),
+           |    CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END), '</p>',
+           |  array_join(transform(split(coalesce(text, ''), '\\n'), l ->
+           |    concat('<p>', ${esc("l")}, '</p>')), ''),
+           |  '<div class="footer">&copy; 2031 example site</div></body></html>')"""
+          .stripMargin).as("html"))
+  }
+
+  /** DuckDB oracle for q_html_extract_multi — generated from the SAME
+    * [[graft.functions.StopwordProfiles]] table as the engine kernel
+    * (plant literals + per-line arithmetic with the stop count
+    * dispatched by the same doc_id%10 CASE; no HTML parser, same
+    * no-drift guarantee as [[bpeOracleSql]]).
+    */
+  def htmlMultiOracleSql: String = {
+    import graft.functions.StopwordProfiles.{table, langs, sentence}
+    val langList = langs.map(sqlStr).mkString(",")
+    val sentList = langs.map(l => sqlStr(sentence(l))).mkString(",")
+    val stopsCase = table.zipWithIndex.map { case ((_, words), i) =>
+      s"WHEN $i THEN CAST(len(list_filter(ws, x -> lower(x) IN " +
+        s"(${words.map(sqlStr).mkString(",")}))) AS BIGINT)"
+    }.mkString("\n          ")
+    s"""WITH raw AS (
+        SELECT doc_id,
+          CAST(doc_id % 10 AS INT) AS pm,
+          list_value($langList)[CAST(doc_id % 10 AS INT) + 1] AS lang,
+          list_value($sentList)[CAST(doc_id % 10 AS INT) + 1] AS s_keep,
+          list_value($sentList)[CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END] AS s_x,
+          coalesce(text, '') AS text
+        FROM documents),
+      lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM raw),
+      l AS (
+        SELECT doc_id, u.i - 1 AS i,
+          trim(ls[u.i], ' ' || chr(9) || chr(11) || chr(12) || chr(13)) AS t
+        FROM lx, unnest(generate_series(1, len(ls))) AS u(i)),
+      lc AS (
+        SELECT l.doc_id, l.i, l.t, r.pm,
+          CAST(length(l.t) AS BIGINT) AS nc,
+          list_filter(regexp_split_to_array(l.t, '[ \\t\\n\\x0B\\f\\r]+'),
+            x -> x != '') AS ws
+        FROM l JOIN raw r USING (doc_id) WHERE l.t != ''),
+      lk AS (
+        SELECT doc_id, i, t, nc,
+          CAST(len(ws) AS BIGINT) AS words,
+          CASE pm
+          $stopsCase
+          END AS stops
+        FROM lc),
+      lk2 AS (
+        SELECT doc_id, i, t, nc,
+          (nc >= 25 AND (stops * 1000 >= 100 * words OR nc >= 200)) AS keep
+        FROM lk),
+      agg AS (
+        SELECT doc_id,
+          CAST(count(*) AS BIGINT) AS nb,
+          CAST(sum(nc) AS BIGINT) AS line_chars,
+          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS nk,
+          CAST(coalesce(sum(CASE WHEN keep THEN nc END), 0) AS BIGINT)
+            AS kept_chars,
+          coalesce(string_agg(CASE WHEN keep THEN t END, chr(10) ORDER BY i),
+            '') AS kept_text
+        FROM lk2 GROUP BY 1)
+      SELECT r.doc_id, r.lang,
+        CASE WHEN coalesce(a.kept_text, '') = '' THEN r.s_keep
+             ELSE r.s_keep || chr(10) || a.kept_text END AS text_extracted,
+        CAST(5 + coalesce(a.nb, 0) AS INTEGER) AS n_blocks,
+        CAST(1 + coalesce(a.nk, 0) AS INTEGER) AS n_kept,
+        CAST(length('d' || CAST(r.doc_id AS VARCHAR))
+          + length('home page link about the team pages contact and support desk')
+          + length(r.s_keep) + length(r.s_x)
+          + length('&copy; 2031 example site')
+          + coalesce(a.line_chars, 0) AS BIGINT) AS chars_raw,
+        CAST(length(r.s_keep) + coalesce(a.kept_chars, 0) AS BIGINT) AS chars_kept,
+        CAST(50 AS BIGINT) AS link_chars
+      FROM raw r LEFT JOIN agg a USING (doc_id)"""
   }
 }

@@ -8,11 +8,15 @@ import scala.util.matching.Regex
 /** Property test: TextAnalysis.htmlExtract must agree with an INDEPENDENT
   * regex-based reference (the engine is a single-pass character scanner;
   * this reference is a staged regex pipeline — different algorithm, same
-  * contract) on random pages mixing block tags, inline tags, anchors,
+  * contract) on random pages mixing block tags, inline tags, anchors
+  * (incl. self-closing ones), quoted attribute values containing `>`,
   * entities (incl. unknown ones), comments, script/style payloads with
-  * raw `<`, and stray inter-tag whitespace — across random thresholds.
-  * Engine-only edge semantics (unterminated comment/tag/script, anchor
-  * depth leaking across blocks) are pinned by deterministic cases below.
+  * raw `<` and decoy similarly-named close tags, and stray inter-tag
+  * whitespace — across random thresholds. The profile-dispatched
+  * htmlExtractLang must agree with the same reference run against the
+  * per-language stopword set (fallback "en"). Engine-only edge semantics
+  * (unterminated comment/tag/quote/script, anchor depth leaking across
+  * blocks) are pinned by deterministic cases below.
   */
 object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
 
@@ -31,16 +35,33 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
   private val wsSet = Set(' ', '\t', '\n', '\u000B', '\f', '\r')
   private val stops = Set("the", "and", "of", "to", "in", "is", "you",
     "that", "it", "was")
+  // a tag body: anything but an unquoted `>`; quoted attribute values may
+  // contain `>` (r15 contract)
+  private val tagBody = """(?:[^>"']|"[^"]*"|'[^']*')*"""
+  // a tag body that does NOT end with an unquoted `/` (an open —
+  // not self-closing — tag)
+  private val tagBodyNoSlash =
+    """(?:(?:[^>"']|"[^"]*"|'[^']*')*(?:[^>/"']|"[^"]*"|'[^']*'))?"""
   private val blockTagRe: Regex =
     ("(?i)</?(p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article|" +
       "header|footer|nav|blockquote|pre|title|body|html|head|form|hr)" +
-      "(?![a-zA-Z0-9])[^>]*>").r
-  private val anyTagRe: Regex = "<[^>]*>".r
+      "(?![a-zA-Z0-9])" + tagBody + ">").r
+  private val anyTagRe: Regex = ("<" + tagBody + ">").r
   private val commentRe: Regex = "(?s)<!--.*?-->".r
-  private val scriptRe: Regex = "(?is)<script(?![a-zA-Z0-9])[^>]*>.*?</script[^>]*>".r
-  private val styleRe: Regex = "(?is)<style(?![a-zA-Z0-9])[^>]*>.*?</style[^>]*>".r
+  // close tags need the same name boundary as the engine (r15:
+  // `</scripts>` does not close a `<script>`); close-tag bodies are
+  // scanned to a PLAIN `>` in the engine, hence [^>]* on the close side
+  private val scriptRe: Regex =
+    ("(?is)<script(?![a-zA-Z0-9])" + tagBodyNoSlash +
+      ">.*?</script(?![a-zA-Z0-9])[^>]*>").r
+  private val styleRe: Regex =
+    ("(?is)<style(?![a-zA-Z0-9])" + tagBodyNoSlash +
+      ">.*?</style(?![a-zA-Z0-9])[^>]*>").r
+  // anchor OPEN must not be self-closing (r15: `<a .../>` leaves depth
+  // unchanged); the close side is a full quote-aware tag
   private val anchorRe: Regex =
-    "(?is)<a(?![a-zA-Z0-9])[^>]*>(.*?)</a(?![a-zA-Z0-9])[^>]*>".r
+    ("(?is)<a(?![a-zA-Z0-9])" + tagBodyNoSlash + ">(.*?)" +
+      "</a(?![a-zA-Z0-9])" + tagBody + ">").r
   private val entityRe: Regex = "&(amp|lt|gt|quot|apos|#39|nbsp);".r
 
   private def decode(s: String): String =
@@ -53,7 +74,8 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
     s.dropWhile(wsSet).reverse.dropWhile(wsSet).reverse
 
   private def ref(html: String, minChars: Int, maxLinkPm: Int,
-      minStopPm: Int, longChars: Int): (String, Int, Int, Long, Long, Long) = {
+      minStopPm: Int, longChars: Int, stopSet: Set[String] = stops)
+      : (String, Int, Int, Long, Long, Long) = {
     val noJunk = styleRe.replaceAllIn(
       scriptRe.replaceAllIn(commentRe.replaceAllIn(html, ""), ""), "")
     val blocks = blockTagRe.replaceAllIn(noJunk, "\u0000").split('\u0000')
@@ -69,7 +91,7 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
       if (text.nonEmpty) {
         val nChars = text.length.toLong
         val words = text.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
-        val nStop = words.count(w => stops(w.toLowerCase)).toLong
+        val nStop = words.count(w => stopSet(w.toLowerCase)).toLong
         nBlocks += 1; charsRaw += nChars; linkTotal += link
         val keep = nChars >= minChars &&
           link * 1000L <= maxLinkPm.toLong * nChars &&
@@ -99,20 +121,27 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
   } yield s"<$t>$w</$t>"
   private val anchor: Gen[String] = for {
     w <- Gen.oneOf(wordsG, entityText)
-  } yield s"""<a href="/x?q=1&amp;r=2">$w</a>"""
-  private val piece: Gen[String] = Gen.oneOf(wordsG, entityText, inline, anchor)
+    href <- Gen.oneOf("/x?q=1&amp;r=2", "a>b", "it's", "plain")
+  } yield s"""<a href="$href">$w</a>"""
+  private val selfClosedAnchor: Gen[String] =
+    Gen.oneOf("""<a href="#"/>""", """<a href="x>y" />""", "<a/>")
+  private val piece: Gen[String] =
+    Gen.oneOf(wordsG, entityText, inline, anchor, selfClosedAnchor)
   private val blockContent: Gen[String] =
     Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, piece)).map(_.mkString(" "))
   private val block: Gen[String] = for {
     t <- Gen.oneOf("p", "div", "li", "h2", "td", "blockquote", "title")
+    attrs <- Gen.oneOf("", """ class="x>y"""", " id='a>b'", " data-k=\"v\"")
     c <- blockContent
-  } yield s"<$t>$c</$t>"
+  } yield s"<$t$attrs>$c</$t>"
   private val junk: Gen[String] = Gen.oneOf(
     "<!-- a comment with <p>markup</p> inside -->",
     "<script>var a = 1 < 2; if (a) { b(); }</script>",
     "<SCRIPT type=\"x\">raw < text</SCRIPT>",
+    "<script>var s = '</scripts>';</script>",
     "<style>p { color: red; }</style>",
-    "\n   ", "\t", "", "<hr/>", "<br>")
+    "\n   ", "\t", "", "<hr/>", "<br>",
+    "<img src=\"x>y\" alt='p>q'>")
   private val page: Gen[String] = for {
     n <- Gen.chooseNum(0, 7)
     bs <- Gen.listOfN(n, Gen.frequency(3 -> block, 2 -> junk))
@@ -147,15 +176,50 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
         }
     }
 
-  property("engine stopword list is TextAnalysis.profiles en") = {
+  property("profile dispatch matches the reference under every profile") =
+    forAll(
+      Gen.listOfN(4, page),
+      Gen.oneOf(graft.functions.StopwordProfiles.langs ++ Seq("unknown", "zz")),
+      Gen.chooseNum(0, 60), Gen.chooseNum(0, 300)) {
+      (pages, lang, minChars, minStopPm) =>
+        import spark.implicits._
+        val profile = graft.functions.StopwordProfiles.table.toMap
+          .get(lang).map(_.toSet).getOrElse(stops) // fallback contract: en
+        val df = spark.createDataset(pages.zipWithIndex
+          .map { case (h, i) => (i.toLong, lang, h) })
+          .toDF("doc_id", "lang", "html")
+        val got = TextAnalysis.htmlExtractLang(
+            df, "html", "lang", minChars, 1000, minStopPm, 200)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[String]("text_extracted"), r.getAs[Int]("n_blocks"),
+              r.getAs[Int]("n_kept"), r.getAs[Long]("chars_raw"),
+              r.getAs[Long]("chars_kept"), r.getAs[Long]("link_chars")))).toMap
+        pages.zipWithIndex.forall { case (h, i) =>
+          val want = ref(h, minChars, 1000, minStopPm, 200, profile)
+          val ok = got(i.toLong) == want
+          if (!ok) println(s"DISPATCH MISMATCH lang=$lang " +
+            s"th=($minChars,$minStopPm)\n html=$h\n engine=${got(i.toLong)}" +
+            s"\n ref=$want")
+          ok
+        }
+    }
+
+  property("engine stopword profiles are StopwordProfiles (en = unary list)") = {
     val en = TextAnalysis.profiles.toMap.apply("en").toSet
-    val impl = {
-      val it = graft.functions.HtmlExtractImpl.stopwords.iterator()
+    def toSet(hs: java.util.HashSet[String]): Set[String] = {
+      val it = hs.iterator()
       val b = Set.newBuilder[String]
       while (it.hasNext) b += it.next()
       b.result()
     }
-    en == impl && stops == impl
+    val impl = toSet(graft.functions.HtmlExtractImpl.stopwords)
+    val allMatch = graft.functions.StopwordProfiles.table.forall {
+      case (l, words) =>
+        toSet(graft.functions.HtmlExtractImpl.profileSets.get(l)) == words.toSet
+    }
+    en == impl && stops == impl && allMatch &&
+      (TextAnalysis.profiles eq graft.functions.StopwordProfiles.table)
   }
 
   property("edge semantics: unterminated constructs and anchor-depth leak") = {
@@ -168,6 +232,14 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
       "<p>first</p><script>var x = '<p>never</p>'" -> ((1, "first")),
       // unterminated tag is junk to EOF
       "<p>alpha</p><img src=\"x" -> ((1, "alpha")),
+      // a quote left OPEN inside a tag makes it unterminated (r15)
+      "<p>alpha</p><img src=\"x>y<p>beta</p>" -> ((1, "alpha")),
+      // a quoted '>' does NOT end the tag (r15)
+      "<p>alpha</p><img src=\"x>y\" alt='a>b'>tail<p>beta</p>" ->
+        ((3, "alpha\ntail\nbeta")),
+      // a decoy similarly-named close tag does NOT end the raw skip (r15)
+      "<p>first</p><script>var s = '</scripts>';</script><p>second</p>" ->
+        ((2, "first\nsecond")),
       // an unclosed <a> leaks link depth into the NEXT block (documented:
       // depth is global, blocks are text segmentation only)
       "<p><a href=\"#\">linked</a> plain</p><p><a>open anchor</p><p>still inside</p>" ->
@@ -190,6 +262,16 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
     val ok = got._2 == 3 && got._3 == 1 && got._1 == "plain text block" &&
       got._6 == ("opened".length + "laterblock".length).toLong
     if (!ok) println(s"LEAK MISMATCH got=$got")
+    ok
+  }
+
+  property("self-closing anchor does NOT leak link depth (r15)") = {
+    // with maxLinkPm = 0 any leaked depth would drop every later block
+    val html = "<p><a href=\"#\"/>free text</p><p>later block</p>"
+    val got = run(Seq(html), 0, 0, 0, 0)(0L)
+    val ok = got._2 == 2 && got._3 == 2 && got._6 == 0L &&
+      got._1 == "free text\nlater block"
+    if (!ok) println(s"SELFCLOSE MISMATCH got=$got")
     ok
   }
 }

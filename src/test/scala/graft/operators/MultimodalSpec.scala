@@ -307,6 +307,102 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       "missing 9d 01 2a start code must not yield dims")
   }
 
+  test("truncated VP8L keeps zero dims (no +1 bias on a short read) and " +
+      "VP8X canvas overwrites frame dims on malformed chunk order") {
+    // VP8L whose 0x2f signature survives but whose packed dim field is cut
+    val t = new java.io.ByteArrayOutputStream()
+    t.write("RIFF".getBytes("US-ASCII")); t.write(Array[Byte](14, 0, 0, 0))
+    t.write("WEBPVP8L".getBytes("US-ASCII")); t.write(Array[Byte](5, 0, 0, 0))
+    t.write(0x2f); t.write(0x07) // only 1 of 4 dim bytes present
+    val r1 = Multimodal.decodeBytes(t.toByteArray)
+    assert(r1._3 == (("image/webp", 0, 0, 1)),
+      s"truncated VP8L must not decode 1x1, got ${r1._3}")
+    // malformed order: VP8 frame chunk FIRST, then VP8X — canvas is
+    // authoritative and must overwrite the frame dims
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("RIFF".getBytes("US-ASCII")); o.write(Array[Byte](40, 0, 0, 0))
+    o.write("WEBP".getBytes("US-ASCII"))
+    o.write("VP8 ".getBytes("US-ASCII")); o.write(Array[Byte](10, 0, 0, 0))
+    o.write(Array[Byte](0, 0, 0)); o.write(0x9d); o.write(0x01); o.write(0x2a)
+    o.write(5); o.write(0); o.write(7); o.write(0) // frame dims 5x7
+    o.write("VP8X".getBytes("US-ASCII")); o.write(Array[Byte](10, 0, 0, 0))
+    o.write(Array[Byte](0, 0, 0, 0))
+    o.write(9); o.write(0); o.write(0)  // canvas w-1 = 9
+    o.write(19); o.write(0); o.write(0) // canvas h-1 = 19
+    val r2 = Multimodal.decodeBytes(o.toByteArray)
+    assert(r2._3 == (("image/webp", 10, 20, 1)),
+      s"VP8X canvas must be authoritative, got ${r2._3}")
+  }
+
+  test("decodeBytes parses the three compressed-audio container variants") {
+    import spark.implicits._
+    val docs = (300L to 311L).toDF("doc_id")
+    val got = Multimodal.decode(Multimodal.syntheticAudioFormatsFromDocs(docs))
+      .select(col("media_id"), col("n_bytes"), col("meta.mime"),
+        col("meta.width"), col("meta.height"), col("meta.n_frames"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    val rateList = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000)
+    val kbpsList = Array(32, 40, 48, 56, 64)
+    val mrates = Array(44100, 48000, 32000)
+    (300L to 311L).foreach { id =>
+      val k = id / 3
+      val want = (id % 3) match {
+        case 0 => ((42, "audio/flac", rateList((k % 7).toInt),
+          (k % 2 + 1).toInt, (id % 90000 + 1000).toInt))
+        case 1 =>
+          val kbps = kbpsList((k % 5).toInt); val sec = (k % 2 + 1).toInt
+          ((kbps * 125 * sec + (if (id % 6 == 4) 20 else 0), "audio/mpeg",
+            mrates((k % 3).toInt), if (k % 2 == 1) 1 else 2, sec))
+        case _ => ((87, "audio/ogg", rateList((k % 7).toInt),
+          (k % 2 + 1).toInt, (id % 50000 + 500).toInt))
+      }
+      assert(got(id) == want, s"id=$id")
+    }
+  }
+
+  test("MP3 header tables: V2/V2.5 rows, free/bad bitrate and reserved " +
+      "version degrade to zero dims; ID3-only file degrades") {
+    def mp3(b1: Int, b2: Int, b3: Int, pad: Int): Array[Byte] =
+      (Array(0xff, b1, b2, b3) ++ Array.fill(pad)(0)).map(_.toByte)
+    // V2 (01? no — bits 10) Layer III 64 kbps idx=8? V2 L3 row:
+    // 8,16,24,32,40,48,56,64... idx 8 = 64 kbps; sr idx 0 = 22050
+    val v2 = Multimodal.decodeBytes(mp3(0xf3, 0x80, 0x00, 64 * 125 - 4))
+    assert(v2._3 == (("audio/mpeg", 22050, 2, 1)), s"got ${v2._3}")
+    // V2.5 (bits 00) Layer III idx 8 = 64 kbps; sr idx 2 = 8000; mono
+    val v25 = Multimodal.decodeBytes(mp3(0xe3, 0x88, 0xc0, 2 * 64 * 125 - 4))
+    assert(v25._3 == (("audio/mpeg", 8000, 1, 2)), s"got ${v25._3}")
+    // V1 Layer I idx 14 = 448 kbps; sr idx 1 = 48000
+    val l1 = Multimodal.decodeBytes(mp3(0xff, 0xe4, 0x00, 448 * 125 - 4))
+    assert(l1._3 == (("audio/mpeg", 48000, 2, 1)), s"got ${l1._3}")
+    // free-format (idx 0) and bad (idx 15) bitrates: no duration, no dims
+    assert(Multimodal.decodeBytes(mp3(0xfb, 0x00, 0x00, 100))._3 ==
+      (("audio/mpeg", 0, 0, 1)))
+    assert(Multimodal.decodeBytes(mp3(0xfb, 0xf0, 0x00, 100))._3 ==
+      (("audio/mpeg", 0, 0, 1)))
+    // reserved version bits (01) are not trusted
+    assert(Multimodal.decodeBytes(mp3(0xeb, 0x80, 0x00, 100))._3 ==
+      (("audio/mpeg", 0, 0, 1)))
+    // an ID3 tag with no frame after it degrades, not throws
+    val id3 = Array('I', 'D', '3', 3, 0, 0, 0, 0, 0, 10).map(_.toByte) ++
+      new Array[Byte](10)
+    assert(Multimodal.decodeBytes(id3)._3 == (("audio/mpeg", 0, 0, 1)))
+  }
+
+  test("FLAC/OGG malformed containers degrade to zeros, never throw") {
+    // fLaC magic with a truncated STREAMINFO
+    val f = "fLaC".getBytes("US-ASCII") ++ Array[Byte](0x80.toByte, 0, 0, 34, 1, 2)
+    assert(Multimodal.decodeBytes(f)._3 == (("audio/flac", 0, 0, 1)))
+    // OggS page whose packet is not a Vorbis identification header
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("OggS".getBytes("US-ASCII")); o.write(0); o.write(2)
+    (0 until 20).foreach(_ => o.write(0)) // granule+serial+seq+crc
+    o.write(1); o.write(3); o.write("xyz".getBytes("US-ASCII"))
+    assert(Multimodal.decodeBytes(o.toByteArray)._3 == (("audio/ogg", 0, 0, 1)))
+  }
+
   test("decodeBytes degrades truncated real-format headers to zero dims") {
     val (_, _, (m1, w1, _, _)) = Multimodal.decodeBytes(
       Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)) // sig only
