@@ -571,6 +571,14 @@ object SparkEntry {
     "q_bpe_tokens_large" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(docs(s, dir),
         TextAnalysis.largeBpeMerges)),
+    // GPT-2 pre-tokenization (Radford et al. 2019) ahead of the same
+    // 150-rule merge chain: contractions / space-prefixed letter, digit
+    // and punctuation runs / whitespace runs — the lookahead-free
+    // sentinel formulation proven token-identical to the paper regex in
+    // Gpt2SplitPropSpec; punctuation-adjacent words (don't, co-op) are
+    // PRICED here where the whitespace row drops them
+    "q_bpe_tokens_gpt2" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCountsGpt2(docs(s, dir))),
     // one BPE TRAINING step mid-table (4 merges learned): weighted
     // adjacent-pair counts over the word-frequency table, top-25
     // candidates — the argmax is the next merge rule
@@ -4205,6 +4213,9 @@ object SparkEntry {
     // layer — identical semantics, any table size
     "q_bpe_tokens_large" ->
       TextAnalysis.bpeOracleSqlStaged(TextAnalysis.largeBpeMerges),
+    // GPT-2 split + staged chain, generated from the SAME pattern and
+    // merge table as the Spark side (sentinel pre-pass in RE2 form)
+    "q_bpe_tokens_gpt2" -> TextAnalysis.bpeGpt2OracleSqlStaged(),
     // generated from the SAME 4-merge prefix as the Spark side
     "q_bpe_merges" ->
       TextAnalysis.bpeMergeOracleSql(

@@ -1852,6 +1852,133 @@ object TextAnalysis {
       FROM ws"""
   }
 
+  /** The GPT-2 pre-tokenization pattern (Radford et al. 2019) pinned
+    * cross-engine: contractions, optionally space-prefixed letter /
+    * digit / punctuation runs, whitespace runs — over lower-cased text
+    * with the explicit [[wsClass]] whitespace set. The paper regex ends
+    * `\s+(?!\S)|\s+` (all-but-last of a whitespace run, so the last
+    * space glues onto the next word); RE2 has NO lookahead, so the
+    * engines run a SENTINEL pre-pass instead: chr(1) is stripped from
+    * the text (a control char never carries content) and re-inserted
+    * between run[:-1] and run[-1] of every >=2-char whitespace run that
+    * precedes a non-space — Gpt2SplitPropSpec proves the two
+    * formulations token-identical against a real-lookahead reference.
+    * chr(1) is excluded from every class below, so the sentinel can
+    * never be part of a token.
+    */
+  val gpt2SplitPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d" +
+      "| ?[a-z]+| ?[0-9]+" +
+      "| ?[^a-z0-9\\x01 \\t\\n\\x0B\\f\\r]+" +
+      "|[ \\t\\n\\x0B\\f\\r]+"
+
+  /** [[gpt2SplitPattern]] for a DuckDB string literal: quotes doubled,
+    * backslashes pass through untouched (DuckDB consumes no escapes).
+    */
+  val gpt2SplitPatternDuck: String = gpt2SplitPattern.replace("'", "''")
+
+  /** [[gpt2SplitPattern]] for a Spark SQL string literal: backslashes
+    * doubled FIRST (the [[wsClassSql]] discipline — Spark's parser
+    * consumes one escape level), then quotes backslash-escaped (Spark
+    * CONCATENATES adjacent string literals, so the DuckDB '' doubling
+    * would silently fuse `'it''s'` into `its`).
+    */
+  val gpt2SplitPatternSql: String =
+    gpt2SplitPattern.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** The sentinel pre-pass regex (both engines: capture groups only, no
+    * lookaround).
+    */
+  val gpt2PreRegex: String = s"($wsClass+)($wsClass)([^$wsClass])"
+  val gpt2PreRegexSql: String = gpt2PreRegex.replace("\\", "\\\\")
+
+  /** Byte-level-BPE token budget with the GPT-2 pre-tokenizer in front
+    * of the merge chain — the number an LLM pipeline actually meters.
+    * [[bpeTokenCounts]] pre-tokenizes on whitespace and DROPS words
+    * with any punctuation (`don't`, `co-op`, `end.` count zero); this
+    * row splits them the way the published tokenizer does, then prices
+    * letter runs through the merge chain and every other pre-token
+    * (contraction, digit run, punctuation run, whitespace run) at one
+    * token — pinned contract; a real vocab would merge some of those
+    * too, but the split (the hard cross-engine part) is exact.
+    *
+    * Emits (doc_id, n_pretokens, n_bpe_tokens_gpt2). Pure per-row
+    * projection over the corpus — zero shuffles, scan-bound.
+    */
+  /** The full GPT-2 pre-token array as one Spark SQL expression
+    * (sentinel pre-pass + split) — the single source both
+    * [[bpeTokenCountsGpt2]] and Gpt2SplitPropSpec evaluate.
+    */
+  private[graft] def gpt2TokensExpr(textCol: String): String =
+    s"regexp_extract_all(" +
+      s"regexp_replace(replace(lower(coalesce(`$textCol`, '')), chr(1), ''), " +
+      s"'$gpt2PreRegexSql', concat('$$1', chr(1), '$$2$$3')), " +
+      s"'$gpt2SplitPatternSql', 0)"
+
+  def bpeTokenCountsGpt2(
+      docs: DataFrame,
+      merges: Seq[(String, String)] = largeBpeMerges,
+      textCol: String = "text"): DataFrame = {
+    val table = bpeTableLiteral(merges)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("__ts", expr(gpt2TokensExpr(textCol)))
+      .select(col("doc_id"),
+        expr("CAST(size(__ts) AS BIGINT)").as("n_pretokens"),
+        expr(s"CAST(aggregate(__ts, 0, (a, t) -> a + (CASE WHEN " +
+          s"t rlike '^ ?[a-z]+$$' THEN size(bpe_encode(ltrim(t), '$table')) " +
+          "ELSE 1 END)) AS BIGINT)").as("n_bpe_tokens_gpt2"))
+  }
+
+  /** DuckDB mirror of [[bpeTokenCountsGpt2]]: the SAME sentinel
+    * pre-pass and split pattern (RE2 side), letter runs priced through
+    * the staged replace-chain layers ([[bpeOracleSqlStaged]] binder
+    * discipline), everything else at one token.
+    */
+  def bpeGpt2OracleSqlStaged(
+      merges: Seq[(String, String)] = largeBpeMerges,
+      stageSize: Int = 50): String = {
+    require(stageSize >= 1 && stageSize <= 100,
+      "stageSize must stay below the DuckDB binder depth")
+    val stages = merges.grouped(stageSize).toSeq
+    val ctes = stages.zipWithIndex.map { case (g, i) =>
+      val applied = g.foldLeft("s") {
+        case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+      }
+      s"s${i + 1} AS (SELECT doc_id, $applied AS s FROM s$i)"
+    }
+    val last = s"s${stages.length}"
+    s"""WITH pre AS (
+        SELECT doc_id,
+          regexp_replace(replace(lower(coalesce(text, '')), chr(1), ''),
+            '$gpt2PreRegex', '\\1' || chr(1) || '\\2\\3', 'g') AS p
+        FROM documents),
+      tok AS (
+        SELECT doc_id, regexp_extract_all(p, '$gpt2SplitPatternDuck') AS ts
+        FROM pre),
+      base AS (
+        SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_pretokens,
+          CAST(len(list_filter(ts,
+            t -> NOT regexp_full_match(t, ' ?[a-z]+'))) AS BIGINT) AS n_other
+        FROM tok),
+      wx AS (
+        SELECT doc_id, ltrim(t, ' ') AS w
+        FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+        WHERE regexp_full_match(t, ' ?[a-z]+')),
+      s0 AS (
+        SELECT doc_id,
+          ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+        FROM wx),
+      ${ctes.mkString(",\n      ")},
+      cnt AS (
+        SELECT doc_id, CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+          AS nb
+        FROM $last GROUP BY 1)
+      SELECT b.doc_id, b.n_pretokens,
+        CAST(b.n_other + coalesce(cnt.nb, 0) AS BIGINT) AS n_bpe_tokens_gpt2
+      FROM base b LEFT JOIN cnt USING (doc_id)"""
+  }
+
   /** HTML → text extraction ([[graft.functions.HtmlExtractImpl]] — the
     * jusText/trafilatura block-scoring family): strip script/style/
     * comments, segment into blocks at block-level tags, and keep blocks
