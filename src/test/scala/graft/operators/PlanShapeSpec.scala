@@ -45,6 +45,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // operator is one codegen projection — the scan is the only cost
     assert(shuffles(TextAnalysis.htmlExtract(
       TextAnalysis.syntheticHtmlFromDocs(docs))) == 0)
+    // profile-dispatched variant: the per-row lang lookup adds NO plan
+    // change — still one codegen projection
+    assert(shuffles(TextAnalysis.htmlExtractLang(
+      TextAnalysis.syntheticHtmlMultiFromDocs(docs))) == 0)
+    // GPT-2 pre-tokenized BPE budget: sentinel pre-pass + split + merge
+    // chain all inside one projection
+    assert(shuffles(TextAnalysis.bpeTokenCountsGpt2(docs)) == 0)
+    // compressed-audio header decode: mapPartitions byte walk,
+    // scan-shaped like the WAV decode
+    assert(shuffles(Multimodal.decode(
+      Multimodal.syntheticAudioFormatsFromDocs(docs))) == 0)
     // WAV decode: mapPartitions (streamed byte parse) but scan-shaped —
     // audio bytes never cross an exchange
     assert(shuffles(Audio.wavStats(Audio.syntheticWavFromDocs(docs))) == 0)
