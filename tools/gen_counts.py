@@ -4,6 +4,8 @@ artifacts — never hand-edit the numbers (three rounds of stale counts).
 Usage:
   python3 tools/gen_counts.py            # print the block
   python3 tools/gen_counts.py --check    # verify README.md contains every number
+  python3 tools/gen_counts.py --write    # rewrite the README block between
+                                         # <!-- gen_counts:begin/end --> markers
 
 Sources of truth:
   - test count:    target/test-count.txt (written by tools/run_tests.sh) or
@@ -42,7 +44,7 @@ def test_count():
     for p in ["target/test-count.txt"]:
         if os.path.exists(p):
             return open(p).read().strip()
-    for p in ["/tmp/sbttest_r14.log"]:
+    for p in ["/tmp/sbttest_latest.log", "/tmp/sbttest_r14.log"]:
         if os.path.exists(p):
             m = re.findall(r"Total number of tests run: (\d+)", open(p).read())
             if m:
@@ -64,7 +66,17 @@ def main():
         if r:
             lines.append(f"{name} gate ({path}): {r[0]}/{r[1]} hash-green")
     block = "\n".join(lines)
-    if "--check" in sys.argv:
+    if "--write" in sys.argv:
+        begin, end = "<!-- gen_counts:begin -->", "<!-- gen_counts:end -->"
+        readme = open("README.md").read()
+        if begin not in readme or end not in readme:
+            print("README.md lacks the gen_counts markers"); sys.exit(1)
+        head, rest = readme.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        open("README.md", "w").write(
+            head + begin + "\n```\n" + block + "\n```\n" + end + tail)
+        print("README block rewritten:\n" + block)
+    elif "--check" in sys.argv:
         readme = open("README.md").read()
         missing = []
         for ln in lines:
