@@ -4660,6 +4660,10 @@ object SparkEntry {
         UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
     // exact micro-unit centroid sums as VARCHAR digits; centroid double
     // derived in lockstep with Stats.labelCentroids
+    // centroid + 0: DuckDB round() preserves IEEE -0.0 (a tiny negative
+    // sum rounding to zero — first hit at sf10, label 3 dim 47) while
+    // Spark ROUND goes through BigDecimal which has no signed zero; the
+    // +0 canonicalizes to +0.0, matching the engine on every value
     "q_label_centroids" ->
       """WITH ex AS (
           SELECT label,
@@ -4670,7 +4674,7 @@ object SparkEntry {
         SELECT label, dim, count(*) AS n,
           CAST(CAST(sum(um) AS DECIMAL(38,0)) AS VARCHAR) AS sum_micro_str,
           round(CAST(CAST(sum(um) AS DECIMAL(38,0)) AS DOUBLE)
-            / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS centroid
+            / CAST(count(*) AS DOUBLE) / 1000000.0, 6) + 0 AS centroid
         FROM ex GROUP BY 1, 2""",
     // histogram-threshold top-fraction: cutoff = highest score whose
     // from-the-top cumulative count reaches ceil(frac*n); ties kept

@@ -9,6 +9,13 @@
 # Usage: tools/record_gates.sh <sf1dir> <sf3dir> [sf10dir]
 #   sf10 runs the SUBSET in tools/sf10_subset.txt (scale-sensitive
 #   dedup/embedding/streaming representatives + every r13-r15 row).
+#   q_embed_dup_pairs / q_semantic_dedup / q_dup_components are NOT in
+#   the list: their DuckDB oracles are exact all-pairs / correlated-
+#   NOT-EXISTS cosine scans (~2e10 ops at 200k vectors) and a recursive
+#   transitive closure (quadratic in dup-class size; >50 GB temp at
+#   sf10) — the single-node ORACLE is the bottleneck, not the engine;
+#   all three stay gated at sf3 and their bounded siblings stay in
+#   (argued in SCALE.md).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 sf1=$1; sf3=$2; sf10=${3:-}
