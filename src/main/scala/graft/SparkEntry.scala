@@ -578,7 +578,8 @@ object SparkEntry {
     // Gpt2SplitPropSpec; punctuation-adjacent words (don't, co-op) are
     // PRICED here where the whitespace row drops them
     "q_bpe_tokens_gpt2" -> ((s, dir) =>
-      TextAnalysis.bpeTokenCountsGpt2(docs(s, dir))),
+      TextAnalysis.bpeTokenCountsGpt2(
+        TextAnalysis.syntheticTextMultiFromDocs(docs(s, dir)))),
     // one BPE TRAINING step mid-table (4 merges learned): weighted
     // adjacent-pair counts over the word-frequency table, top-25
     // candidates — the argmax is the next merge rule
@@ -4214,8 +4215,11 @@ object SparkEntry {
     "q_bpe_tokens_large" ->
       TextAnalysis.bpeOracleSqlStaged(TextAnalysis.largeBpeMerges),
     // GPT-2 split + staged chain, generated from the SAME pattern and
-    // merge table as the Spark side (sentinel pre-pass in RE2 form)
-    "q_bpe_tokens_gpt2" -> TextAnalysis.bpeGpt2OracleSqlStaged(),
+    // merge table as the Spark side (sentinel pre-pass in RE2 form);
+    // input = documents text + profile sentence + non-ASCII plant so
+    // the \p{L} classes are hash-gated cross-engine on every row
+    "q_bpe_tokens_gpt2" -> TextAnalysis.bpeGpt2OracleSqlStaged(
+      docsrcSql = TextAnalysis.gpt2MultiDocsrcSql),
     // generated from the SAME 4-merge prefix as the Spark side
     "q_bpe_merges" ->
       TextAnalysis.bpeMergeOracleSql(

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -313,14 +314,36 @@ case class HtmlExtractLang(left: Expression, right: Expression,
   override def dataType: DataType = HtmlExtractImpl.schema
   override def prettyName: String = "html_extract_lang"
 
-  override def nullSafeEval(html: Any, lang: Any): Any =
-    HtmlExtractImpl.extractLang(html.asInstanceOf[UTF8String],
-      lang.asInstanceOf[UTF8String], minChars, maxLinkPm, minStopPm, longChars)
+  // NULL contract: only a null html yields NULL. A null lang is a
+  // routine crawl value and must dispatch to the "en" fallback profile
+  // (extractLang's lang==null branch), so the expression cannot use the
+  // BinaryExpression null-intolerant path — that would null the whole
+  // struct whenever the lang column is null and silently drop the row.
+  override def nullable: Boolean = left.nullable
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (h, l) =>
-      s"${ev.value} = graft.functions.HtmlExtractImpl$$.MODULE$$.extractLang(" +
-        s"$h, $l, $minChars, $maxLinkPm, $minStopPm, $longChars);")
+  override def eval(input: InternalRow): Any = {
+    val html = left.eval(input)
+    if (html == null) null
+    else HtmlExtractImpl.extractLang(html.asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String],
+      minChars, maxLinkPm, minStopPm, longChars)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = left.genCode(ctx)
+    val l = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${h.code}
+      boolean ${ev.isNull} = ${h.isNull};
+      $javaType ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${l.code}
+        ${ev.value} = graft.functions.HtmlExtractImpl$$.MODULE$$.extractLang(
+          ${h.value}, ${l.isNull} ? null : ${l.value},
+          $minChars, $maxLinkPm, $minStopPm, $longChars);
+      }""")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): HtmlExtractLang =

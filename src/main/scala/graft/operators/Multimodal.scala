@@ -243,7 +243,11 @@ object Multimodal {
           if ((head & 0x80) != 0 || head < 0 || len < 0) done = true
           else p += 4 + len
         }
-        ("audio/flac", rate, channels, math.max(samples.toInt, 1))
+        // 36-bit sample counts can exceed Int.MaxValue (~13.5h @44.1k):
+        // saturate instead of wrapping negative (which max(...,1) would
+        // silently collapse to 1)
+        ("audio/flac", rate, channels,
+          math.max(math.min(samples, Int.MaxValue.toLong).toInt, 1))
       } else if (ascii(0, "OggS")) {
         // OGG (published layout, RFC 3533): pages are
         // [OggS][ver][type][granule u64le][serial u32le][seq u32le]
@@ -276,7 +280,9 @@ object Multimodal {
             p = body + payload
           }
         }
-        ("audio/ogg", rate, channels, math.max(granule.toInt, 1))
+        // the granule is u64: saturate >2^31 sample streams, don't wrap
+        ("audio/ogg", rate, channels,
+          math.max(math.min(granule, Int.MaxValue.toLong).toInt, 1))
       } else if (n >= 12 && u32be(0) >= 8 && ascii(4, "ftyp")) {
         // ISO-BMFF (MP4/MOV/3GP): [size:u32be][type:4cc][payload] box
         // sequence; size==1 → u64 largesize follows the type, size==0 →

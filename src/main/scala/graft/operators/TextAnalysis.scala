@@ -76,7 +76,17 @@ object TextAnalysis {
     * q_fingerprint / q_dedup_exact / q_clean_corpus / q_curate_corpus /
     * q_domain_stats / q_fineweb_rules SQL.
     */
-  val wsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+  /** [[wsClass]]'s members UNBRACKETED — the form safe to interpolate
+    * into a NEGATED class. Interpolating the bracketed [[wsClass]] into
+    * `[^...]` yields `[^[...]]`, which Java parses as a negated
+    * nested-class union but RE2 (the DuckDB oracle side) parses as a
+    * literal '[' member followed by a separate literal ']' — a silent
+    * cross-engine divergence (the r15 ADVICE finding on gpt2PreRegex).
+    * Declared before [[wsClass]] (object-init order).
+    */
+  val wsChars: String = " \\t\\n\\x0B\\f\\r"
+
+  val wsClass: String = "[" + wsChars + "]"
 
   /** [[wsClass]] escaped for embedding inside a Spark SQL string
     * literal (the SQL parser consumes one level of backslashes).
@@ -1855,7 +1865,12 @@ object TextAnalysis {
   /** The GPT-2 pre-tokenization pattern (Radford et al. 2019) pinned
     * cross-engine: contractions, optionally space-prefixed letter /
     * digit / punctuation runs, whitespace runs — over lower-cased text
-    * with the explicit [[wsClass]] whitespace set. The paper regex ends
+    * with the explicit [[wsClass]] whitespace set. Letter/digit runs
+    * use the published UNICODE categories `\p{L}` / `\p{N}` (supported
+    * identically by Java regex and RE2), so non-ASCII words are real
+    * letter runs — priced through the merge chain at their unmerged
+    * codepoint count instead of collapsing into a 1-token punctuation
+    * run (which systematically underpriced non-English token budgets). The paper regex ends
     * `\s+(?!\S)|\s+` (all-but-last of a whitespace run, so the last
     * space glues onto the next word); RE2 has NO lookahead, so the
     * engines run a SENTINEL pre-pass instead: chr(1) is stripped from
@@ -1868,9 +1883,9 @@ object TextAnalysis {
     */
   val gpt2SplitPattern: String =
     "'s|'t|'re|'ve|'m|'ll|'d" +
-      "| ?[a-z]+| ?[0-9]+" +
-      "| ?[^a-z0-9\\x01 \\t\\n\\x0B\\f\\r]+" +
-      "|[ \\t\\n\\x0B\\f\\r]+"
+      "| ?\\p{L}+| ?\\p{N}+" +
+      s"| ?[^\\p{L}\\p{N}\\x01$wsChars]+" +
+      s"|[$wsChars]+"
 
   /** [[gpt2SplitPattern]] for a DuckDB string literal: quotes doubled,
     * backslashes pass through untouched (DuckDB consumes no escapes).
@@ -1889,7 +1904,7 @@ object TextAnalysis {
   /** The sentinel pre-pass regex (both engines: capture groups only, no
     * lookaround).
     */
-  val gpt2PreRegex: String = s"($wsClass+)($wsClass)([^$wsClass])"
+  val gpt2PreRegex: String = s"([$wsChars]+)([$wsChars])([^$wsChars])"
   val gpt2PreRegexSql: String = gpt2PreRegex.replace("\\", "\\\\")
 
   /** Byte-level-BPE token budget with the GPT-2 pre-tokenizer in front
@@ -1915,6 +1930,51 @@ object TextAnalysis {
       s"'$gpt2PreRegexSql', concat('$$1', chr(1), '$$2$$3')), " +
       s"'$gpt2SplitPatternSql', 0)"
 
+  /** Fixed non-ASCII plant appended by [[syntheticTextMultiFromDocs]]
+    * — quote-free by construction (Spark and DuckDB escape string
+    * literals differently; [[sqlStr]] is the DuckDB '' form, which
+    * Spark would silently CONCATENATE).
+    */
+  val gpt2MultiPlant: String = "naïve går öfver żółć führt"
+
+  /** The q_bpe_tokens_gpt2 driver input: each document's text with its
+    * doc_id-dispatched [[graft.functions.StopwordProfiles]] profile
+    * sentence appended (the sv row carries genuine non-ASCII) plus the
+    * fixed [[gpt2MultiPlant]] — so the Unicode `\p{L}` letter classes
+    * are exercised by the cross-engine hash gate on every row, not
+    * just by Gpt2SplitPropSpec. Mirrored arithmetically by
+    * [[gpt2MultiDocsrcSql]].
+    */
+  def syntheticTextMultiFromDocs(docs: DataFrame): DataFrame = {
+    import graft.functions.StopwordProfiles.{langs, sentence}
+    val sents = langs.map(sentence)
+    require(sents.forall(s => !s.contains("'")) && !gpt2MultiPlant.contains("'"),
+      "gpt2 multi fixture text must stay quote-free (dual-engine literals)")
+    val sentArr = sents.map(sqlStr).mkString(", ")
+    val pick = "CAST(doc_id % 10 AS INT) + 1"
+    // the chr(39) tail plants a >=2-whitespace run RIGHT BEFORE an
+    // apostrophe contraction — the exact shape where the sentinel
+    // pre-pass changes the token COUNT (the r15 ADVICE divergence that
+    // the old bracketed-class pre-regex silently skipped on the RE2
+    // side), so the hash gate now pins it on every row
+    docs.select(col("doc_id"),
+      expr(s"concat(coalesce(text, ''), ' ', " +
+        s"element_at(array($sentArr), $pick), ' $gpt2MultiPlant  ', " +
+        "chr(39), 's')").as("text"))
+  }
+
+  /** DuckDB mirror of [[syntheticTextMultiFromDocs]] — a source
+    * relation for [[bpeGpt2OracleSqlStaged]], generated from the SAME
+    * [[graft.functions.StopwordProfiles]] table.
+    */
+  def gpt2MultiDocsrcSql: String = {
+    import graft.functions.StopwordProfiles.{langs, sentence}
+    val sentList = langs.map(l => sqlStr(sentence(l))).mkString(",")
+    s"SELECT doc_id, coalesce(text, '') || ' ' || " +
+      s"list_value($sentList)[CAST(doc_id % 10 AS INT) + 1] || " +
+      s"' $gpt2MultiPlant  ' || chr(39) || 's' AS text FROM documents"
+  }
+
   def bpeTokenCountsGpt2(
       docs: DataFrame,
       merges: Seq[(String, String)] = largeBpeMerges,
@@ -1926,7 +1986,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("CAST(size(__ts) AS BIGINT)").as("n_pretokens"),
         expr(s"CAST(aggregate(__ts, 0, (a, t) -> a + (CASE WHEN " +
-          s"t rlike '^ ?[a-z]+$$' THEN size(bpe_encode(ltrim(t), '$table')) " +
+          s"t rlike '^ ?\\\\p{L}+$$' THEN size(bpe_encode(ltrim(t), '$table')) " +
           "ELSE 1 END)) AS BIGINT)").as("n_bpe_tokens_gpt2"))
   }
 
@@ -1937,7 +1997,8 @@ object TextAnalysis {
     */
   def bpeGpt2OracleSqlStaged(
       merges: Seq[(String, String)] = largeBpeMerges,
-      stageSize: Int = 50): String = {
+      stageSize: Int = 50,
+      docsrcSql: String = "SELECT doc_id, text FROM documents"): String = {
     require(stageSize >= 1 && stageSize <= 100,
       "stageSize must stay below the DuckDB binder depth")
     val stages = merges.grouped(stageSize).toSeq
@@ -1948,23 +2009,24 @@ object TextAnalysis {
       s"s${i + 1} AS (SELECT doc_id, $applied AS s FROM s$i)"
     }
     val last = s"s${stages.length}"
-    s"""WITH pre AS (
+    s"""WITH docsrc AS ($docsrcSql),
+      pre AS (
         SELECT doc_id,
           regexp_replace(replace(lower(coalesce(text, '')), chr(1), ''),
             '$gpt2PreRegex', '\\1' || chr(1) || '\\2\\3', 'g') AS p
-        FROM documents),
+        FROM docsrc),
       tok AS (
         SELECT doc_id, regexp_extract_all(p, '$gpt2SplitPatternDuck') AS ts
         FROM pre),
       base AS (
         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_pretokens,
           CAST(len(list_filter(ts,
-            t -> NOT regexp_full_match(t, ' ?[a-z]+'))) AS BIGINT) AS n_other
+            t -> NOT regexp_full_match(t, ' ?\\p{L}+'))) AS BIGINT) AS n_other
         FROM tok),
       wx AS (
         SELECT doc_id, ltrim(t, ' ') AS w
         FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
-        WHERE regexp_full_match(t, ' ?[a-z]+')),
+        WHERE regexp_full_match(t, ' ?\\p{L}+')),
       s0 AS (
         SELECT doc_id,
           ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s

@@ -31,8 +31,8 @@ object Gpt2SplitPropSpec extends Properties("TextAnalysis.gpt2Split") {
   private val ws = " \t\n\\x0B\f\r"
   private val refPattern = java.util.regex.Pattern.compile(
     "'s|'t|'re|'ve|'m|'ll|'d" +
-      "| ?[a-z]+| ?[0-9]+" +
-      s"| ?[^a-z0-9$ws]+" +
+      "| ?\\p{L}+| ?\\p{N}+" +
+      s"| ?[^\\p{L}\\p{N}$ws]+" +
       s"|[$ws]+(?![^$ws])" + // the paper's \s+(?!\S)
       s"|[$ws]+")
 
@@ -61,7 +61,13 @@ object Gpt2SplitPropSpec extends Properties("TextAnalysis.gpt2Split") {
     "the", "data", "don't", "it's", "we'll", "i'm", "you've", "they're",
     "co-op", "end.", "x1y", "42", "3.14", "a,b", "(x)", "...", "élan",
     " ", "  ", "   ", "\t", " \t ", "\n", "\u0001", "'", "''", "mid'fix",
-    "'start", "end'", "#", "a#b", "-", "--")
+    "'start", "end'", "#", "a#b", "-", "--",
+    // Unicode \p{L}/\p{N} classes (BMP): Latin-1/2 letters, Greek,
+    // Cyrillic, CJK, an Arabic-Indic digit and a vulgar fraction (both
+    // \p{N}), plus contraction-adjacent and case-folding shapes
+    "żółć", "går", "naïve", "führt", "l'été", "ÉTÉ", "straße", "πόλη",
+    "мир", "中文", "٣٤", "½", "x½y", "şeyi'd", "öß", "é.è",
+    "  's", " \t'll")
   private val textG: Gen[String] =
     Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, piece)).map(_.mkString(""))
 
@@ -102,7 +108,7 @@ object Gpt2SplitPropSpec extends Properties("TextAnalysis.gpt2Split") {
         val toks = refSplit(t)
         val want = (toks.length.toLong, toks.map { tok =>
           val body = tok.stripPrefix(" ")
-          if (body.nonEmpty && body.forall(c => c >= 'a' && c <= 'z') &&
+          if (body.nonEmpty && body.forall(Character.isLetter) &&
               !tok.drop(1).contains(' '))
             refBpePieces(body, merges).toLong
           else 1L
@@ -132,5 +138,21 @@ object Gpt2SplitPropSpec extends Properties("TextAnalysis.gpt2Split") {
     // doc goes 0 -> priced
     wsRow(0L) == 0L && gpt2(0L) >= 9L &&
       wsRow(1L) > 0L && gpt2(1L) == wsRow(1L)
+  }
+
+  property("non-ASCII words are REAL letter runs priced through the " +
+      "merge chain — not 1-token punctuation runs (the r15 ASCII-class " +
+      "contract underpriced them)") = {
+    import spark.implicits._
+    val df = Seq((0L, "żółć går naïve führt")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCountsGpt2(df).collect().head
+    val toks = refSplit("żółć går naïve führt")
+    val want = toks.map(t =>
+      refBpePieces(t.stripPrefix(" "), TextAnalysis.largeBpeMerges).toLong).sum
+    // 4 pretokens; under the old [a-z] contract each priced exactly 1
+    // (total 4) — the Unicode contract prices their codepoints through
+    // the chain, so the budget must exceed the pretoken count
+    got.getAs[Long]("n_pretokens") == 4L &&
+      got.getAs[Long]("n_bpe_tokens_gpt2") == want && want > 4L
   }
 }

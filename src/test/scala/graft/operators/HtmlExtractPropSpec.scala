@@ -205,6 +205,24 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
         }
     }
 
+  property("a NULL lang dispatches to the en fallback profile (the " +
+      "documented contract), a NULL html yields a NULL struct") = {
+    import spark.implicits._
+    val html = "<p>the cat and the dog of the house sat in it</p>"
+    val df = Seq(
+      (0L, Option("en"), Option(html)),
+      (1L, Option.empty[String], Option(html)), // null lang == en dispatch
+      (2L, Option("en"), Option.empty[String])) // null html == null struct
+      .toDF("doc_id", "lang", "html")
+    val got = TextAnalysis.htmlExtractLang(df, "html", "lang", 10, 1000, 100, 200)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    got(1L).getAs[String]("text_extracted") ==
+      got(0L).getAs[String]("text_extracted") &&
+      got(0L).getAs[Int]("n_kept") == 1 &&
+      got(2L).getAs[String]("text_extracted") == null &&
+      got(2L).isNullAt(got(2L).fieldIndex("n_blocks"))
+  }
+
   property("engine stopword profiles are StopwordProfiles (en = unary list)") = {
     val en = TextAnalysis.profiles.toMap.apply("en").toSet
     def toSet(hs: java.util.HashSet[String]): Set[String] = {

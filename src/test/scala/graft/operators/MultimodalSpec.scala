@@ -391,6 +391,21 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.decodeBytes(id3)._3 == (("audio/mpeg", 0, 0, 1)))
   }
 
+  test("FLAC >2^31-sample STREAMINFO saturates n_frames at Int.MaxValue " +
+      "instead of wrapping negative") {
+    // fLaC + last-block STREAMINFO (type 0, len 34): rate 44100,
+    // 2 channels, total samples = 0x3_0000_0000 (≈ 81h @ 44.1 kHz)
+    val b = new Array[Byte](4 + 4 + 34)
+    "fLaC".getBytes("US-ASCII").copyToArray(b, 0)
+    b(4) = 0x80.toByte; b(5) = 0; b(6) = 0; b(7) = 34
+    val s = 8 // STREAMINFO payload start
+    b(s + 10) = 0x0a; b(s + 11) = 0xc4.toByte       // rate 44100 (20 bits)
+    b(s + 12) = (0x40 | (1 << 1)).toByte            // rate low nibble | ch-1=1
+    b(s + 13) = 0x03                                 // samples bits 35..32
+    val r = Multimodal.decodeBytes(b)
+    assert(r._3 == (("audio/flac", 44100, 2, Int.MaxValue)), s"got ${r._3}")
+  }
+
   test("FLAC/OGG malformed containers degrade to zeros, never throw") {
     // fLaC magic with a truncated STREAMINFO
     val f = "fLaC".getBytes("US-ASCII") ++ Array[Byte](0x80.toByte, 0, 0, 34, 1, 2)
