@@ -2,7 +2,7 @@ package graft
 
 import graft.analyze.Compiler
 import graft.exec.{Runner, Runners}
-import graft.operators.{Audio, CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Selection, Similarity, Stats, TextAnalysis}
+import graft.operators.{Audio, CorpusPipeline, Dedup, Features, Graph, Integrity, Json, Multimodal, Packing, Ranking, Selection, Similarity, Stats, TextAnalysis, Warc}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, expr, greatest, least, lit, when}
 
@@ -1514,6 +1514,12 @@ object SparkEntry {
     "q_html_extract_multi" -> ((s, dir) =>
       TextAnalysis.htmlExtractLang(
         TextAnalysis.syntheticHtmlMultiFromDocs(docs(s, dir)))),
+    // WARC ingest — the crawl front door: doc_id-arithmetic synthetic
+    // WARC files (warcinfo/request/response/metadata records, a gzip
+    // member every 3rd doc, a truncated tail record every 5th, garbage
+    // bytes every 11th≡4) → record walk → HTTP envelope → html_extract
+    // over the response body; zero-shuffle projection chain
+    "q_warc_extract" -> ((s, dir) => Warc.warcExtractQuery(docs(s, dir))),
     // deterministic global shuffle → fixed-size training shards: the
     // tokenBudget two-pass prefix-sum discipline with weight 1 (one
     // range shuffle + a #partitions-sized driver exchange — never the
@@ -4863,6 +4869,10 @@ object SparkEntry {
     // StopwordProfiles table as the engine kernel (plant literals +
     // per-line stop counts dispatched by the same doc_id%10 CASE)
     "q_html_extract_multi" -> TextAnalysis.htmlMultiOracleSql,
+    // WARC ingest: generated from the SAME page literals and profile
+    // table as the fixture — every field recomputed from doc_id
+    // arithmetic + the raw text, no WARC/HTML parsing in the oracle
+    "q_warc_extract" -> Warc.warcOracleSql,
     // shard plan: the oracle is the single-node window form of the
     // engine's distributed two-pass ordinal — identical strict total
     // order (md5 shuffle key, id tiebreak), identical shard arithmetic

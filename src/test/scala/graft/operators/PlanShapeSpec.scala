@@ -56,6 +56,9 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // scan-shaped like the WAV decode
     assert(shuffles(Multimodal.decode(
       Multimodal.syntheticAudioFormatsFromDocs(docs))) == 0)
+    // WARC ingest: record walk + HTTP envelope + html_extract is one
+    // zero-shuffle projection chain — binary never crosses an exchange
+    assert(shuffles(Warc.warcExtractQuery(docs)) == 0)
     // WAV decode: mapPartitions (streamed byte parse) but scan-shaped —
     // audio bytes never cross an exchange
     assert(shuffles(Audio.wavStats(Audio.syntheticWavFromDocs(docs))) == 0)
