@@ -4813,7 +4813,7 @@ object SparkEntry {
     // per-line keep arithmetic on the raw document text, inline-anchor
     // link chars for doc_id % 4 = 0 — no HTML parser on the oracle side
     "q_html_extract" ->
-      """WITH raw AS (
+      ("""WITH raw AS (
           SELECT doc_id, coalesce(text, '') AS text FROM documents),
         lx AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM raw),
         l AS (
@@ -4831,8 +4831,10 @@ object SparkEntry {
             CAST(len(list_filter(regexp_split_to_array(t, '[ \t\n\x0B\f\r]+'),
               x -> x != '')) AS BIGINT) AS words,
             CAST(len(list_filter(regexp_split_to_array(t, '[ \t\n\x0B\f\r]+'),
-              x -> lower(x) IN ('the', 'and', 'of', 'to', 'in', 'is', 'you',
-                'that', 'it', 'was'))) AS BIGINT) AS stops
+              x -> lower(x) IN (""" +
+      graft.functions.StopwordProfiles.table.head._2.map(
+        w => "'" + w + "'").mkString(", ") +
+      """))) AS BIGINT) AS stops
           FROM l WHERE t != ''),
         lk2 AS (
           SELECT doc_id, i, t, nc, lk,
@@ -4864,7 +4866,7 @@ object SparkEntry {
             + length(replace('about the team pages', ' ', ''))
             + length(replace('contact and support desk', ' ', ''))
             + coalesce(a.line_link, 0) AS BIGINT) AS link_chars
-        FROM raw r LEFT JOIN agg a USING (doc_id)""",
+        FROM raw r LEFT JOIN agg a USING (doc_id)"""),
     // profile-dispatched HTML extraction: generated from the SAME
     // StopwordProfiles table as the engine kernel (plant literals +
     // per-line stop counts dispatched by the same doc_id%10 CASE)

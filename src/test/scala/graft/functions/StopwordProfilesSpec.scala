@@ -2,45 +2,71 @@ package graft.functions
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the invariants the q_html_extract_multi fixture leans on (see
-  * [[StopwordProfiles]]'s scaladoc): a profile edit that breaks any of
-  * these would silently un-pin the per-language stopword rule in the
-  * hash gate, so they fail HERE first, with names.
+/** Pins the invariants the q_html_extract_multi / q_warc_extract
+  * fixtures lean on (see [[StopwordProfiles]]'s scaladoc): a profile or
+  * plant edit that breaks any of these would silently un-pin the
+  * per-language stopword rule in the hash gates, so they fail HERE
+  * first, with names. Since r16 the lists are production-depth
+  * (~50–100 words), so the cross-language disjointness is maintained
+  * at the PLANT-SENTENCE level, not the profile level.
   */
 class StopwordProfilesSpec extends AnyFunSuite {
 
   private val table = StopwordProfiles.table
   private val byLang = table.toMap
+  private val plants = StopwordProfiles.plantWords
 
-  test("10 profiles, 10 distinct lowercase words each, no dup langs") {
+  test("10 profiles at production depth: >=50 distinct lowercase words " +
+      "each, no dup langs, pre-r15 tie-break order") {
     assert(table.size === 10)
-    assert(table.map(_._1).distinct.size === 10)
+    assert(table.map(_._1) ===
+      Seq("en", "de", "fr", "es", "it", "pt", "nl", "sv", "pl", "tr"))
     table.foreach { case (l, words) =>
-      assert(words.size === 10, s"profile $l")
-      assert(words.distinct.size === 10, s"profile $l has duplicate words")
+      assert(words.size >= 50, s"profile $l only ${words.size} words")
+      assert(words.distinct.size === words.size,
+        s"profile $l duplicate words: " +
+          words.diff(words.distinct).distinct.mkString(","))
       words.foreach(w => assert(w == w.toLowerCase(java.util.Locale.ROOT),
         s"profile $l word '$w' not lowercase"))
     }
   }
 
-  test("en sentence is disjoint from every non-en profile (the cross-" +
-      "language plant must fail exactly the stopword rule)") {
-    val en = byLang("en").toSet
-    table.filter(_._1 != "en").foreach { case (l, words) =>
-      val overlap = words.toSet.intersect(en)
-      assert(overlap.isEmpty, s"profile $l shares $overlap with en")
+  test("every plant is 10 words drawn FROM its own profile (the " +
+      "keep-plant must score 10/10)") {
+    assert(plants.keySet === table.map(_._1).toSet)
+    plants.foreach { case (l, ws) =>
+      assert(ws.size === 10 && ws.distinct.size === 10, s"plant $l")
+      val missing = ws.filterNot(byLang(l).contains)
+      assert(missing.isEmpty, s"plant $l words $missing not in profile $l")
     }
   }
 
-  test("de sentence is disjoint from the en profile (the plant for en docs)") {
-    assert(byLang("de").toSet.intersect(byLang("en").toSet).isEmpty)
+  test("en plant sentence is disjoint from every non-en profile (the " +
+      "cross-language plant must fail exactly the stopword rule)") {
+    val en = plants("en").toSet
+    table.filter(_._1 != "en").foreach { case (l, words) =>
+      val overlap = words.toSet.intersect(en)
+      assert(overlap.isEmpty, s"profile $l shares $overlap with en plant")
+    }
   }
 
-  test("every profile sentence is 25..199 chars (kept by length, not by " +
+  test("de plant sentence is disjoint from the en profile (the plant " +
+      "for en docs)") {
+    val overlap = plants("de").toSet.intersect(byLang("en").toSet)
+    assert(overlap.isEmpty, s"en profile shares $overlap with de plant")
+  }
+
+  test("every plant sentence is 25..199 chars (kept by length, not by " +
       "the longChars escape, under the q_html_extract_multi thresholds)") {
     table.foreach { case (l, _) =>
       val n = StopwordProfiles.sentence(l).length
       assert(n >= 25 && n < 200, s"sentence($l) length $n")
+    }
+  }
+
+  test("plant sentences are quote-free (dual-engine string literals)") {
+    table.foreach { case (l, _) =>
+      assert(!StopwordProfiles.sentence(l).contains("'"), s"sentence($l)")
     }
   }
 

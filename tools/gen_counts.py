@@ -77,17 +77,23 @@ def main():
             head + begin + "\n```\n" + block + "\n```\n" + end + tail)
         print("README block rewritten:\n" + block)
     elif "--check" in sys.argv:
+        # BLOCK-EXACT: regenerate and string-compare the marker section —
+        # substring number matching could not catch a one-artifact-stale
+        # block whose numbers all appear elsewhere in the README (the r15
+        # verdict's finding #2)
+        begin, end = "<!-- gen_counts:begin -->", "<!-- gen_counts:end -->"
         readme = open("README.md").read()
-        missing = []
-        for ln in lines:
-            nums = re.findall(r"(\d+/\d+|\b\d{3,4}\b)", ln)
-            for n in nums:
-                if n not in readme:
-                    missing.append((ln, n))
-        if missing:
-            print("STALE COUNTS — README.md lacks:", missing)
+        if begin not in readme or end not in readme:
+            print("README.md lacks the gen_counts markers"); sys.exit(1)
+        current = readme.split(begin, 1)[1].split(end, 1)[0]
+        expected = "\n```\n" + block + "\n```\n"
+        if current != expected:
+            print("STALE BLOCK — README gen_counts section differs from "
+                  "the regenerated one.\n--- README has:" + current +
+                  "--- artifacts say:" + expected +
+                  "Run: python3 tools/gen_counts.py --write")
             sys.exit(1)
-        print("README counts match the artifacts")
+        print("README gen_counts block matches the artifacts exactly")
     else:
         print(block)
 
