@@ -33,8 +33,11 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
   // ------------------------------------------------------ the reference
 
   private val wsSet = Set(' ', '\t', '\n', '\u000B', '\f', '\r')
-  private val stops = Set("the", "and", "of", "to", "in", "is", "you",
-    "that", "it", "was")
+  // the engine's default profile IS StopwordProfiles' en list (r16:
+  // production-depth lists; a hard-coded 10-word head here drifted when
+  // the table deepened) — the reference derives it from the same table
+  private val stops: Set[String] =
+    graft.functions.StopwordProfiles.table.toMap.apply("en").toSet
   // a tag body: anything but an unquoted `>`; quoted attribute values may
   // contain `>` (r15 contract)
   private val tagBody = """(?:[^>"']|"[^"]*"|'[^']*')*"""
