@@ -107,22 +107,59 @@ object SparkEntry {
       val consumed = sqls.map(_._1).filter(n =>
         sqls.exists { case (m, sql) => m != n && sql.contains(em.hubRef(n)) })
         .toSet
-      sqls.foreach { case (name, sql) =>
-        // localCheckpoint CONSUMED hubs only: an RDD-backed view means
-        // downstream hub SQL never sees nested CTE chains — Spark's
-        // InlineCTE pass miscompiles deeply nested CTE+lateral trees
-        // (PLAN_VALIDATION_FAILED_RULE_IN_BATCH "resolved became
-        // unresolved"; deterministic in a pristine JVM, masked after
-        // unrelated plans execute — SqlEmitterSpec's sub-JVM canary).
-        // Also matches the reference's materialized-hub contract between
-        // source queries. LEAF hubs (nothing downstream reads them — the
-        // big fact hub, typically) stay lazy: their single CTE chain
-        // nests nowhere, and eagerly materializing the corpus-sized
-        // enriched fact just to select from it once is the kind of
-        // wall that grows with data (measured 4x for 10x at sf1).
-        val df = s.sql(sql)
-        (if (consumed(name)) df.localCheckpoint() else df)
-          .createOrReplaceTempView("hub_" + name)
+      // localCheckpoint CONSUMED hubs only: an RDD-backed view means
+      // downstream hub SQL never sees nested CTE chains — Spark's
+      // InlineCTE pass miscompiles deeply nested CTE+lateral trees
+      // (PLAN_VALIDATION_FAILED_RULE_IN_BATCH "resolved became
+      // unresolved"; deterministic in a pristine JVM, masked after
+      // unrelated plans execute — SqlEmitterSpec's sub-JVM canary).
+      // Also matches the reference's materialized-hub contract between
+      // source queries. LEAF hubs (nothing downstream reads them — the
+      // big fact hub, typically) stay lazy: their single CTE chain
+      // nests nowhere, and eagerly materializing the corpus-sized
+      // enriched fact just to select from it once is the kind of
+      // wall that grows with data (measured 4x for 10x at sf1).
+      //
+      // r16: the eager localCheckpoints are independent blocking jobs
+      // WITHIN a dependency level (a hub's SQL only reads hub views of
+      // its deps), so each level's checkpoints run from a small pool —
+      // concurrent jobs back-fill each other's straggler tails (guide
+      // §2.6). Level order keeps every dep's view registered before a
+      // dependent's s.sql() parses; results are unchanged.
+      val bySource = sqls.toMap
+      val deps: Map[String, Seq[String]] = sqls.map { case (name, sql) =>
+        name -> sqls.map(_._1).filter(m => m != name &&
+          sql.contains(em.hubRef(m)))
+      }.toMap
+      val depth = scala.collection.mutable.Map.empty[String, Int]
+      compiled.sources.map(_.source.name).foreach { n =>
+        depth(n) = (deps(n).map(d => depth(d) + 1) :+ 0).max
+      }
+      sqls.map(_._1).groupBy(depth).toSeq.sortBy(_._1).foreach { case (_, lvl) =>
+        val (eager, lazyHubs) = lvl.partition(consumed)
+        if (eager.size <= 1)
+          eager.foreach { name =>
+            s.sql(bySource(name)).localCheckpoint()
+              .createOrReplaceTempView("hub_" + name)
+          }
+        else {
+          // parse+register serially (cheap, needs dep views), checkpoint
+          // concurrently (the expensive blocking jobs)
+          val dfs = eager.map(name => name -> s.sql(bySource(name)))
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(dfs.size, 4))
+          try {
+            dfs.map { case (name, df) =>
+              pool.submit(new java.util.concurrent.Callable[Unit] {
+                def call(): Unit = df.localCheckpoint()
+                  .createOrReplaceTempView("hub_" + name)
+              })
+            }.foreach(_.get())
+          } finally pool.shutdown()
+        }
+        lazyHubs.foreach { name =>
+          s.sql(bySource(name)).createOrReplaceTempView("hub_" + name)
+        }
       }
       s.table("hub_tpch_lineitem").select(
         "l_orderkey", "l_linenumber", "net_price", "net_price_no_returns",
@@ -896,8 +933,11 @@ object SparkEntry {
     // project-level relation audit: the YAML-declared relation expressions
     // themselves drive the joins (rendered exactly as the planner renders
     // them) — unmatched lookups and *-1 fan-out violations per relation
+    // r16: pruned hubs — the audit joins bind relation KEY columns only,
+    // so the provider plans just those rules instead of the full enriched
+    // hub join tree once per relation (identical counts, oracle-gated)
     "q_relation_audit" -> ((_, dir) =>
-      graft.exec.RelationAudit.audit(compiled, runner(dir).hub)),
+      graft.exec.RelationAudit.auditPruned(compiled, runner(dir))),
     // ANALYZE-style column profile: per-column row/null/ndv/min/max from
     // ONE aggregation over ONE scan per relation (exact ndv here — the
     // oracle baseline; approx_count_distinct is the no-Expand scale

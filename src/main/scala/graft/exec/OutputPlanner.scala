@@ -97,39 +97,79 @@ final class Runner(
 
   private val hubCache = mutable.LinkedHashMap.empty[String, DataFrame]
 
-  def hub(name: String): DataFrame = hubCache.getOrElse(name, {
-    val cs = cp.compiledSource(name)
-    // dependencies first (topo order guarantees no cycles)
-    cs.dependsOn.foreach(hub)
-    var built = new SourcePlanner(cp, cs, reader, hub).plan()
-    if (materializeTables) {
-      val s = cs.source
-      Runner.overwriteTable(built, s.hubName) { w0 =>
-        var w = w0
-        if (s.hubPartitionBy.nonEmpty) w = w.partitionBy(s.hubPartitionBy: _*)
-        if (s.hubBucketBy.nonEmpty) {
-          val n = if (s.hubBuckets > 0) s.hubBuckets else 32
-          w = w.bucketBy(n, s.hubBucketBy.head, s.hubBucketBy.tail: _*)
-            .sortBy(s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+  def hub(name: String): DataFrame =
+    hubCache.synchronized(hubCache.get(name)).getOrElse {
+      val cs = cp.compiledSource(name)
+      // dependencies first (topo order guarantees no cycles)
+      cs.dependsOn.foreach(hub)
+      var built = new SourcePlanner(cp, cs, reader, hub).plan()
+      if (materializeTables) {
+        val s = cs.source
+        Runner.overwriteTable(built, s.hubName) { w0 =>
+          var w = w0
+          if (s.hubPartitionBy.nonEmpty) w = w.partitionBy(s.hubPartitionBy: _*)
+          if (s.hubBucketBy.nonEmpty) {
+            val n = if (s.hubBuckets > 0) s.hubBuckets else 32
+            w = w.bucketBy(n, s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+              .sortBy(s.hubBucketBy.head, s.hubBucketBy.tail: _*)
+          }
+          w
         }
-        w
+        built = built.sparkSession.table(s.hubName)
+      } else materializeDir.foreach { dir =>
+        val path = s"$dir/${cs.source.hubName}"
+        val writer = built.write.mode("overwrite")
+        val partitioned =
+          if (cs.source.hubPartitionBy.nonEmpty)
+            writer.partitionBy(cs.source.hubPartitionBy: _*)
+          else writer
+        partitioned.parquet(path)
+        built = built.sparkSession.read.parquet(path)
       }
-      built = built.sparkSession.table(s.hubName)
-    } else materializeDir.foreach { dir =>
-      val path = s"$dir/${cs.source.hubName}"
-      val writer = built.write.mode("overwrite")
-      val partitioned =
-        if (cs.source.hubPartitionBy.nonEmpty)
-          writer.partitionBy(cs.source.hubPartitionBy: _*)
-        else writer
-      partitioned.parquet(path)
-      built = built.sparkSession.read.parquet(path)
+      hubCache.synchronized(hubCache.getOrElseUpdate(name, built))
     }
-    hubCache(name) = built
-    built
-  })
+
+  /** Materialize-mode job overlap: hub writes are blocking Spark actions,
+    * and a straggling write tail leaves the cluster idle while the next
+    * independent hub waits (guide §2.6). Group the requested hubs'
+    * transitive closure into dependency levels and submit each level's
+    * writes from a small thread pool — Spark schedules concurrent jobs
+    * FIFO, so the next hub's tasks back-fill executors freed by the
+    * current hub's tail. Results are identical: levels run in topological
+    * order, so every dependency is in `hubCache` before any dependent
+    * plans, and names within a level are distinct (no double-build).
+    * Lazy mode (no materialization) skips this — hub "builds" there are
+    * driver-side plan construction with nothing to overlap.
+    */
+  private def prebuildHubs(names: Seq[String]): Unit =
+    if (materializeDir.isDefined || materializeTables) {
+      val need = mutable.LinkedHashSet.empty[String]
+      def visit(n: String): Unit = if (!need.contains(n)) {
+        cp.compiledSource(n).dependsOn.foreach(visit); need += n
+      }
+      names.foreach(visit)
+      val depth = mutable.Map.empty[String, Int]
+      need.foreach { n =>
+        depth(n) =
+          (cp.compiledSource(n).dependsOn.toSeq.map(d => depth(d) + 1) :+ 0).max
+      }
+      need.toSeq.groupBy(depth).toSeq.sortBy(_._1).foreach { case (_, lvl) =>
+        val todo = lvl.filter(n => hubCache.synchronized(!hubCache.contains(n)))
+        if (todo.size <= 1) todo.foreach(hub)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(todo.size, 4))
+          try {
+            todo.map(n => pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = hub(n)
+            })).foreach(_.get())
+          } finally pool.shutdown()
+        }
+      }
+    }
 
   def buildAllHubs(): Map[String, DataFrame] = {
+    prebuildHubs(cp.sources.map(_.source.name))
     cp.sources.foreach(cs => hub(cs.source.name))
     hubCache.toMap
   }
@@ -140,6 +180,15 @@ final class Runner(
     * Each call gets its own cache so different consumers' prunings don't
     * bleed into each other.
     */
+  /** Public face of [[prunedHubs]] for callers outside this file that
+    * need hub frames carrying only a known rule set (RelationAudit: the
+    * audit joins read relation KEY columns, not the full enriched hub —
+    * planning every lookup/aggregate rule just to count key matches
+    * re-built the whole fact-hub join tree once per audited relation).
+    */
+  def hubProvider(needed: Map[String, Set[String]]): String => DataFrame =
+    prunedHubs(needed)
+
   private def prunedHubs(needed: Map[String, Set[String]]): String => DataFrame = {
     val cache = mutable.Map.empty[String, DataFrame]
     lazy val get: String => DataFrame = name =>
@@ -171,8 +220,10 @@ final class Runner(
     // semantics); lazy mode plans each channel source with only the rules
     // the output's mappings/filter reach (VERDICT r1 scale defect #3).
     val hubFn: String => DataFrame =
-      if (materializeDir.isDefined || materializeTables) hub
-      else prunedHubs(Pruner.neededForOutput(cp, co))
+      if (materializeDir.isDefined || materializeTables) {
+        prebuildHubs(co.channels.map(_.channel.sourceName).distinct)
+        hub
+      } else prunedHubs(Pruner.neededForOutput(cp, co))
     new OutputPlanner(cp, hubFn).plan(co)
   }
 

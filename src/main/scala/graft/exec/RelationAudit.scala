@@ -29,6 +29,34 @@ object RelationAudit {
   def audit(cp: CompiledProject, hub: String => DataFrame): DataFrame =
     cp.project.relations.map(r => auditOne(cp, hub, r.name)).reduce(_.unionAll(_))
 
+  /** [[audit]] over PRUNED hubs: each audit join needs only the columns
+    * the relation expression binds (plus uv-flag companions), so the hub
+    * provider plans just those rules — raw-attribute relations audit
+    * against bare source scans instead of re-building the full enriched
+    * hub (its whole lookup/aggregate join tree) once per relation.
+    * Identical counts: rule columns that don't key the join cannot change
+    * which rows match.
+    */
+  def auditPruned(cp: CompiledProject, runner: Runner): DataFrame =
+    audit(cp, runner.hubProvider(graft.analyze.Pruner.closure(cp, neededRules(cp))))
+
+  /** Rule-typed attributes each relation binds, per source — the pruning
+    * roots for [[auditPruned]] (raw attributes are free; Pruner.closure
+    * expands rule-on-rule deps and uv-flag companions).
+    */
+  private def neededRules(cp: CompiledProject): Map[String, Set[String]] =
+    cp.project.relations.flatMap { r =>
+      val rel = cp.relations(r.name)
+      val rd = rel.relation
+      rel.expr.params.indices.flatMap { i =>
+        if (!rel.isRule(i)) None
+        else {
+          val src = if (rel.sides(i) == "This") rd.sourceName else rd.relatedName
+          Some(src -> rel.expr.params(i).attribute)
+        }
+      }
+    }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+
   def auditOne(
       cp: CompiledProject, hub: String => DataFrame, name: String): DataFrame = {
     val rel = cp.relations(name)

@@ -139,7 +139,10 @@ object Dedup {
     import org.apache.spark.sql.types._
     require(headMinFreq > maxShingleFreq,
       "headMinFreq must exceed the cap (head/tail routing partitions the hot set)")
-    val sh = shingleRows(docs, textCol, n)
+    // two consumers (hot-shingle aggregate + index probe) under
+    // different exchanges — materialize the exploded shingle relation
+    // once ([[minhashPairs]] discipline)
+    val sh = shingleRows(docs, textCol, n).localCheckpoint(false)
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
       .filter(col("__f") > maxShingleFreq)
     val headHot = hot.filter(col("__f") >= headMinFreq)
@@ -227,7 +230,11 @@ object Dedup {
       docs: DataFrame, textCol: String = "text", n: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // sh fans out to the df aggregate + the index join; byDoc to the
+    // prefix index + both verify sides — materialize each once
+    // ([[minhashPairs]] discipline)
     val sh = shingleRows(docs, textCol, n) // doc_id, n_sh, shingle
+      .localCheckpoint(false)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     val byDoc = sh.join(df, "shingle")
       .groupBy("doc_id")
@@ -332,7 +339,16 @@ object Dedup {
     // the `numHashes` transform references — measured 100×+ slower at sf0.1.
     // The hash chain replicates SQL `xxhash64(s, j)` exactly (XXH64 seed 42,
     // value-chained), so results are stable across both formulations.
+    // The signature relation fans out to FOUR consumers (band rows, the
+    // hot-bucket cap's aggregate, and both verify sides), each under a
+    // differently-keyed exchange — AQE's stage cache cannot dedupe them,
+    // so bare it is computed 3-4x per run (measured: 4 identical
+    // shingle-stage jobs inside q_curate_corpus). Materialize it ONCE
+    // (lazy local checkpoint: executor blocks, ContextCleaner-released,
+    // spills to disk at scale) — the guide §8 "fingerprint once, decide
+    // on the proxy" discipline.
     val sh = shingleBands(docs, textCol, n, numHashes, bands)
+      .localCheckpoint(false)
     val br = capBandBuckets(bandRowsOf(sh, "doc_id"), maxBandFreq)
     // Band join carries ids only; shingle arrays rejoin for exact-Jaccard
     // verification of the (much smaller) candidate set.
@@ -366,8 +382,12 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5,
       maxBandFreq: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // both signature relations fan out (band rows + verify side) —
+    // materialize once each, as in [[minhashPairs]]
     val shC = shingleBands(corpus, textCol, n, numHashes, bands)
+      .localCheckpoint(false)
     val shB = shingleBands(batch, textCol, n, numHashes, bands)
+      .localCheckpoint(false)
     // the cap applies per side (each window counts within its own frame):
     // candidates per bucket are bounded by maxBandFreq² instead of
     // |batch bucket| × |corpus bucket|
@@ -553,7 +573,7 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, textCol: String = "text", maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(docs, textCol)
+    val sh = simhash(docs, textCol).localCheckpoint(false)
     // one representative per distinct signature; the join back to sh is
     // co-partitioned on simhash with the aggregation's own exchange
     val rep = sh.groupBy(col("simhash")).agg(min(col("doc_id")).as("__rep"))
@@ -594,7 +614,9 @@ object Dedup {
   def jaccardOf(
       docs: DataFrame, pairs: DataFrame, textCol: String = "text",
       n: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, textCol, n)
+    // both pair sides probe the same shingle-set relation — materialize
+    // it once ([[minhashPairs]] discipline)
+    val sets = shingleSets(docs, textCol, n).localCheckpoint(false)
     pairs.select("doc_a", "doc_b")
       .join(sets.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")),
         Seq("doc_a"), "left")
@@ -849,21 +871,36 @@ object Dedup {
     // one cheap write) and released — no per-call corpus-sized cache is
     // left to the ContextCleaner. Labels are identical at any cadence
     // (spec-pinned).
+    // LAZY local truncation (r16): each round's convergence count() is the
+    // one action that materializes that round's truncated labels — the
+    // eager localCheckpoint paid a second job per round for nothing. The
+    // previous label rides ALONG through the propagate join as `__prev`,
+    // so the convergence count is a filter over the just-materialized
+    // blocks instead of a per-round (next ⋈ labels) shuffle join — one
+    // join and one action fewer per round, identical labels (spec-pinned).
+    // The RELIABLE branch stays EAGER: a lazy reliable checkpoint
+    // recomputes the RDD in the separate checkpoint-write job (it is not
+    // persisted), so laziness there would double the round's work.
     def truncate(df: DataFrame, round: Int): DataFrame =
       if (checkpointDir.isDefined) {
         if (round % checkpointEvery == 0) df.checkpoint() else df.persist()
-      } else df.localCheckpoint()
+      } else df.localCheckpoint(false)
     def isPersisted(round: Int): Boolean =
       checkpointDir.isDefined && round % checkpointEvery != 0
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
+    // round 0 has no count of its own; its lazy truncation materializes
+    // inside round 1's count job
+    var cur = truncate(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component_id")), 0)
+    var labels = cur
     var labelsRound = 0
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      val prev = cur
+      val prevRound = labelsRound
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("component_id").as("__nl")), "dst")
         .groupBy(col("src").as("id"))
@@ -872,11 +909,12 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component_id"), coalesce(col("__nmin"), col("component_id")))
-            .as("component_id")), iter + 1)
-      val changed = next.join(labels.withColumnRenamed("component_id", "__old"), "id")
-        .filter(col("component_id") =!= col("__old")).count()
-      if (isPersisted(labelsRound)) labels.unpersist()
-      labels = next
+            .as("component_id"),
+          col("component_id").as("__prev")), iter + 1)
+      val changed = next.filter(col("component_id") =!= col("__prev")).count()
+      if (isPersisted(prevRound)) prev.unpersist()
+      cur = next
+      labels = next.select("id", "component_id")
       labelsRound = iter + 1
       converged = changed == 0
       iter += 1
@@ -884,7 +922,7 @@ object Dedup {
     edges.unpersist()
     if (isPersisted(labelsRound)) {
       val terminal = labels.checkpoint()
-      labels.unpersist()
+      cur.unpersist()
       labels = terminal
     }
     vertices.join(labels, Seq("id"), "left")

@@ -141,20 +141,31 @@ object TextAnalysis {
     * scores out of every CASE branch).
     */
   private[operators] def withLangPred(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = tokensExpr(textCol)
-    val scores = profiles.map { case (l, words) =>
-      s"size(filter($toks, t -> t IN (${words.map(sqlStr).mkString(", ")})))" -> l
+    // STAGED evaluation (r16): tokens once, each profile score once, then
+    // argmax. The previous form re-inlined the tokenizer into all 10
+    // score expressions AND re-evaluated every score inside the tie-break
+    // CASE (~15-20 tokenizations per row at r16 profile depth — measured
+    // 1.85x on q_lang_id when the profiles deepened). `array_position`
+    // returns the FIRST index of the max, so the table-order tie-break is
+    // unchanged; null/zero/zh semantics are identical (array_max over all
+    // nulls is null like greatest, and the CASE then falls through to a
+    // null lang_pred via element_at's null index, exactly as the WHEN
+    // chain fell through).
+    val scores = profiles.map { case (_, words) =>
+      s"size(filter(__toks, t -> t IN (${words.map(sqlStr).mkString(", ")})))"
     }
-    val g = s"greatest(${scores.map(_._1).mkString(", ")})"
-    val cases = scores.map { case (s, l) => s"WHEN $s = __g THEN '$l'" }.mkString(" ")
+    val langsArr = s"array(${profiles.map(p => sqlStr(p._1)).mkString(", ")})"
     docs
-      .withColumn("__g", expr(g))
+      .withColumn("__toks", expr(tokensExpr(textCol)))
+      .withColumn("__scores", expr(s"array(${scores.mkString(", ")})"))
       .withColumn("lang_pred",
         expr(
           s"""CASE WHEN regexp_count($textCol, '[\\\\x{4e00}-\\\\x{9fff}]') > 0 THEN 'zh'
-             | WHEN __g = 0 THEN 'unknown'
-             | $cases END""".stripMargin))
-      .drop("__g")
+             | WHEN array_max(__scores) = 0 THEN 'unknown'
+             | ELSE element_at($langsArr,
+             |   CAST(array_position(__scores, array_max(__scores)) AS INT))
+             | END""".stripMargin))
+      .drop("__toks", "__scores")
   }
 
   /** N-gram/stopword-profile language identification. CJK text short-cuts
