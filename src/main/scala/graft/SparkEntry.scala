@@ -297,13 +297,13 @@ object SparkEntry {
 
     // ------- training-data pipeline operators (documents/embeddings) -------
     "q_text_stats" -> ((s, dir) => TextAnalysis.textStats(docs(s, dir))),
-    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "q_lang_id" -> ((s, dir) => TextAnalysis.langId(docsPar(s, dir))),
     "q_token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     // Gopher rule gate (Rae et al. 2021 App. A1): measurements + per-rule
     // booleans + keep conjunction, all row-local, mirrored
     // primitive-for-primitive in DuckDB
-    "q_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docs(s, dir))),
+    "q_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(docsPar(s, dir))),
     // C4 rule gate (Raffel et al. 2020 §2.2): line-level rewrite (kept
     // lines → text_clean) + page-level gates, one zero-shuffle codegen
     // projection over the planted multi-line page (c4Page — both sides
@@ -320,7 +320,7 @@ object SparkEntry {
     // the SAME doc_id-derived email/IP/phone tail and the oracle checks
     // the actual redactions.
     "q_pii_scrub" -> ((s, dir) =>
-      TextAnalysis.piiScrub(docs(s, dir).withColumn("text", expr(
+      TextAnalysis.piiScrub(docsPar(s, dir).withColumn("text", expr(
         "concat(text, ' mail u', CAST(doc_id AS STRING), '@ex.org ip 10.0.'," +
           " CAST(doc_id % 256 AS STRING), '.7 tel 555', " +
           "CAST(1000000 + doc_id AS STRING))")))
@@ -561,7 +561,7 @@ object SparkEntry {
     // oracle runs the identical arithmetic. Terms from the fixture
     // vocabulary so tf and length normalization actually discriminate.
     "q_bm25" -> ((s, dir) =>
-      TextAnalysis.bm25Rank(docs(s, dir), Seq("vector", "hash", "spark"),
+      TextAnalysis.bm25Rank(docsPar(s, dir), Seq("vector", "hash", "spark"),
         k = 100)),
     // bigram surprise: mean inverse conditional bigram probability,
     // micro-quantized like q_surprise; headMin=10 splits the sf0.01
@@ -600,13 +600,13 @@ object SparkEntry {
     // true BPE token counting: rank-ordered merge table applied per word,
     // both expression chains generated from TextAnalysis.defaultBpeMerges
     "q_bpe_tokens" -> ((s, dir) =>
-      TextAnalysis.bpeTokenCounts(docs(s, dir))),
+      TextAnalysis.bpeTokenCounts(docsPar(s, dir))),
     // real-scale table: 150 rules (75 corpus-trained + deterministic
     // compounds to the DuckDB chain-parse ceiling) through the BpeEncode
     // array-speed expression; the oracle runs the same table as 150
     // generated nested replaces
     "q_bpe_tokens_large" -> ((s, dir) =>
-      TextAnalysis.bpeTokenCounts(docs(s, dir),
+      TextAnalysis.bpeTokenCounts(docsPar(s, dir),
         TextAnalysis.largeBpeMerges)),
     // GPT-2 pre-tokenization (Radford et al. 2019) ahead of the same
     // 150-rule merge chain: contractions / space-prefixed letter, digit
@@ -616,7 +616,7 @@ object SparkEntry {
     // PRICED here where the whitespace row drops them
     "q_bpe_tokens_gpt2" -> ((s, dir) =>
       TextAnalysis.bpeTokenCountsGpt2(
-        TextAnalysis.syntheticTextMultiFromDocs(docs(s, dir)))),
+        TextAnalysis.syntheticTextMultiFromDocs(docsPar(s, dir)))),
     // one BPE TRAINING step mid-table (4 merges learned): weighted
     // adjacent-pair counts over the word-frequency table, top-25
     // candidates — the argmax is the next merge rule
@@ -705,11 +705,11 @@ object SparkEntry {
     "q_semantic_dedup" -> ((s, dir) =>
       Dedup.semanticDedupProbed(ivfIndex(s, dir), probes = 12, threshold = 0.9)),
     // composed cleaning recipe: dedup + quality floor + language filter
-    "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docs(s, dir))),
+    "q_clean_corpus" -> ((s, dir) => CorpusPipeline.clean(docsPar(s, dir))),
     // near-dup-aware cleaning: only near-dup-component canonicals survive
     // (MinHash closure; oracle = WITH RECURSIVE over the exact pairs,
     // valid because the pair sets are value-equal — see q_minhash_pairs)
-    "q_clean_neardup" -> ((s, dir) => CorpusPipeline.cleanNearDup(docs(s, dir))),
+    "q_clean_neardup" -> ((s, dir) => CorpusPipeline.cleanNearDup(docsPar(s, dir))),
     // FULL curation chain in one row: Gopher+C4 gates on the planted
     // page (gates read the rendered page; dedup/selection read the raw
     // body — the standard crawl split), exact-dup canonical, MinHash
@@ -717,7 +717,7 @@ object SparkEntry {
     // pins every stage: any drift changes the selected set or its keys.
     "q_curate_corpus" -> ((s, dir) =>
       CorpusPipeline.curate(
-        docs(s, dir).withColumn("__page", expr(c4Page)),
+        docsPar(s, dir).withColumn("__page", expr(c4Page)),
         col("lang") === "en", k = 100, gateTextCol = "__page")),
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), threshold = 0.5)),
@@ -1490,7 +1490,7 @@ object SparkEntry {
     // over doc_id-arithmetic containers — the majority of crawl audio,
     // same row-local zero-shuffle posture as q_webp_decode
     "q_audio_formats" -> ((s, dir) =>
-      Multimodal.decode(Multimodal.syntheticAudioFormatsFromDocs(docs(s, dir)))
+      Multimodal.decode(Multimodal.syntheticAudioFormatsFromDocs(docsPar(s, dir)))
         .select(col("media_id"), col("n_bytes"),
           col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
     "q_frame_sample" -> ((s, dir) =>
@@ -1503,7 +1503,7 @@ object SparkEntry {
     // solid + lossless means every statistic is exactly derivable from
     // doc_id in SQL, so DuckDB can gate a genuine encode→decode cycle
     "q_pixel_stats" -> ((s, dir) =>
-      Multimodal.decodePixels(Multimodal.syntheticImagesFromDocs(docs(s, dir)))
+      Multimodal.decodePixels(Multimodal.syntheticImagesFromDocs(docsPar(s, dir)))
         .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"),
           expr("round(mean_luma, 6)").as("mean_luma"))),
@@ -1516,7 +1516,7 @@ object SparkEntry {
     // resize → hash → band-join chain cross-engine
     "q_image_dedup" -> ((s, dir) =>
       Multimodal.imageDupPairs(
-        Multimodal.syntheticGridImagesFromDocs(docs(s, dir)), maxHamming = 8)
+        Multimodal.syntheticGridImagesFromDocs(docsPar(s, dir)), maxHamming = 8)
         .select("id_a", "id_b", "hamming")),
     // REAL RIFF/WAVE decode, oracle-backed: each doc_id becomes a real
     // PCM16 WAV (md5-derivable samples; planted silence window, planted
@@ -1526,7 +1526,7 @@ object SparkEntry {
     // doc_id without touching a byte, pinning the full WAV encode →
     // chunk-walk → streaming-decode cycle cross-engine
     "q_audio_stats" -> ((s, dir) =>
-      Audio.wavStats(Audio.syntheticWavFromDocs(docs(s, dir)))
+      Audio.wavStats(Audio.syntheticWavFromDocs(docsPar(s, dir)))
         .select("media_id", "decode_ok", "sample_rate", "n_channels",
           "n_samples", "duration_ms", "peak_abs", "sum_abs", "sum_sq",
           "clip_count", "n_windows", "silent_windows")),
@@ -1656,6 +1656,35 @@ object SparkEntry {
       graft.streaming.Events.stageStreamDir(s, s"$d/events.parquet", closeSentinel = sn)
     })
 
+  /** Adaptive scan-parallelism floor (r16, guide §2/§6): repartitions to
+    * the session's core count ONLY when the input's physical partitioning
+    * is below it. Every real multi-file corpus already carries more
+    * partitions than cores — there the condition is false and the plan is
+    * untouched (an unconditional repartition would shuffle the whole
+    * corpus for nothing). The driver fixtures are SINGLE ROW-GROUP parquet
+    * files, and parquet cannot split inside a row group, so no
+    * `maxPartitionBytes` / `minPartitionNum` setting can raise their scan
+    * parallelism: every scan-rooted stage ran as ONE task (measured: the
+    * entire q_bpe_tokens_large BPE encode on 1 of 32 cores, 0.81 s of a
+    * 1.1 s query). The floor buys the cores back for one bounded shuffle.
+    *
+    * OPT-IN per query via [[docsPar]], not the default reader: the full
+    * before/after bench showed the floor wins ~2-4× on CPU-BOUND per-row
+    * operators (BPE encode, image synth+dHash, audio/pixel byte walks,
+    * profile scoring) but COSTS 0.3-0.5 s on light or aggregation-bound
+    * queries (the 1-partition map side pre-collapses groups maximally
+    * before the exchange; a repartition forfeits that and adds a stage).
+    * The partition-count probe is memoized per dataset dir — `df.rdd`
+    * materializes a physical plan, too heavy to re-run per pass.
+    */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def docsPar(s: SparkSession, dir: String): DataFrame = {
+    val df = docs(s, dir)
+    val cores = s.sparkContext.defaultParallelism
+    val parts = scanParts.computeIfAbsent(dir, d => df.rdd.getNumPartitions)
+    if (parts >= cores) df else df.repartition(cores)
+  }
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embeds(s: SparkSession, dir: String): DataFrame =

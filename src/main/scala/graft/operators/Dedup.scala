@@ -1398,11 +1398,15 @@ object Dedup {
     require(probeHamming == 0 || probeHamming == 1,
       "probeHamming must be 0 (exact buckets) or 1 (probe Hamming-1 neighbors)")
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // both candidate-join sides read the same sign-projection relation
+    // (tables × nBits dot products per vector) — materialize it once
+    // (the minhashPairs r16 discipline)
     val bandRows = Similarity.withSignBuckets(
         embeddings, vecCol, idCol, dim, nBits, tables, seed)
       .withColumn("__n", expr(s"vec_norm(`$vecCol`)"))
       .select(col(idCol), col(vecCol), col("__n"),
         posexplode(col("__buckets")).as(Seq("__t", "__bucket")))
+      .localCheckpoint(false)
     val bSide = bandRows.select(col(idCol).as("__bid"), col(vecCol).as("__bv"),
       col("__n").as("__bn"), col("__t"), col("__bucket"))
     val aSide =

@@ -624,7 +624,10 @@ object Multimodal {
   def imageDupPairs(media: DataFrame, maxHamming: Int = 8,
       idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
     require(maxHamming >= 0, "non-negative maxHamming required")
-    val sh = dHash64(media, idCol, bytesCol)
+    // two consumers (rep aggregate + class join) under different
+    // exchanges would re-run the whole decode+dHash pass — materialize
+    // it once (the Dedup.minhashPairs r16 discipline)
+    val sh = dHash64(media, idCol, bytesCol).localCheckpoint(false)
     // signature-identical collapse (the Dedup.simhashPairs discipline):
     // k byte-identical images — logos, icons, ubiquitous in crawls —
     // share all 4 bands; only ONE representative per distinct dHash
