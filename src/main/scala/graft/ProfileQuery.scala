@@ -34,29 +34,33 @@ object ProfileQuery {
     case class Job(start: Long, var end: Long = 0L, var stages: Int = 0,
         var tasks: Int = 0, var shuffleRead: Long = 0L,
         var shuffleWrite: Long = 0L, var input: Long = 0L,
-        var desc: String = "")
+        var desc: String = "", var names: List[String] = Nil)
     val jobs = mutable.LinkedHashMap.empty[Int, Job]
+    val stageToJob = mutable.Map.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val j = Job(e.time)
         j.desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
-        jobs.synchronized(jobs(e.jobId) = j)
+        jobs.synchronized {
+          jobs(e.jobId) = j
+          e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.synchronized(jobs.get(e.jobId).foreach(_.end = e.time))
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val info = e.stageInfo
         jobs.synchronized {
-          // attribute to the most recent unfinished job (local mode,
-          // sequential per-query jobs — good enough for attribution)
-          jobs.lastOption.foreach { case (_, j) =>
+          // exact attribution: JobStart carries its stage ids
+          stageToJob.get(info.stageId).flatMap(jobs.get).foreach { j =>
             j.stages += 1
             j.tasks += info.numTasks
             j.shuffleRead += info.taskMetrics.shuffleReadMetrics.totalBytesRead
             j.shuffleWrite += info.taskMetrics.shuffleWriteMetrics.bytesWritten
             j.input += info.taskMetrics.inputMetrics.bytesRead
+            j.names ::= s"[${info.numTasks}t ${(info.completionTime.getOrElse(0L) - info.submissionTime.getOrElse(0L))}ms ${info.name.takeWhile(_ != '(').trim}]"
           }
         }
       }
@@ -72,7 +76,7 @@ object ProfileQuery {
       println(f"  job $id%3d ${dur}%8.3f s stages=${j.stages}%2d " +
         f"tasks=${j.tasks}%4d input=${j.input / 1024 / 1024}%4d MB " +
         f"sRead=${j.shuffleRead / 1024}%6d KB sWrite=${j.shuffleWrite / 1024}%6d KB " +
-        j.desc.take(60))
+        j.desc.take(40) + " " + j.names.reverse.mkString(" "))
     }
     spark.stop()
   }
