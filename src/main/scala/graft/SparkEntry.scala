@@ -888,7 +888,8 @@ object SparkEntry {
     // UNCAPPED quadratic inverted self-join — the prefix filter must lose
     // NOTHING at the threshold for this row to stay hash-green
     "q_jaccard_prefix" -> ((s, dir) =>
-      Dedup.jaccardPrefixPairs(docs(s, dir), threshold = 0.7)),
+      Dedup.jaccardPrefixPairs(docs(s, dir), threshold = 0.7,
+        verifyPar = docsFloorPar(s, dir))),
     // referential-integrity audit over every star-schema edge; orphan
     // columns are zero on a consistent warehouse (that's the assertion),
     // unreferenced_parent_keys is the non-trivial coverage signal
@@ -1482,7 +1483,7 @@ object SparkEntry {
     // packed dims, 24-bit canvas, ANMF frame count) while DuckDB
     // recomputes mime/dims/frames/length from the generator contract
     "q_webp_decode" -> ((s, dir) =>
-      Multimodal.decode(Multimodal.syntheticWebpFromDocs(docs(s, dir)))
+      Multimodal.decode(Multimodal.syntheticWebpFromDocs(docsPar(s, dir)))
         .select(col("media_id"), col("n_bytes"),
           col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
     // compressed-audio header metadata (r15): REAL FLAC STREAMINFO /
@@ -1543,7 +1544,7 @@ object SparkEntry {
     // column from the generator contract without an HTML parser
     "q_html_extract" -> ((s, dir) =>
       TextAnalysis.htmlExtract(
-        TextAnalysis.syntheticHtmlFromDocs(docs(s, dir)))),
+        TextAnalysis.syntheticHtmlFromDocs(docsPar(s, dir)))),
     // profile-dispatched HTML extraction: lang cycles the 10 stopword
     // profiles by doc_id arithmetic; the kept block is the assigned
     // language's own stopword sentence and the cross-language plant
@@ -1553,13 +1554,13 @@ object SparkEntry {
     // decoy </scripts> close, a self-closing anchor)
     "q_html_extract_multi" -> ((s, dir) =>
       TextAnalysis.htmlExtractLang(
-        TextAnalysis.syntheticHtmlMultiFromDocs(docs(s, dir)))),
+        TextAnalysis.syntheticHtmlMultiFromDocs(docsPar(s, dir)))),
     // WARC ingest — the crawl front door: doc_id-arithmetic synthetic
     // WARC files (warcinfo/request/response/metadata records, a gzip
     // member every 3rd doc, a truncated tail record every 5th, garbage
     // bytes every 11th≡4) → record walk → HTTP envelope → html_extract
     // over the response body; zero-shuffle projection chain
-    "q_warc_extract" -> ((s, dir) => Warc.warcExtractQuery(docs(s, dir))),
+    "q_warc_extract" -> ((s, dir) => Warc.warcExtractQuery(docsPar(s, dir))),
     // deterministic global shuffle → fixed-size training shards: the
     // tokenBudget two-pass prefix-sum discipline with weight 1 (one
     // range shuffle + a #partitions-sized driver exchange — never the
@@ -1703,9 +1704,22 @@ object SparkEntry {
     */
   private def docsParPinned(s: SparkSession, dir: String): DataFrame = {
     val df = docs(s, dir)
+    val par = docsFloorPar(s, dir)
+    if (par == 0) df else df.repartition(par).localCheckpoint(false)
+  }
+  /** The scan-floor CONDITION as a width: the session core count when the
+    * documents fixture carries fewer physical partitions than cores (the
+    * single-row-group case [[tablePar]] documents), else 0 — for operators
+    * that take a parallelism KNOB instead of a repartitioned input (the
+    * jaccardPrefixPairs verify spread). Memo key shared with tablePar —
+    * a separate `dir`-keyed entry duplicated the physical-plan
+    * materialization of the very same file (ADVICE r16).
+    */
+  private def docsFloorPar(s: SparkSession, dir: String): Int = {
     val cores = s.sparkContext.defaultParallelism
-    val parts = scanParts.computeIfAbsent(dir, d => df.rdd.getNumPartitions)
-    if (parts >= cores) df else df.repartition(cores).localCheckpoint(false)
+    val parts = scanParts.computeIfAbsent(s"$dir/documents",
+      _ => docs(s, dir).rdd.getNumPartitions)
+    if (parts >= cores) 0 else cores
   }
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")

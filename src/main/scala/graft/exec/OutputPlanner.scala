@@ -96,9 +96,23 @@ final class Runner(
     materializeTables: Boolean = false) {
 
   private val hubCache = mutable.LinkedHashMap.empty[String, DataFrame]
+  // Per-name build locks (ADVICE r16): the cache reads are synchronized but
+  // the build/write is not, so two concurrent hub(name) callers (possible
+  // via the public API outside prebuildHubs' distinct-per-level guarantee)
+  // could both run the overwriteTable/parquet write on the same target.
+  // Holding name's lock while building takes dependency locks in DAG order
+  // (the compiler guarantees acyclic deps), so no deadlock is possible.
+  private val hubLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def hub(name: String): DataFrame =
     hubCache.synchronized(hubCache.get(name)).getOrElse {
+      hubLocks.computeIfAbsent(name, _ => new Object).synchronized {
+        hubCache.synchronized(hubCache.get(name)).getOrElse(buildHub(name))
+      }
+    }
+
+  private def buildHub(name: String): DataFrame = {
       val cs = cp.compiledSource(name)
       // dependencies first (topo order guarantees no cycles)
       cs.dependsOn.foreach(hub)
@@ -127,7 +141,7 @@ final class Runner(
         built = built.sparkSession.read.parquet(path)
       }
       hubCache.synchronized(hubCache.getOrElseUpdate(name, built))
-    }
+  }
 
   /** Materialize-mode job overlap: hub writes are blocking Spark actions,
     * and a straggling write tail leaves the cluster idle while the next

@@ -35,24 +35,38 @@ object RelationAudit {
     * against bare source scans instead of re-building the full enriched
     * hub (its whole lookup/aggregate join tree) once per relation.
     * Identical counts: rule columns that don't key the join cannot change
-    * which rows match.
+    * which rows match. Caveat: that equivalence assumes the pruned-away
+    * rule JOINS don't inflate hub rows — a declared `*-1` lookup that
+    * actually fans out (the very defect the audit exists to surface)
+    * multiplies source_rows in [[audit]]'s full hubs but not here, so the
+    * pruned counts reflect UN-inflated source rows. That is the more
+    * useful number (each source row audited once), but it differs from
+    * audit() exactly when some unrelated relation is already broken.
     */
   def auditPruned(cp: CompiledProject, runner: Runner): DataFrame =
     audit(cp, runner.hubProvider(graft.analyze.Pruner.closure(cp, neededRules(cp))))
 
   /** Rule-typed attributes each relation binds, per source — the pruning
     * roots for [[auditPruned]] (raw attributes are free; Pruner.closure
-    * expands rule-on-rule deps and uv-flag companions).
+    * expands rule-on-rule deps — but uv-flag companions only for PATH
+    * hops, not root seeds, so the guard columns [[auditOne]] ANDs into
+    * joins keyed on a unique_flag rule must be seeded here explicitly,
+    * mirroring auditOne's guard logic; without them the pruned related
+    * hub lacks `<rule>_uv_flag` and the audit join fails to resolve).
     */
   private def neededRules(cp: CompiledProject): Map[String, Set[String]] =
     cp.project.relations.flatMap { r =>
       val rel = cp.relations(r.name)
       val rd = rel.relation
       rel.expr.params.indices.flatMap { i =>
-        if (!rel.isRule(i)) None
+        val p = rel.expr.params(i)
+        if (!rel.isRule(i)) Nil
+        else if (rel.sides(i) == "This") Seq(rd.sourceName -> p.attribute)
         else {
-          val src = if (rel.sides(i) == "This") rd.sourceName else rd.relatedName
-          Some(src -> rel.expr.params(i).attribute)
+          val guard = cp.project.source(rd.relatedName).rules
+            .find(_.name == p.attribute).filter(_.uniqueFlag)
+            .map(_ => rd.relatedName -> (p.attribute + "_uv_flag"))
+          Seq(rd.relatedName -> p.attribute) ++ guard
         }
       }
     }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }

@@ -228,7 +228,20 @@ object Dedup {
     */
   def jaccardPrefixPairs(
       docs: DataFrame, textCol: String = "text", n: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      /** When > 0, the exact-Jaccard verify stage is spread over this many
+        * partitions. AQE's coalesce heuristic is byte-based and the verify
+        * rows are tiny-bytes/huge-CPU (two sorted shingle arrays per row
+        * compared with array_intersect), so on a low-partition input it
+        * coalesces the verify join to a handful of tasks (measured: 5
+        * post-coalesce partitions carrying ~6 MB at sf0.1 — 3.4 s of the
+        * query; guide §2.5's blind spot). Callers pass the session core
+        * count ONLY when the input's physical partitioning is below it
+        * (the [[graft.SparkEntry]] scan-floor condition) — on a real
+        * multi-split corpus the verify stage carries real bytes, AQE sizes
+        * it correctly, and the knob stays 0 (plan untouched).
+        */
+      verifyPar: Int = 0): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // sh fans out to the df aggregate + the index join; byDoc to the
     // prefix index + both verify sides — materialize each once
@@ -253,7 +266,7 @@ object Dedup {
       .distinct()
     verifyJaccard(cand,
       byDoc.select("doc_id", "__sh"), byDoc.select("doc_id", "__sh"),
-      threshold)
+      threshold, verifyPar)
   }
 
   /** Band-key rows of a [[shingleBands]] frame: one (id, band, bucket) row
@@ -310,15 +323,25 @@ object Dedup {
     * or treat the MinHash form as the reference metric.
     */
   private def verifyJaccard(
-      cand: DataFrame, shA: DataFrame, shB: DataFrame, threshold: Double): DataFrame =
-    cand
+      cand: DataFrame, shA: DataFrame, shB: DataFrame, threshold: Double,
+      /** see [[jaccardPrefixPairs]]'s verifyPar: > 0 inserts an explicit
+        * round-robin repartition between the array-attach joins and the
+        * intersection arithmetic, so the CPU-heavy comparison wave runs at
+        * the requested width instead of AQE's byte-derived coalesce. An
+        * explicit numPartitions is never re-coalesced by AQE; values are
+        * row-local, so the spread cannot change results.
+        */
+      par: Int = 0): DataFrame = {
+    val joined = cand
       .join(shA.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
       .join(shB.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
+    (if (par > 0) joined.repartition(par) else joined)
       .withColumn("jaccard", expr(
         """round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
           | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** MinHash + LSH near-duplicate pairs: k minhashes over shingle hashes,
     * banded into `bands` buckets; docs colliding in any band become
@@ -887,6 +910,22 @@ object Dedup {
       } else df.localCheckpoint(false)
     def isPersisted(round: Int): Boolean =
       checkpointDir.isDefined && round % checkpointEvery != 0
+    // Round-block release for the LAZY branch (r17, guide §5): round k's
+    // local-checkpoint blocks are dead the moment round k+1's count
+    // materializes (nothing re-reads them — `labels` is rebound to the new
+    // round), but ContextCleaner only frees them on GC, so a
+    // long-converging graph held every round's labels simultaneously.
+    // The blocks ARE the truncated lineage, so this only runs after the
+    // superseding round is materialized — exactly when recomputation can
+    // no longer be asked for. The handle comes off the checkpointed
+    // Dataset's LogicalRDD (the persist lives on the RDD, not in the
+    // CacheManager, so Dataset.unpersist cannot reach it).
+    def releaseLocalBlocks(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty) df.queryExecution.logical match {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -913,6 +952,7 @@ object Dedup {
           col("component_id").as("__prev")), iter + 1)
       val changed = next.filter(col("component_id") =!= col("__prev")).count()
       if (isPersisted(prevRound)) prev.unpersist()
+      releaseLocalBlocks(prev)
       cur = next
       labels = next.select("id", "component_id")
       labelsRound = iter + 1

@@ -1136,9 +1136,21 @@ object TextAnalysis {
     // types the target never saw — they back off) + routing frequency.
     // No filter on __tgt before the agg: the CASE keeps the (doc,
     // trigram) exchange identical for both consumers (the DSIR lesson).
+    // MATERIALIZED once (r17, guide §5 / the minhashPairs fan-out
+    // discipline): the type table feeds SIX differently-keyed consumers
+    // (the five backoff-model aggregations + the scored-type assembly),
+    // each of which re-instantiated the corpus explode + (doc,trigram) +
+    // (token) aggregations in the static plan — 8 parquet scans of the
+    // corpus for one query. AQE's stage cache dedupes the shuffles but
+    // re-runs every post-shuffle aggregation per consumer; a lazy local
+    // checkpoint of the NARROW type rows (token + two longs — type-
+    // bounded, never corpus-bounded) computes them once. The key
+    // projections (__ctx/__tail/__w2/__w3) are derived ABOVE the
+    // checkpoint so the stored rows stay narrow.
     val types = perDoc.groupBy("token").agg(
         sum(when(col("__tgt"), col("tf_doc")).otherwise(lit(0L))).as("__c3t"),
         sum(col("tf_doc")).as("__tf_all"))
+      .localCheckpoint(false)
       .withColumn("__ctx", expr("substring_index(token, ' ', 2)"))
       .withColumn("__tail", expr("substring_index(token, ' ', -2)"))
       .withColumn("__w2", expr("substring_index(substring_index(token, ' ', -2), ' ', 1)"))
@@ -1184,6 +1196,13 @@ object TextAnalysis {
       // the ONLY ln in the operator — once per trigram type, micro-quantized
       .select(col("token"), col("__tf_all"),
         expr("CAST(round(1e6 * ln(__p3)) AS DECIMAL(38,0))").as("__lp_micro"))
+      // the fitted MODEL, materialized (r17): routedJoin instantiates its
+      // key table TWICE (head filter + tail filter), which re-ran the
+      // whole five-way model join per branch; the checkpointed rows are
+      // the narrow (token, freq, logprob-micro) triple — the train-once /
+      // probe-many discipline of [[graft.operators.Similarity.ivfFit]],
+      // scoped to this query's execution.
+      .localCheckpoint(false)
     routedJoin(perDoc, scoredTypes, "token", "__tf_all", headMin)
       .groupBy("doc_id")
       .agg(

@@ -48,12 +48,7 @@ class RelationAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(oneM.getAs[Long]("cardinality_violations") == 0L)
   }
 
-  test("unique-guarded relation audits the PLANNER's join, not the bare expression") {
-    // the runtime project's solo relation joins on a unique_flag rule:
-    // the planner ANDs the `_uv_flag` companion, so only customers with
-    // exactly ONE order resolve — at sf0.01 that is exactly 2 of 1500.
-    // Without guard parity the bare key expression fans out (~18 orders
-    // per customer) and the M-1 declaration would misreport violations.
+  private def runtimeProject(): graft.analyze.CompiledProject = {
     val files = Seq("meta.yaml", "relations.yaml",
       "sources/customer2.yaml", "sources/events.yaml", "sources/orders2.yaml",
       "sources/orders_self.yaml", "sources/part2.yaml",
@@ -67,8 +62,17 @@ class RelationAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Files.copy(in, target)
       in.close()
     }
+    new Compiler(graft.parse.YamlLoader.load(tmp.toString)).compile()
+  }
+
+  test("unique-guarded relation audits the PLANNER's join, not the bare expression") {
+    // the runtime project's solo relation joins on a unique_flag rule:
+    // the planner ANDs the `_uv_flag` companion, so only customers with
+    // exactly ONE order resolve — at sf0.01 that is exactly 2 of 1500.
+    // Without guard parity the bare key expression fans out (~18 orders
+    // per customer) and the M-1 declaration would misreport violations.
     val _ = spark
-    val cp2 = new Compiler(graft.parse.YamlLoader.load(tmp.toString)).compile()
+    val cp2 = runtimeProject()
     val runner = new Runner(cp2, Runners.parquetDir("/root/testdata/sf0.01"))
     val audit = RelationAudit.audit(cp2, runner.hub)
     val solo = audit.filter(col("relation").contains("solo")).collect().head
@@ -77,6 +81,27 @@ class RelationAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(solo.getAs[Long]("source_rows") -
       solo.getAs[Long]("unmatched_source_rows") == 2L)
     assert(solo.getAs[Long]("max_matches") == 1L)
+  }
+
+  test("auditPruned resolves a unique-flagged rule-keyed relation (J6 shape)") {
+    // ADVICE r16 (medium): neededRules seeded only the rule attribute, but
+    // auditOne ANDs the `<rule>_uv_flag` guard into unique-keyed joins —
+    // the pruned related hub then lacked the guard column and the join
+    // failed to resolve (AnalysisException). The pruned audit must both
+    // RUN and agree with the full audit on every count, relation by
+    // relation (the fixture warehouse has no fan-out, so the pruned
+    // un-inflated counts coincide with audit()'s).
+    val _ = spark
+    val cp2 = runtimeProject()
+    val runner = new Runner(cp2, Runners.parquetDir("/root/testdata/sf0.01"))
+    val full = RelationAudit.audit(cp2, runner.hub)
+      .collect().map(r => r.getAs[String]("relation") -> r.toSeq).toMap
+    val pruned = RelationAudit.auditPruned(cp2, runner).collect()
+    assert(pruned.length == cp2.project.relations.length)
+    pruned.foreach { r =>
+      assert(full(r.getAs[String]("relation")) == r.toSeq,
+        s"pruned audit row drifted for ${r.getAs[String]("relation")}")
+    }
   }
 
   test("duplicated parent row: the M-1 declaration's fan-out is reported") {

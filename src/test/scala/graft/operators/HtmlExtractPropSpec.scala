@@ -38,6 +38,13 @@ object HtmlExtractPropSpec extends Properties("TextAnalysis.htmlExtract") {
   // the table deepened) — the reference derives it from the same table
   private val stops: Set[String] =
     graft.functions.StopwordProfiles.table.toMap.apply("en").toSet
+  // the derived set alone would be tautological wrt the table's CONTENT
+  // (ADVICE r16): pin a few known members and the list's size so an
+  // accidentally dropped/misspelled word in the en profile fails here
+  require(Set("the", "and", "of", "to", "with").subsetOf(stops),
+    s"en stopword profile lost a core member: $stops")
+  require(stops.size == 99,
+    s"en stopword profile size drifted: ${stops.size} (expected 99)")
   // a tag body: anything but an unquoted `>`; quoted attribute values may
   // contain `>` (r15 contract)
   private val tagBody = """(?:[^>"']|"[^"]*"|'[^']*')*"""
