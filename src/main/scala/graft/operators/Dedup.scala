@@ -249,7 +249,7 @@ object Dedup {
     val sh = shingleRows(docs, textCol, n) // doc_id, n_sh, shingle
       .localCheckpoint(false)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-    val byDoc = sh.join(df, "shingle")
+    val byDocBase = sh.join(df, "shingle")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("__df"), col("shingle"))))
         .as("__ord"))
@@ -258,15 +258,37 @@ object Dedup {
         expr(s"""transform(
           slice(__ord, 1, CAST(size(__ord) - ceil($threshold * size(__ord)) + 1 AS INT)),
           x -> x.shingle)""").as("__pref"))
-    val idx = byDoc.select(col("doc_id"), explode(col("__pref")).as("__p"))
-    val cand = idx.join(
-        idx.select(col("doc_id").as("doc_b"), col("__p")), "__p")
+    val byDoc = byDocBase
+    val idxBase = byDoc.select(col("doc_id"), explode(col("__pref")).as("__p"))
+    // verifyPar spread (r17, measured placement): the CPU lives in two
+    // post-exchange waves whose BYTES are tiny (so AQE coalesces them to
+    // ~5 tasks at sf0.1): (1) the candidate probe — prefix-collision pair
+    // generation + the partial distinct — and (2) the distinct's reduce
+    // side, where the broadcast array-attach joins and the exact
+    // array_intersect verification pipeline. Two measured non-fixes: a
+    // round-robin repartition AFTER the attach joins is sunk below by
+    // Catalyst (Project/Filter push through bare Repartition — the r16
+    // docsParPinned lesson), and a round-robin spread of byDoc breaks the
+    // candidate join's broadcast (its build side loses the size estimate
+    // → a 1-task sort-merge stage, 2.9× slower). KEYED repartitions at
+    // the two exchanges' own keys pin their width without adding any
+    // exchange (the downstream operator's distribution requirement is
+    // already satisfied) and cannot be pushed through or re-coalesced.
+    val idx =
+      if (verifyPar > 0) idxBase.repartition(verifyPar, col("__p"))
+      else idxBase
+    val candBase = idx.join(
+        idxBase.select(col("doc_id").as("doc_b"), col("__p")), "__p")
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
+    val cand =
+      if (verifyPar > 0)
+        candBase.repartition(verifyPar, col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+      else candBase.distinct()
     verifyJaccard(cand,
       byDoc.select("doc_id", "__sh"), byDoc.select("doc_id", "__sh"),
-      threshold, verifyPar)
+      threshold)
   }
 
   /** Band-key rows of a [[shingleBands]] frame: one (id, band, bucket) row
@@ -323,25 +345,15 @@ object Dedup {
     * or treat the MinHash form as the reference metric.
     */
   private def verifyJaccard(
-      cand: DataFrame, shA: DataFrame, shB: DataFrame, threshold: Double,
-      /** see [[jaccardPrefixPairs]]'s verifyPar: > 0 inserts an explicit
-        * round-robin repartition between the array-attach joins and the
-        * intersection arithmetic, so the CPU-heavy comparison wave runs at
-        * the requested width instead of AQE's byte-derived coalesce. An
-        * explicit numPartitions is never re-coalesced by AQE; values are
-        * row-local, so the spread cannot change results.
-        */
-      par: Int = 0): DataFrame = {
-    val joined = cand
+      cand: DataFrame, shA: DataFrame, shB: DataFrame, threshold: Double): DataFrame =
+    cand
       .join(shA.select(col("doc_id").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
       .join(shB.select(col("doc_id").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
-    (if (par > 0) joined.repartition(par) else joined)
       .withColumn("jaccard", expr(
         """round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
           | / CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6)""".stripMargin))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   /** MinHash + LSH near-duplicate pairs: k minhashes over shingle hashes,
     * banded into `bands` buckets; docs colliding in any band become

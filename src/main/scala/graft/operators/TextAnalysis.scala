@@ -1132,6 +1132,14 @@ object TextAnalysis {
             |    element_at(__pd, i + 2)))""".stripMargin)).as("token"))
       .groupBy(col("doc_id"), col("__tgt"), col("token"))
       .agg(count(lit(1)).as("tf_doc"))
+      // materialized once (r17): the type-table consumer and the routed
+      // probe used to share this exchange via AQE's stage cache, but a
+      // checkpointed consumer materializes through its own job and the
+      // probe then re-ran the whole corpus explode stage (profiled: two
+      // identical 0.5 s single-scan jobs per execution). The blocks are
+      // the same (doc, trigram, tf) bytes the exchange already spills to
+      // disk — this just pins ONE corpus pass for all consumers.
+      .localCheckpoint(false)
     // trigram TYPE table over the SCORED corpus: target counts (0 for
     // types the target never saw — they back off) + routing frequency.
     // No filter on __tgt before the agg: the CASE keeps the (doc,

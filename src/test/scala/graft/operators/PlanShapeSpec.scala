@@ -790,39 +790,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(textScans <= 1, s"at most one visible corpus text scan, got $textScans")
   }
 
-  test("knPerplexity: ONE corpus text scan; model + probe ride ReusedExchange") {
-    // the (doc, tgt, trigram) aggregation is the only corpus-sized
-    // relation: the type-model fit and the routed scoring probe must
-    // consume ONE planned exchange of it (the DSIR discipline — target
-    // counts via CASE, never a pushed filter that de-canonicalizes the
-    // shared subtree); every model table past it is TYPE-level
-    // (vocab-bounded), and nothing windows
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  test("knPerplexity: corpus materialized once; model + probe share its blocks") {
+    // r17 shape: the (doc, tgt, trigram) relation, the trigram-type table
+    // and the scored-type model are each materialized ONCE (lazy local
+    // checkpoints — the pre-r17 ReusedExchange form re-ran the corpus
+    // explode per checkpointed consumer and every model table re-ran the
+    // type aggregation). The FINAL plan must therefore contain no corpus
+    // text scan at all (the one scan lives inside the perDoc
+    // materialization), nothing may window, and the routed probe's two
+    // branches must read the SAME checkpointed (doc, trigram) RDD — two
+    // RDD-scan leaves over one RDD id, not two re-explosions.
+    import org.apache.spark.sql.execution.RDDScanExec
     import org.apache.spark.sql.execution.window.WindowExec
     val df = TextAnalysis.knPerplexity(docs, col("lang") === "en")
     df.collect() // AQE settles the final stage graph
     val nodes = walk(df.queryExecution.executedPlan)
     assert(nodes.collect { case w: WindowExec => w }.isEmpty,
       "no window anywhere — scoring is pure aggregation")
-    assert(nodes.collect { case r: ReusedExchangeExec => r }.nonEmpty,
-      "the scoring probe must reuse the (doc, trigram) exchange, not re-explode")
-    // in THIS plan every consumer of the corpus subtree rides a
-    // ReusedExchange, so the scan is invisible to the final-stage walk
-    // (ReusedExchangeExec is a leaf); descend its child and count
-    // DISTINCT scan instances — two corpus explosions would be two
-    // distinct scan objects
-    def deepWalk(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case r: ReusedExchangeExec => Seq(r) ++ deepWalk(r.child)
-      case other => walk(other).flatMap {
-        case r: ReusedExchangeExec => Seq(r) ++ deepWalk(r.child)
-        case n => Seq(n)
-      }
-    }
-    val textScans = deepWalk(df.queryExecution.executedPlan)
-      .filter(n => n.nodeName.contains("Scan") && n.toString.contains("text"))
-      .map(System.identityHashCode).distinct.size
-    assert(textScans == 1, s"one corpus text scan, got $textScans")
+    val textScans = nodes.count(n =>
+      n.nodeName.contains("Scan") && n.toString.contains("text") &&
+        !n.isInstanceOf[RDDScanExec])
+    assert(textScans == 0,
+      s"corpus must ride the materialized (doc, trigram) relation, got $textScans scans")
+    // the final stage graph bottoms out on the materialized relations:
+    // at most the three checkpoints (perDoc / types / scored model) —
+    // more distinct RDD leaves would mean a consumer fell off the
+    // materialized path and re-derived its input
+    val rddScanIds = nodes.collect { case r: RDDScanExec => r.inputRDD.id }
+    assert(rddScanIds.nonEmpty, "probe must read the checkpointed relation")
+    assert(rddScanIds.distinct.size <= 3,
+      s"more RDD leaves than materialized relations: ids $rddScanIds")
   }
 
   test("dsirSample: global top-k is TakeOrderedAndProject, never a sort") {
